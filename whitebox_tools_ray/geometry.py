@@ -1,0 +1,153 @@
+"""Vectorized polygon geometry kernels.
+
+Reimplements the reference's point-in-polygon semantics exactly
+(whitebox-common/src/algorithms/poly_ops.rs):
+
+  * ``is_left(p0, p1, p2) = (p1.x-p0.x)*(p2.y-p0.y) - (p2.x-p0.x)*(p1.y-p0.y)``
+    (poly_ops.rs:21-23)
+  * winding number: upward crossing counts when start.y <= p.y < end.y and
+    is_left > 0; downward when start.y > p.y >= end.y and is_left < 0
+    (poly_ops.rs:41-72)
+  * inside  <=>  winding_number % 2 != 0  — even-odd rule; points exactly on
+    an edge are deemed OUTSIDE (poly_ops.rs:30-33)
+
+All kernels are numpy-vectorized over a batch of points versus one ring;
+multi-ring / multi-feature logic layers on top (see PackedPolygons), with the
+reference's "last tested part wins" clip semantics (gis_analysis/clip.rs:314-324).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def winding_number(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Winding number of each point (px[i], py[i]) w.r.t. a closed ring.
+
+    ring: (M, 2) float64 with ring[0] == ring[-1] (closed). Returns int64 wn.
+    Vectorized translation of poly_ops.rs:41-72 (same strict comparisons).
+    """
+    ring = np.asarray(ring, np.float64)
+    if ring.shape[0] < 2 or not (ring[0] == ring[-1]).all():
+        raise ValueError("ring must be closed (first point == last point)")
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    is_left = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+    up = (y0 <= py) & (y1 > py) & (is_left > 0.0)
+    down = (y0 > py) & (y1 <= py) & (is_left < 0.0)
+    return up.sum(axis=1).astype(np.int64) - down.sum(axis=1).astype(np.int64)
+
+
+def point_in_poly(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd containment, edges outside (poly_ops.rs:30-33: wn % 2 != 0)."""
+    return winding_number(px, py, ring) % 2 != 0
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    ring = np.asarray(ring, np.float64)
+    return float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max())
+
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive = counter-clockwise)."""
+    ring = np.asarray(ring, np.float64)
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def is_clockwise(ring: np.ndarray) -> bool:
+    """Shapefile outer-ring convention: clockwise (negative shoelace area)."""
+    return polygon_area(ring) < 0.0
+
+
+@dataclass
+class PackedPolygons:
+    """A polygon layer packed into flat numpy arrays for broadcast.
+
+    Mirrors the reference clip preprocessing (gis_analysis/clip.rs:244-277):
+    every part of every feature flattened into a global part list with
+    (bbox, is_hole, feature id), evaluated in file order so that the
+    reference's "last tested part wins" rule (clip.rs:314-324) is exact.
+
+    Built once on the driver, shipped via ``ray.put`` and held in actor-pool
+    ``__init__`` — never re-serialized per batch.
+    """
+
+    rings: list = field(default_factory=list)      # list[np.ndarray (M,2) closed]
+    bboxes: np.ndarray = None                      # (P, 4) xmin,ymin,xmax,ymax
+    is_hole: np.ndarray = None                     # (P,) bool
+    feature_id: np.ndarray = None                  # (P,) int64
+
+    @classmethod
+    def from_features(cls, features) -> "PackedPolygons":
+        """features: iterable of (feature_id, [(ring_xy, is_hole), ...])."""
+        rings, bbs, holes, fids = [], [], [], []
+        for fid, parts in features:
+            for ring, hole in parts:
+                ring = np.asarray(ring, np.float64)
+                if not (ring[0] == ring[-1]).all():
+                    ring = np.vstack([ring, ring[:1]])
+                rings.append(ring)
+                bbs.append(ring_bbox(ring))
+                holes.append(bool(hole))
+                fids.append(int(fid))
+        return cls(
+            rings=rings,
+            bboxes=np.asarray(bbs, np.float64).reshape(-1, 4),
+            is_hole=np.asarray(holes, bool),
+            feature_id=np.asarray(fids, np.int64),
+        )
+
+    def clip_mask(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Point-clip keep mask with exact reference semantics.
+
+        For each point, parts are tested in file order over ALL features;
+        on a (bbox && point_in_poly) hit, keep = !is_hole — no early break,
+        so a later-tested hole overrides containment (clip.rs:299-370).
+        """
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        keep = np.zeros(len(px), dtype=bool)
+        for p, ring in enumerate(self.rings):
+            xmin, ymin, xmax, ymax = self.bboxes[p]
+            cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+            if not cand.any():
+                continue
+            idx = np.flatnonzero(cand)
+            inside = point_in_poly(px[idx], py[idx], ring)
+            hit = idx[inside]
+            keep[hit] = not self.is_hole[p]
+        return keep
+
+    def pip_pairs(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_index, feature_id) join pairs — per-feature containment.
+
+        A point is in a feature iff the last tested part of THAT feature
+        containing it is not a hole (per-feature analog of clip_mask; used for
+        zonal statistics / tagging where feature identity matters).
+        """
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        n = len(px)
+        out_idx, out_fid = [], []
+        for fid in np.unique(self.feature_id):
+            state = np.zeros(n, dtype=bool)
+            for p in np.flatnonzero(self.feature_id == fid):
+                xmin, ymin, xmax, ymax = self.bboxes[p]
+                cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+                if not cand.any():
+                    continue
+                idx = np.flatnonzero(cand)
+                inside = point_in_poly(px[idx], py[idx], self.rings[p])
+                hit = idx[inside]
+                state[hit] = not self.is_hole[p]
+            sel = np.flatnonzero(state)
+            out_idx.append(sel)
+            out_fid.append(np.full(len(sel), fid, np.int64))
+        if not out_idx:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_idx), np.concatenate(out_fid)

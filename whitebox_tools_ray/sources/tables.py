@@ -1,0 +1,64 @@
+"""Parquet table readers + deterministic coordinate derivation.
+
+The driver's test tables (TESTDATA.md) carry no lon/lat, so the spatial
+operators derive point coordinates from integer keys with arithmetic that is
+bit-identical between numpy (engine side) and DuckDB SQL (oracle side):
+multiplicative congruential mixing entirely in int64 (no overflow at any
+scale factor: id * 69621 < 2^63 for id < 1.3e14), then one exact float64
+division. Both engines perform the same IEEE-754 ops in the same order, so
+every derived coordinate — and therefore every cell/tile assignment — is
+byte-identical at any parallelism level (the north-rule invariant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# Point layer derivation over `events` (event_id) — x in [-180, 180), y in [-85, 85)
+_MODULUS = 100_000
+_AX, _AY = 48271, 69621
+
+X_SQL = "((((event_id * 48271) % 100000) / 100000.0) * 360.0 - 180.0)"
+Y_SQL = "((((event_id * 69621) % 100000) / 100000.0) * 170.0 - 85.0)"
+
+# Document layer derivation over `documents` (doc_id) — same construction
+DOC_X_SQL = "((((doc_id * 48271) % 100000) / 100000.0) * 360.0 - 180.0)"
+DOC_Y_SQL = "((((doc_id * 69621) % 100000) / 100000.0) * 170.0 - 85.0)"
+
+
+def _mix(ids: np.ndarray, mult: int) -> np.ndarray:
+    return (np.asarray(ids, np.int64) * np.int64(mult)) % np.int64(_MODULUS)
+
+
+def derive_xy(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) float64 point coords from an int64 id column (SQL-replicable)."""
+    x = (_mix(ids, _AX) / float(_MODULUS)) * 360.0 - 180.0
+    y = (_mix(ids, _AY) / float(_MODULUS)) * 170.0 - 85.0
+    return x, y
+
+
+derive_doc_xy = derive_xy  # same formula, applied to doc_id
+
+
+def add_xy(batch: pa.Table, id_col: str = "event_id") -> pa.Table:
+    """map_batches kernel: append derived x/y columns (zero-copy otherwise)."""
+    x, y = derive_xy(batch[id_col].to_numpy(zero_copy_only=False))
+    return batch.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned parquet read of one test table."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def read_points(sf_dir: str, extra_cols: tuple[str, ...] = ("value",)) -> ray.data.Dataset:
+    """The standard point layer: events + derived (x, y).
+
+    ``event_id`` doubles as the record_seq that replicates the reference's
+    record-order semantics (first/last assigns, dedup keep-first) in an
+    order-independent way (SURVEY.md section 2.3d).
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", *extra_cols])
+    return ds.map_batches(add_xy, batch_format="pyarrow")
