@@ -334,3 +334,7 @@ def sample_hash(sf_dir: str):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(samp, batch_format="pyarrow")
+
+
+# populate the registry with the other operator families
+from . import queries_spatial  # noqa: E402,F401

@@ -1,0 +1,398 @@
+"""Spatial operator queries (north-star set, SURVEY.md section 2.3) with
+DuckDB oracles.
+
+Coordinates derive from event_id (sources.tables) with arithmetic shared
+bit-for-bit with the SQL; every grid constant below is rendered into the SQL
+from the same Python literal, so cell/tile assignments are byte-identical
+between the Ray engine and the oracle — the north-rule invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..grid import GridSpec, hex_centers
+from ..layers import builtin_polygons, clip_keep_sql, feature_sql
+from ..relational import cents, partial_agg
+from ..sources.tables import X_SQL, Y_SQL, read_points
+from ..stages.gridding import idw_grid_int, nn_grid, points_to_raster
+from ..stages.spatial_join import clip_points, tag_polygons
+from .queries import query
+
+# --- shared grid specs (1 deg cells; coarser grids for interpolation) ---
+GRID1 = GridSpec(west=-180.0, north=85.0, res_x=1.0, res_y=1.0, rows=170, cols=360, tile_size=32)
+GRID_NN = GridSpec(west=-180.0, north=85.0, res_x=5.0, res_y=5.0, rows=34, cols=72)
+NN_MAX_DIST = 4.0
+GRID_IDW = GridSpec(west=-180.0, north=85.0, res_x=4.0, res_y=4.0, rows=43, cols=90)
+IDW_RADIUS = 6.0
+DEDUP_EPS = 0.5
+HEX_WIDTH = 12.0
+
+PTS_CTE = f"pts AS (SELECT event_id, value, {X_SQL} AS x, {Y_SQL} AS y FROM events)"
+
+
+def _cell_sql(g: GridSpec, x: str = "x", y: str = "y") -> tuple[str, str, str]:
+    col = f"CAST(FLOOR(({x} - ({g.west!r})) / {g.res_x!r}) AS BIGINT)"
+    row = f"CAST(FLOOR((({g.north!r}) - {y}) / {g.res_y!r}) AS BIGINT)"
+    return col, row, f"({row} * {g.cols} + {col})"
+
+
+def _cells_cte(g: GridSpec) -> str:
+    """Cell-centre relation from range(); centre math mirrors GridSpec
+    x_from_col/y_from_row evaluation order exactly."""
+    wph = g.west + g.res_x / 2.0
+    nmh = g.north - g.res_y / 2.0
+    return (
+        f"cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id, "
+        f"({wph!r} + CAST(t.i % {g.cols} AS DOUBLE) * {g.res_x!r}) AS cx, "
+        f"({nmh!r} - CAST(t.i // {g.cols} AS DOUBLE) * {g.res_y!r}) AS cy "
+        f"FROM range({g.rows * g.cols}) t(i))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Cell / tile assignment (section 2.3g tiling; the partitioner primitive)
+# --------------------------------------------------------------------------
+
+_c1, _r1, _cid1 = _cell_sql(GRID1)
+
+
+@query(
+    "cell_grid_counts",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {_cid1} AS cell_id, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM pts GROUP BY cell_id
+    """,
+)
+def cell_grid_counts(sf_dir: str):
+    """Vectorized point->cell kernel + grouped count (hex-bin blessing of
+    'encode to cell id, aggregate by cell', vector_hex_bin.rs:166-199)."""
+    ds = read_points(sf_dir, extra_cols=())
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cell_id": GRID1.cell_id_from_xy(x, y),
+                         "n": np.ones(len(ids), np.int64), "min_id": ids})
+
+    return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["cell_id"],
+                       [("n", "sum", "n"), ("min_id", "min", "min_id")])
+
+
+@query(
+    "tile_counts",
+    f"""
+    WITH {PTS_CTE}
+    SELECT (({_r1} // 32) * {GRID1.tile_cols} + ({_c1} // 32)) AS tile_id, COUNT(*) AS n
+    FROM pts GROUP BY tile_id
+    """,
+)
+def tile_counts(sf_dir: str):
+    """LidarTile partitioner analog (lidar_tile.rs:315-325): tile ids feed
+    write_parquet(partition_cols=['tile_id']) for resumable sharded output."""
+    ds = read_points(sf_dir, extra_cols=())
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"tile_id": GRID1.tile_id_from_xy(x, y),
+                         "n": np.ones(len(x), np.int64)})
+
+    return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["tile_id"],
+                       [("n", "sum", "n")])
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon (section 2.3a): clip, tag, zonal
+# --------------------------------------------------------------------------
+
+@query(
+    "pip_clip_points",
+    f"WITH {PTS_CTE} SELECT event_id FROM pts WHERE {clip_keep_sql('x', 'y')}",
+)
+def pip_clip_points(sf_dir: str):
+    """Clip point branch (clip.rs:299-370): broadcast packed polygons in an
+    actor pool, exact last-tested-part-wins hole semantics."""
+    ds = read_points(sf_dir, extra_cols=())
+    return clip_points(ds, builtin_polygons()).select_columns(["event_id"])
+
+
+_FEATS = feature_sql("x", "y")
+_TAG_SQL = " UNION ALL ".join(
+    f"SELECT event_id, value, CAST({fid} AS BIGINT) AS poly_id FROM pts WHERE {cond}"
+    for fid, cond in sorted(_FEATS.items())
+)
+
+
+@query(
+    "pip_tag_pairs",
+    f"WITH {PTS_CTE} SELECT event_id, poly_id FROM ({_TAG_SQL})",
+)
+def pip_tag_pairs(sf_dir: str):
+    """PIP join emitting (point, containing feature) pairs — per-feature
+    hole logic (zonal/JoinTables-style attribute transfer)."""
+    ds = read_points(sf_dir, extra_cols=())
+    return tag_polygons(ds, builtin_polygons()).select_columns(["event_id", "poly_id"])
+
+
+@query(
+    "zonal_stats_polygons",
+    f"""
+    WITH {PTS_CTE}
+    SELECT poly_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM ({_TAG_SQL}) GROUP BY poly_id
+    """,
+)
+def zonal_stats_polygons(sf_dir: str):
+    """ZonalStatistics over polygon zones (zonal_statistics.rs:385-460):
+    broadcast-tag then grouped aggregate with map-side combine."""
+    ds = read_points(sf_dir)
+    tagged = tag_polygons(ds, builtin_polygons())
+    tagged = tagged.map_batches(
+        lambda t: cents(t, "value", "sum_cents")
+        .append_column("n", pa.array(np.ones(len(t), np.int64)))
+        .select(["poly_id", "n", "sum_cents"]),
+        batch_format="pyarrow")
+    return partial_agg(tagged, ["poly_id"], [("n", "sum", "n"), ("sum_cents", "sum", "sum_cents")])
+
+
+@query(
+    "clip_cell_rollup",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {_cid1} AS cell_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM pts WHERE {clip_keep_sql('x', 'y')} GROUP BY cell_id
+    """,
+)
+def clip_cell_rollup(sf_dir: str):
+    """The flagship spatial-join + tiling pipeline (bench headline):
+    stream points -> broadcast clip -> cell encode -> grouped rollup."""
+    ds = read_points(sf_dir)
+    kept = clip_points(ds, builtin_polygons())
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        out = cents(t, "value", "sum_cents")
+        return pa.table({"cell_id": GRID1.cell_id_from_xy(x, y),
+                         "n": np.ones(len(x), np.int64),
+                         "sum_cents": out["sum_cents"]})
+
+    return partial_agg(kept.map_batches(enc, batch_format="pyarrow"), ["cell_id"],
+                       [("n", "sum", "n"), ("sum_cents", "sum", "sum_cents")])
+
+
+# --------------------------------------------------------------------------
+# Gridding (sections 2.3b-d)
+# --------------------------------------------------------------------------
+
+@query(
+    "points_raster_assigns",
+    f"""
+    WITH {PTS_CTE},
+    enc AS (SELECT {_cid1} AS cell_id, event_id, value,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c FROM pts
+            WHERE {_r1} >= 0 AND {_r1} < {GRID1.rows}
+              AND {_c1} >= 0 AND {_c1} < {GRID1.cols})
+    SELECT cell_id, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           arg_min(c, event_id) AS first_cents,
+           arg_max(c, event_id) AS last_cents
+    FROM enc GROUP BY cell_id
+    """,
+)
+def points_raster_assigns(sf_dir: str):
+    """VectorPointsToRaster, all six assign reductions at once
+    (vector_points_to_raster.rs:402-530)."""
+    return points_to_raster(read_points(sf_dir), GRID1)
+
+
+_nc, _nr, _ncid = _cell_sql(GRID_NN)
+
+
+@query(
+    "nn_gridding",
+    f"""
+    WITH {PTS_CTE}, {_cells_cte(GRID_NN)},
+    cand AS (
+      SELECT c.cell_id, p.event_id,
+             (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2,
+             CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents
+      FROM cells c, pts p
+      WHERE (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+            <= {NN_MAX_DIST * NN_MAX_DIST!r}
+    )
+    SELECT cell_id, event_id, d2, value_cents FROM cand
+    QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY d2, event_id) = 1
+    """,
+)
+def nn_gridding(sf_dir: str):
+    """NearestNeighbourGridding (nearest_neighbour_gridding.rs:443-456)."""
+    return nn_grid(read_points(sf_dir), GRID_NN, NN_MAX_DIST)
+
+
+@query(
+    "idw_gridding_int",
+    f"""
+    WITH {PTS_CTE}, {_cells_cte(GRID_IDW)},
+    cand AS (
+      SELECT c.cell_id,
+             CAST(ROUND(1000000000.0 / (1.0 +
+               (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))) AS BIGINT) AS w,
+             CAST(ROUND(p.value * 100) AS BIGINT) AS vc
+      FROM cells c, pts p
+      WHERE (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+            <= {IDW_RADIUS * IDW_RADIUS!r}
+    )
+    SELECT cell_id, COUNT(*) AS n_neighbors,
+           CAST(SUM(w) AS BIGINT) AS wsum, CAST(SUM(w * vc) AS BIGINT) AS wv_sum
+    FROM cand GROUP BY cell_id
+    """,
+)
+def idw_gridding_int(sf_dir: str):
+    """IDW gridding with integer-quantized weights (idw_interpolation.rs:
+    620-644 radius-search shape; exact int reduction)."""
+    return idw_grid_int(read_points(sf_dir), GRID_IDW, IDW_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# Dedup + hex binning (sections 2.3f,h)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_coincident_grid",
+    f"""
+    WITH {PTS_CTE}
+    SELECT CAST(FLOOR(x / {DEDUP_EPS!r}) AS BIGINT) AS bi,
+           CAST(FLOOR(y / {DEDUP_EPS!r}) AS BIGINT) AS bj,
+           CAST(MIN(event_id) AS BIGINT) AS keeper, COUNT(*) AS n
+    FROM pts GROUP BY bi, bj
+    """,
+)
+def dedup_coincident_grid(sf_dir: str):
+    """EliminateCoincidentPoints-style dedup: hash-partition on the epsilon
+    grid, keep minimum-seq member per bin (eliminate_coincident_points.rs:242;
+    remove_duplicates.rs:272-291 keep-first)."""
+    ds = read_points(sf_dir, extra_cols=())
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bi": np.floor(x / DEDUP_EPS).astype(np.int64),
+            "bj": np.floor(y / DEDUP_EPS).astype(np.int64),
+            "keeper": ids, "n": np.ones(len(ids), np.int64),
+        })
+
+    return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["bi", "bj"],
+                       [("keeper", "min", "keeper"), ("n", "sum", "n")])
+
+
+def _hex_layout():
+    hid, cx, cy = hex_centers(-180.0, -85.0, 180.0, 85.0, HEX_WIDTH)
+    return hid, cx, cy
+
+
+def _hex_cte() -> str:
+    # embed the exact row-spacing literal so SQL and numpy share every bit;
+    # nrows/ncols formulas identical to grid.hex_centers
+    from ..grid import hex_size_from_width
+
+    s = hex_size_from_width(HEX_WIDTH)
+    vert = 1.5 * s
+    nrows = int(np.ceil((85.0 - (-85.0)) / vert)) + 2
+    ncols = int(np.ceil((180.0 - (-180.0)) / HEX_WIDTH)) + 2
+    return (
+        f"hexes AS (SELECT CAST(t.i AS BIGINT) AS hex_id, "
+        f"(-180.0 + CAST(t.i % {ncols} AS DOUBLE) * {HEX_WIDTH!r} + "
+        f"CASE WHEN (t.i // {ncols}) % 2 = 1 THEN {HEX_WIDTH / 2.0!r} ELSE 0.0 END) AS hx, "
+        f"(-85.0 + CAST(t.i // {ncols} AS DOUBLE) * {vert!r}) AS hy "
+        f"FROM range({nrows * ncols}) t(i))"
+    )
+
+
+@query(
+    "hex_binning",
+    f"""
+    WITH {PTS_CTE}, {_hex_cte()},
+    assign AS (
+      SELECT p.event_id, h.hex_id,
+             (p.x - h.hx) * (p.x - h.hx) + (p.y - h.hy) * (p.y - h.hy) AS d2
+      FROM pts p, hexes h
+      QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY d2, h.hex_id) = 1
+    )
+    SELECT hex_id, COUNT(*) AS n FROM assign GROUP BY hex_id
+    """,
+)
+def hex_binning(sf_dir: str):
+    """VectorHexBinning (vector_hex_bin.rs:166-231): assign each point to its
+    nearest hex centre (knn=1, ties -> lowest hex id), count per hex. The
+    centre lattice is broadcast; assignment is chunked brute-force numpy."""
+    hid, cx, cy = _hex_layout()
+    ref = ray.put((hid, cx, cy))
+
+    class AssignHex:
+        def __init__(self):
+            self.hid, self.cx, self.cy = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            out = np.empty(len(x), np.int64)
+            for lo in range(0, len(x), 4096):
+                hi = min(lo + 4096, len(x))
+                d2 = (x[lo:hi, None] - self.cx[None, :]) ** 2 + (y[lo:hi, None] - self.cy[None, :]) ** 2
+                out[lo:hi] = self.hid[np.argmin(d2, axis=1)]
+            return pa.table({"hex_id": out, "n": np.ones(len(x), np.int64)})
+
+    ds = read_points(sf_dir, extra_cols=())
+    assigned = ds.map_batches(AssignHex, batch_format="pyarrow", concurrency=(1, 4))
+    return partial_agg(assigned, ["hex_id"], [("n", "sum", "n")])
+
+
+# --------------------------------------------------------------------------
+# Raster value extraction (section 2.3i)
+# --------------------------------------------------------------------------
+
+@query(
+    "extract_raster_values",
+    f"""
+    WITH {PTS_CTE}
+    SELECT event_id, (({_cid1} * 1000003) % 1000) AS rast_val
+    FROM pts
+    WHERE {_r1} >= 0 AND {_r1} < {GRID1.rows} AND {_c1} >= 0 AND {_c1} < {GRID1.cols}
+    """,
+)
+def extract_raster_values(sf_dir: str):
+    """ExtractRasterValuesAtPoints (extract_raster_values_at_points.rs:
+    124-174): point x raster lookup join. The raster (a synthetic deterministic
+    surface) is broadcast once; each batch does a vectorized gather."""
+    rast = (np.arange(GRID1.rows * GRID1.cols, dtype=np.int64) * 1000003) % 1000
+    ref = ray.put(rast)
+
+    class Lookup:
+        def __init__(self):
+            self.rast = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            row = GRID1.row_from_y(y)
+            col = GRID1.col_from_x(x)
+            ok = GRID1.in_bounds(row, col)
+            cid = GRID1.cell_id(row, col)[ok]
+            return pa.table({
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[ok],
+                "rast_val": self.rast[cid],
+            })
+
+    return read_points(sf_dir, extra_cols=()).map_batches(Lookup, batch_format="pyarrow",
+                                                          concurrency=(1, 4))

@@ -1,0 +1,186 @@
+"""Gridding operators: VectorPointsToRaster assigns, NN gridding, IDW.
+
+Ray Data physical plan (SURVEY.md section 2.3 b-d): points are expanded to
+candidate (cell, point) pairs in a vectorized ``map_batches`` kernel — each
+point emits the cells whose CENTRES lie within the search radius, mirroring
+the reference's cell-centre probes (idw_interpolation.rs:620-625) — then one
+``groupby(cell_id)`` shuffle reduces candidates per cell. Candidate rows are
+narrow (ints + a few doubles); the wide input columns never enter the
+shuffle.
+
+Determinism: reductions are either order-independent (int sums, min/max) or
+keyed on an explicit record seq (first/last), so block order / parallelism
+cannot change results — unlike the reference's record-order semantics
+(vector_points_to_raster.rs:402-450) which this replicates exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..grid import GridSpec
+from ..relational import partial_agg
+
+# first/last packing: seq * 2^33 + (cents + 2^32); valid while |cents| < 2^32
+# and seq < 2^29 — fine for the test corpus; the unbounded path is
+# relational.arg_extreme_reduce.
+_PACK_SHIFT = np.int64(1) << np.int64(33)
+_PACK_OFF = np.int64(1) << np.int64(32)
+
+
+def _pack(seq: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    return seq.astype(np.int64) * _PACK_SHIFT + (cents.astype(np.int64) + _PACK_OFF)
+
+
+def _unpack_cents(packed: np.ndarray) -> np.ndarray:
+    return packed % _PACK_SHIFT - _PACK_OFF
+
+
+def points_to_raster(points_ds, grid: GridSpec, *, x_col="x", y_col="y",
+                     value_col="value", seq_col="event_id"):
+    """All six --assign reductions of VectorPointsToRaster in one pass
+    (data_tools/vector_points_to_raster.rs:402-530): first/last/min/max/sum/
+    count. first = value at min seq, last = value at max seq (record order
+    made explicit). Values are reduced in integer cents; sums are exact.
+
+    Output: cell_id, n, vmin, vmax, sum_cents, first_cents, last_cents.
+    """
+
+    def encode(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        seq = t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = grid.row_from_y(y)
+        col = grid.col_from_x(x)
+        ok = grid.in_bounds(row, col)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        packed = _pack(seq, cents)
+        return pa.table({
+            "cell_id": grid.cell_id(row, col)[ok],
+            "n": np.ones(int(ok.sum()), np.int64),
+            "vmin": v[ok], "vmax": v[ok],
+            "sum_cents": cents[ok],
+            "first_p": packed[ok], "last_p": packed[ok],
+        })
+
+    enc = points_ds.map_batches(encode, batch_format="pyarrow")
+    agg = partial_agg(enc, ["cell_id"], [
+        ("n", "sum", "n"), ("vmin", "min", "vmin"), ("vmax", "max", "vmax"),
+        ("sum_cents", "sum", "sum_cents"),
+        ("first_p", "min", "first_p"), ("last_p", "max", "last_p"),
+    ])
+
+    def decode(t: pa.Table) -> pa.Table:
+        first = _unpack_cents(t["first_p"].to_numpy(zero_copy_only=False))
+        last = _unpack_cents(t["last_p"].to_numpy(zero_copy_only=False))
+        t = t.drop_columns(["first_p", "last_p"])
+        return t.append_column("first_cents", pa.array(first)) \
+                .append_column("last_cents", pa.array(last))
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def _candidate_cells(x, y, extra: dict[str, np.ndarray], grid: GridSpec, radius: float):
+    """Expand each point to every cell whose centre is within ``radius``.
+
+    The fixed (2w+1)^2 window around the point's own cell (w = ceil(R/res)+1)
+    is a guaranteed superset; the exact d2 <= R^2 filter matches the
+    reference's radius search (fixed_radius_search.rs:115-121) and the SQL
+    oracle's cross-join condition bit-for-bit.
+    """
+    n = len(x)
+    wx = int(np.ceil(radius / grid.res_x)) + 1
+    wy = int(np.ceil(radius / grid.res_y)) + 1
+    dc, dr = np.meshgrid(np.arange(-wx, wx + 1), np.arange(-wy, wy + 1), indexing="ij")
+    dc, dr = dc.ravel(), dr.ravel()
+    m = len(dc)
+    col0 = grid.col_from_x(x)
+    row0 = grid.row_from_y(y)
+    cols = np.repeat(col0, m) + np.tile(dc, n)
+    rows = np.repeat(row0, m) + np.tile(dr, n)
+    px = np.repeat(x, m)
+    py = np.repeat(y, m)
+    ok = grid.in_bounds(rows, cols)
+    cols, rows, px, py = cols[ok], rows[ok], px[ok], py[ok]
+    cx = grid.x_from_col(cols)
+    cy = grid.y_from_row(rows)
+    d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    near = d2 <= radius * radius
+    out = {
+        "cell_id": grid.cell_id(rows, cols)[near],
+        "d2": d2[near],
+    }
+    keep_idx = np.repeat(np.arange(n), m)[ok][near]
+    for name, arr in extra.items():
+        out[name] = arr[keep_idx]
+    return out
+
+
+def nn_grid(points_ds, grid: GridSpec, max_dist: float, *, x_col="x", y_col="y",
+            value_col="value", seq_col="event_id"):
+    """NearestNeighbourGridding (gis_analysis/nearest_neighbour_gridding.rs:
+    443-456): per cell centre, the value of the nearest point within
+    ``max_dist``; ties broken by insertion order (min seq — the reference's
+    NMinimizer keeps the first-inserted on equal distance).
+
+    Output: cell_id, event_id, d2, value_cents.
+    """
+
+    def cand(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        extra = {
+            "event_id": t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "value_cents": np.rint(t[value_col].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64),
+        }
+        return pa.table(_candidate_cells(x, y, extra, grid, max_dist))
+
+    cands = points_ds.map_batches(cand, batch_format="pyarrow")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        i = np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))[0]
+        return df.iloc[[i]]
+
+    def best_per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial argmin keeps the shuffle tiny
+        order = np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))
+        df = df.iloc[order]
+        return df.drop_duplicates("cell_id", keep="first")
+
+    partial = cands.map_batches(best_per_batch, batch_format="pandas")
+    return partial.groupby("cell_id").map_groups(best, batch_format="pandas")
+
+
+def idw_grid_int(points_ds, grid: GridSpec, radius: float, *, x_col="x", y_col="y",
+                 value_col="value", seq_col="event_id"):
+    """IDW gridding with integer-quantized regularized weights.
+
+    Reference shape (gis_analysis/idw_interpolation.rs:620-644): radius
+    search around each cell centre, weight by inverse distance. This variant
+    quantizes the weight to w = round(1e9/(1+d2)) (int64) so the per-cell
+    reduction is an exact integer sum — bit-identical at any parallelism and
+    SQL-expressible. Output: cell_id, n_neighbors, wsum, wv_sum; the IDW
+    value is wv_sum/wsum/100 (left to the consumer to keep columns exact).
+    """
+
+    def cand(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        extra = {
+            "value_cents": np.rint(t[value_col].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64),
+        }
+        out = _candidate_cells(x, y, extra, grid, radius)
+        w = np.rint(1e9 / (1.0 + out.pop("d2"))).astype(np.int64)
+        out["wsum"] = w
+        out["wv_sum"] = w * out.pop("value_cents")
+        out["n_neighbors"] = np.ones(len(w), np.int64)
+        return pa.table(out)
+
+    cands = points_ds.map_batches(cand, batch_format="pyarrow")
+    return partial_agg(cands, ["cell_id"], [
+        ("n_neighbors", "sum", "n_neighbors"),
+        ("wsum", "sum", "wsum"), ("wv_sum", "sum", "wv_sum"),
+    ])

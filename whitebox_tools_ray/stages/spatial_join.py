@@ -62,7 +62,7 @@ class TagPolygon:
 
 
 def clip_points(ds, polygons: PackedPolygons, *, negate: bool = False,
-                concurrency: int | tuple = 4, batch_size: int = 65536):
+                concurrency: int | tuple = (1, 8), batch_size: int = 65536):
     ref = ray.put(polygons)
     return ds.map_batches(
         ClipPoints,
@@ -74,7 +74,7 @@ def clip_points(ds, polygons: PackedPolygons, *, negate: bool = False,
 
 
 def tag_polygons(ds, polygons: PackedPolygons, *,
-                 concurrency: int | tuple = 4, batch_size: int = 65536):
+                 concurrency: int | tuple = (1, 8), batch_size: int = 65536):
     ref = ray.put(polygons)
     return ds.map_batches(
         TagPolygon,
