@@ -1,0 +1,110 @@
+"""Near-duplicate detection kernels: shingling, MinHash, LSH bands, SimHash.
+
+Ray-Data plan (ray_guide.md near-dup pattern): per-batch shingle+minhash in a
+stateful map_batches (hash seeds built once per actor) -> explode to
+(band_id, band_hash, doc_id) rows -> groupby(band) -> candidate pairs ->
+verify exact Jaccard -> keep-min-doc_id per duplicate cluster. Everything is
+deterministic in the seed, so results are parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# odd multipliers + offsets for the universal-hash family h_i(x) = a_i*x + b_i
+_MASK61 = np.uint64((1 << 61) - 1)
+
+
+def _hash_family(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MASK61, num, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MASK61, num, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles -> stable uint64 hashes (polynomial over token hashes)."""
+    toks = text.split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    th = np.array([hash_token(t) for t in toks], np.uint64)
+    n = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, np.uint64)
+        for j in range(k):
+            out = out * np.uint64(1099511628211) + th[j:j + n]
+    return np.unique(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic token hash (FNV-1a, independent of PYTHONHASHSEED)."""
+    h = 14695981039346656037
+    for byte in tok.encode("utf-8"):
+        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class MinHasher:
+    """num_perm minhash signatures + LSH banding. Build once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42, k: int = 3):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows = num_perm // bands
+        self.a, self.b = _hash_family(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) universal hashes, min over shingles
+            hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) & _MASK61
+        return hv.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """Collapse each band of the signature to one uint64 bucket key."""
+        out = np.empty(self.bands, np.uint64)
+        with np.errstate(over="ignore"):
+            for bi in range(self.bands):
+                seg = sig[bi * self.rows:(bi + 1) * self.rows]
+                h = np.uint64(14695981039346656037)
+                for v in seg:
+                    h = (h ^ v) * np.uint64(1099511628211)
+                out[bi] = h
+        return out
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+class SimHasher:
+    """64-bit SimHash over word features (weighted bit voting)."""
+
+    def __init__(self):
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = text.split()
+        if not toks:
+            return np.uint64(0)
+        th = np.array([hash_token(t) for t in toks], np.uint64)
+        bits = ((th[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(th)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via bit tricks (vectorized)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,441 @@
+"""Webtext / training-data operators over documents + embeddings + events:
+text analysis, exact & near dedup, ANN similarity, sessionization.
+
+SQL-expressible ops carry DuckDB oracles (integer-exact contracts); the
+model-ish ops (MinHash-LSH, SimHash, language-ID, fingerprints) are
+rows-only for the driver and verified against brute-force oracles in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.dedup import MinHasher, SimHasher, hamming64, jaccard
+from ..functions.text import NgramLanguageId, fingerprint64, quality_features
+from ..relational import partial_agg
+from ..sources.tables import read_table
+from .queries import query
+
+# --------------------------------------------------------------------------
+# Text analysis (SQL-backed)
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
+    FROM documents
+    """,
+)
+def doc_token_count(sf_dir: str):
+    """Token counting (whitespace tokenizer) — vectorized pandas str kernel."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import token_counts
+
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": token_counts(df["text"])})
+
+    return ds.map_batches(tok, batch_format="pandas")
+
+
+@query(
+    "doc_stats_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_stats_by_lang(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    ds = ds.map_batches(lambda t: t.append_column("n", pa.array(np.ones(len(t), np.int64))),
+                        batch_format="pyarrow")
+    return partial_agg(ds, ["lang"], [
+        ("n", "sum", "n"), ("n_chars", "sum", "sum_chars"),
+        ("n_chars", "min", "min_chars"), ("n_chars", "max", "max_chars")])
+
+
+@query(
+    "doc_exact_dedup",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def doc_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition on content, keep min doc_id per group.
+    The shuffle key is a 64-bit content hash (never the text itself), so
+    wide text columns stay out of the exchange."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": fingerprint64(df["text"]).astype(np.int64),
+            "keeper": df["doc_id"].astype(np.int64),
+            "n_copies": np.ones(len(df), np.int64),
+        })
+
+    # NOTE: distinct fingerprints may collide across distinct texts with
+    # probability ~n^2/2^64 — negligible; the SQL oracle groups by raw text.
+    return partial_agg(ds.map_batches(enc, batch_format="pandas"), ["h"],
+                       [("keeper", "min", "keeper"), ("n_copies", "sum", "n_copies")]) \
+        .drop_columns(["h"])
+
+
+@query(
+    "doc_word_freq_top20",
+    """
+    SELECT word, n FROM (
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ) ORDER BY n DESC, word ASC LIMIT 20
+    """,
+)
+def doc_word_freq_top20(sf_dir: str):
+    """Word-frequency rollup (explode -> partial count -> merge -> top-k)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    counts = partial_agg(ds.map_batches(explode, batch_format="pandas"), ["word"],
+                         [("n", "sum", "n")])
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+@query(
+    "doc_quality_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT d.doc_id, d.n_chars,
+           CASE WHEN length(d.text) = 0 THEN 0
+                ELSE length(d.text) - length(replace(d.text, ' ', '')) + 1 END AS n_tokens,
+           CAST((SELECT COUNT(*) FROM toks t
+                 WHERE t.doc_id = d.doc_id AND t.w IN ('the', 'a')) AS BIGINT) AS n_stopwords
+    FROM documents d
+    """,
+)
+def doc_quality_features(sf_dir: str):
+    """Quality-scoring features: length / token / stopword counts (integer
+    contract; ratio scoring left to consumers to keep results exact)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_features(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out[["doc_id", "n_chars", "n_tokens", "n_stopwords"]]
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Rows-only text ops (non-SQL-expressible; pytest oracles instead)
+# --------------------------------------------------------------------------
+
+@query("doc_fingerprint")
+def doc_fingerprint(sf_dir: str):
+    """Rolling-hash 64-bit document fingerprint per doc (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fingerprint": fingerprint64(df["text"]).astype(np.int64)})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+@query("doc_lang_id")
+def doc_lang_id(sf_dir: str):
+    """n-gram-profile language ID (stateful actor: profiles built once)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    class LangId:
+        def __init__(self):
+            self.model = NgramLanguageId()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                                 "pred_lang": self.model.classify(df["text"])})
+
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+@query("minhash_near_dup")
+def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128,
+                     bands: int = 32):
+    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only; pytest
+    verifies against a brute-force oracle on a planted-duplicate corpus).
+
+    Plan: signature per doc (stateful actor) -> explode (band, band_hash,
+    doc_id) -> groupby(band bucket) -> candidate pairs -> dedupe -> verify
+    exact shingle Jaccard >= threshold. Output: doc_a, doc_b, jacc_num,
+    jacc_den (exact integer Jaccard num/den).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Bands:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, bands=bands)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+                sig = self.mh.signature(text)
+                bh = self.mh.band_hashes(sig)
+                for bi, h in enumerate(bh):
+                    rows.append((int(did), bi, int(h) - (1 << 63)))
+            return pd.DataFrame(rows, columns=["doc_id", "band", "bh"])
+
+    banded = ds.map_batches(Bands, batch_format="pandas", concurrency=(1, 4))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = banded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1),
+                                                       batch_format="pandas")
+
+    # verify: join texts back (small side broadcast; at scale this becomes a
+    # hash-join on doc id)
+    texts = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    lut_ref = ray.put(dict(zip(texts["doc_id"].astype(int), texts["text"])))
+
+    class Verify:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for a, b in zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()):
+                from ..functions.dedup import shingle_hashes
+
+                sa, sb = shingle_hashes(self.lut[a]), shingle_hashes(self.lut[b])
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                if union and inter / union >= threshold:
+                    out.append((a, b, inter, union))
+            return pd.DataFrame(out, columns=["doc_a", "doc_b", "jacc_num", "jacc_den"]) \
+                .astype(np.int64)
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+@query("simhash_hamming_pairs")
+def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
+    """SimHash near-dup: 64-bit simhash per doc, candidate pairs from shared
+    16-bit chunks (4 chunks -> any pair within hamming<=... shares a chunk
+    only probabilistically; chunking guarantees recall for hamming <= 3 by
+    pigeonhole over 4 chunks), verified by exact popcount distance."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class SH:
+        def __init__(self):
+            self.sh = SimHasher()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+                h = int(self.sh.simhash(text))
+                for c in range(4):
+                    rows.append((int(did), h - (1 << 63), c, (h >> (16 * c)) & 0xFFFF))
+            return pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk", "chunk_val"])
+
+    chunked = ds.map_batches(SH, batch_format="pandas", concurrency=(1, 4))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ha = (hs[ia].astype(np.int64) + (1 << 63)).astype(np.uint64)
+        hb = (hs[ib].astype(np.int64) + (1 << 63)).astype(np.uint64)
+        d = hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                             "hamming": d[keep]}).astype(np.int64)
+
+    cand = chunked.groupby(["chunk", "chunk_val"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1),
+                                                       batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# ANN similarity search over embeddings (SQL-backed, integer-exact)
+# --------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NQ = 8  # query vectors = embeddings with vec_id < 8
+ANN_SCALE = 10000.0
+
+
+@query(
+    "ann_topk_dot",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {ANN_SCALE!r}) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      FROM (SELECT * FROM flat WHERE vec_id < {ANN_NQ}) a
+      JOIN flat b USING (i)
+      WHERE b.vec_id != a.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT q_id, vec_id, dot,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank
+    FROM dots
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) <= {ANN_K}
+    """,
+)
+def ann_topk_dot(sf_dir: str):
+    """Brute-force top-k similarity search: integer-quantized inner product
+    of each query vector (vec_id < 8, broadcast) against every embedding.
+    Per-batch int64 matmul partial top-k -> tiny final merge. Integer dots
+    make ranking and values bit-exact (float dot reduction order varies
+    between engines). The scale path swaps the brute-force scorer for an
+    LSH/IVF bucket prefilter with the same contract.
+    """
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < ANN_NQ).to_pandas()
+    qmat = np.rint(np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * ANN_SCALE).astype(np.int64)
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    qref = ray.put((qids, qmat))
+
+    class Dots:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy().astype(np.int64)
+            m = np.rint(np.stack(df["embedding"].to_numpy()).astype(np.float64) * ANN_SCALE).astype(np.int64)
+            dots = m @ self.qmat.T  # (batch, nq) int64
+            out = []
+            for qi, qid in enumerate(self.qids):
+                col = dots[:, qi]
+                mask = ids != qid
+                cid, cdot = ids[mask], col[mask]
+                order = np.lexsort((cid, -cdot))[:ANN_K]
+                out.append(pd.DataFrame({"q_id": qid, "vec_id": cid[order], "dot": cdot[order]}))
+            return pd.concat(out, ignore_index=True)
+
+    partial = emb.map_batches(Dots, batch_format="pandas", concurrency=(1, 4), batch_size=4096)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["dot"].to_numpy()))[:ANN_K]
+        g = g.iloc[order].reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("q_id").map_groups(topk, batch_format="pandas")
+
+
+@query("embedding_near_dup")
+def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
+    """Embedding near-dup pairs via random-hyperplane LSH buckets + exact
+    integer-dot verification (rows-only; the cosine analog of MinHash)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((16, 64))
+    pref = ray.put(planes)
+
+    class Bucket:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ self.planes.T > 0).astype(np.uint64)
+            code = np.zeros(len(m), np.uint64)
+            for b in range(16):
+                code |= bits[:, b] << np.uint64(b)
+            q = np.rint(m * ANN_SCALE).astype(np.int64)
+            return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                                 "bucket": code.astype(np.int64),
+                                 "qvec": list(q)})
+
+    bucketed = emb.map_batches(Bucket, batch_format="pandas", concurrency=(1, 4))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot": []}).astype(np.int64)
+        m = np.stack(g["qvec"].to_numpy())
+        dots = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = dots[ia, ib]
+        keep = d >= min_dot
+        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
+                             "dot": d[keep]}).astype(np.int64)
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (stream-shaped; SQL-backed via window functions)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH l AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM l
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(sf_dir: str):
+    """Session windows (gap = 30 min) — the ordered-log pattern: partition by
+    key, sort within partition, stateful scan inside map_groups (Ray Data has
+    no watermarks; SURVEY.md streaming note)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gap = np.diff(us, prepend=us[0] - SESSION_GAP_US - 1) > SESSION_GAP_US
+        sid = np.cumsum(gap).astype(np.int64)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid,
+                            "event_id": g["event_id"].to_numpy()})
+        agg = out.groupby(["user_id", "session_idx"], sort=False).agg(
+            n=("event_id", "size"), first_event=("event_id", "min")).reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
