@@ -15,7 +15,7 @@ import ray
 
 from ..functions.dedup import MinHasher, SimHasher, hamming64, jaccard
 from ..functions.text import NgramLanguageId, fingerprint64, quality_features
-from ..relational import partial_agg
+from ..relational import partial_agg, tree_reduce
 from ..sources.tables import read_table
 from .queries import query
 
@@ -207,8 +207,8 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     cand = banded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1),
-                                                       batch_format="pandas")
+    cand = tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+                       batch_format="pandas")
 
     # verify: join texts back (small side broadcast; at scale this becomes a
     # hash-join on doc id)
@@ -272,8 +272,8 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
                              "hamming": d[keep]}).astype(np.int64)
 
     cand = chunked.groupby(["chunk", "chunk_val"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1),
-                                                       batch_format="pandas")
+    return tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+                       batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

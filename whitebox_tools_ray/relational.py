@@ -41,24 +41,59 @@ _PARTIAL = {
 }
 
 
-def partial_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *, batch_size: int = 65536):
-    """Two-phase grouped aggregate.
+def tree_reduce(ds, reduce_batch, *, levels: tuple[int, ...] = (32, 1),
+                batch_format: str = "pyarrow"):
+    """Tree-combine an ALGEBRAIC per-batch reduction: apply ``reduce_batch``
+    per block, coalescing blocks level by level (e.g. 5000 -> 32 -> 1).
+
+    Correct whenever the reduction is associative/commutative over arbitrary
+    row subsets (sum/min/max/count partials, argmin-by-seq candidates,
+    drop-duplicates). Replaces ``groupby().aggregate()`` whose per-group
+    overhead dominates at 10^4+ groups (measured: 2-5 s per AggregateFn on
+    61k groups vs milliseconds for an Arrow group_by over the same rows).
+    The root block holds one row per key — use only for key cardinalities
+    that fit one block (grid cells, tiles, types); for unbounded keys keep
+    the shuffle aggregate.
+    """
+    for n in levels:
+        ds = ds.repartition(n).map_batches(reduce_batch, batch_format=batch_format)
+    return ds
+
+
+def partial_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
+                batch_size: int = 65536, mode: str = "tree"):
+    """Grouped aggregate: per-batch Arrow combine + tree (or shuffle) merge.
 
     specs: (column, op, out_name) with op in {sum, count, min, max}.
     Phase 1 per batch: ``pyarrow.Table.group_by(keys).aggregate`` (vectorized,
-    zero-copy in). Phase 2: tiny ``groupby(keys).aggregate`` over partials.
+    zero-copy in) — one row per key per batch, so the exchange only moves
+    ``n_keys x n_blocks`` partial rows. Phase 2: ``mode="tree"`` (default)
+    merges partials with tree_reduce; ``mode="shuffle"`` uses Ray's
+    sort-shuffle ``groupby().aggregate`` for unbounded key cardinality.
     """
     arrow_aggs = []
     renames = {}
+    merge_aggs = []
     for col, op, out in specs:
         arrow_aggs.append((col, _PARTIAL[op]))
         renames[f"{col}_{_PARTIAL[op]}"] = out
+        merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[op]
+        merge_aggs.append((out, merge_op))
 
     def combine(batch: pa.Table) -> pa.Table:
         res = batch.group_by(keys).aggregate(arrow_aggs)
         return res.rename_columns([renames.get(c, c) for c in res.column_names])
 
+    merge_renames = {f"{out}_{mop}": out for out, mop in merge_aggs}
+
+    def merge(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(keys).aggregate(merge_aggs)
+        res = res.rename_columns([merge_renames.get(c, c) for c in res.column_names])
+        return res.select([*keys, *[out for out, _ in merge_aggs]])
+
     partials = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+    if mode == "tree":
+        return tree_reduce(partials, merge)
     finals = []
     for col, op, out in specs:
         if op in ("sum", "count"):

@@ -49,8 +49,20 @@ def add_xy(batch: pa.Table, id_col: str = "event_id") -> pa.Table:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Column-pruned parquet read of one test table."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned parquet read of one test table.
+
+    Block count scales with data volume (~64 MiB compressed per block,
+    minimum 2 for pipeline parallelism) instead of Ray's default CPU-based
+    split: tiny tables otherwise fan out to 64 blocks and every downstream
+    groupby/sort pays a 64x64 tiny-task shuffle — pure overhead. At 100 TB
+    the same rule yields thousands of blocks and full parallelism.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    size = os.path.getsize(path)
+    blocks = max(2, min(512, size // (64 * 1024 * 1024) + 1))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
 
 
 def read_points(sf_dir: str, extra_cols: tuple[str, ...] = ("value",)) -> ray.data.Dataset:

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..grid import GridSpec
-from ..relational import partial_agg
+from ..relational import partial_agg, tree_reduce
 
 # first/last packing: seq * 2^33 + (cents + 2^32); valid while |cents| < 2^32
 # and seq < 2^29 — fine for the test corpus; the unbounded path is
@@ -140,18 +140,14 @@ def nn_grid(points_ds, grid: GridSpec, max_dist: float, *, x_col="x", y_col="y",
 
     cands = points_ds.map_batches(cand, batch_format="pyarrow")
 
-    def best(df: pd.DataFrame) -> pd.DataFrame:
-        i = np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))[0]
-        return df.iloc[[i]]
-
     def best_per_batch(df: pd.DataFrame) -> pd.DataFrame:
-        # per-batch partial argmin keeps the shuffle tiny
+        # algebraic argmin by (d2, seq): per-batch partial, then tree merge
         order = np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))
         df = df.iloc[order]
         return df.drop_duplicates("cell_id", keep="first")
 
     partial = cands.map_batches(best_per_batch, batch_format="pandas")
-    return partial.groupby("cell_id").map_groups(best, batch_format="pandas")
+    return tree_reduce(partial, best_per_batch, batch_format="pandas")
 
 
 def idw_grid_int(points_ds, grid: GridSpec, radius: float, *, x_col="x", y_col="y",
