@@ -86,31 +86,71 @@ def run_bench() -> dict:
     return result
 
 
+PAGES_CORPUS = os.environ.get("GRAFT_PAGES_DIR", "/tmp/wbt_pages_corpus")
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "1000000"))
+
+
+def run_pages(ncpu: int) -> dict:
+    """One fresh-process flagship_pages run at the given parallelism."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from whitebox_tools_ray.pipelines.flagship import flagship_pages
+    from whitebox_tools_ray.sources.synthetic import write_pages_corpus
+
+    if not os.path.exists(os.path.join(PAGES_CORPUS, "_DONE")):
+        shutil.rmtree(PAGES_CORPUS, ignore_errors=True)
+        write_pages_corpus(PAGES_CORPUS, PAGES_ROWS)
+        open(os.path.join(PAGES_CORPUS, "_DONE"), "w").close()
+    # warm page cache so both levels measure compute, not cold disk
+    for f in os.listdir(PAGES_CORPUS):
+        if f.endswith(".parquet"):
+            with open(os.path.join(PAGES_CORPUS, f), "rb") as fh:
+                fh.read()
+    out_dir = f"/tmp/wbt_pages_out_{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    head = flagship_pages(PAGES_CORPUS, out_dir, resume=False)
+    ray.shutdown()
+    return head
+
+
 def run_scaling() -> dict:
+    """Same corpus, same pipeline, fresh processes at 8 and 32 CPUs —
+    the sandbox evidence for the N -> 4N cluster-scaling criterion."""
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), WBT_BENCH_PAGES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--pages-one"],
+                             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    one(8)  # untimed warm-up: generates + caches the corpus
     lo, hi = one(8), one(32)
-    # efficiency of the flagship throughput from N to 4N CPUs
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
     return {
-        "metric": "scaling efficiency N=8 -> 4N=32",
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "tiles_per_sec_8": lo["tiles_per_sec"],
-        "tiles_per_sec_32": hi["tiles_per_sec"],
-        "total_sec_8": lo["value"],
-        "total_sec_32": hi["value"],
+        "metric": "pages flagship scaling N=8 -> 4N=32 CPUs",
+        "n_docs": lo["n_docs"],
+        "docs_per_sec_8": round(lo["docs_per_sec"], 1),
+        "docs_per_sec_32": round(hi["docs_per_sec"], 1),
+        "tiles_per_sec_8": round(lo["tiles_per_sec"], 2),
+        "tiles_per_sec_32": round(hi["tiles_per_sec"], 2),
+        "wall_sec_8": round(lo["wall_sec"], 2),
+        "wall_sec_32": round(hi["wall_sec"], 2),
         "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--pages-one" in sys.argv:
+        res = run_pages(NCPU)
+        res.pop("lineage", None)
+        print(json.dumps(res))
     else:
         print(json.dumps(run_bench()))

@@ -1,0 +1,56 @@
+"""Deterministic HTML -> text extraction (the byte-identical-per-url kernel).
+
+Specification (applies to every page, every run, every parallelism level):
+  1. remove everything from ``<head`` through ``</head>`` (case-sensitive)
+  2. remove ``<script``/``<style`` blocks through their close tags
+  3. strip every remaining well-formed tag ``<...>`` (non-greedy, no nesting)
+  4. collapse all whitespace runs to a single space
+  5. strip leading/trailing whitespace
+
+Malformed fragments are handled deterministically: an unclosed ``<tag``
+consumes through the next ``>`` anywhere downstream (single non-greedy
+``<[^>]*>`` pass), or survives literally if no ``>`` follows. The rule set is
+closed under any input, so the output is a pure function of the html bytes.
+Implemented as compiled-regex pandas kernels (compile once per actor:
+ExtractText is a callable class for ``map_batches``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_HEAD = re.compile(r"<head\b.*?</head>", re.S)
+_SCRIPT = re.compile(r"<(script|style)\b.*?</\1>", re.S)
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def extract_text_one(html: str) -> str:
+    s = _HEAD.sub(" ", html)
+    s = _SCRIPT.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    s = _WS.sub(" ", s)
+    return s.strip()
+
+
+class ExtractText:
+    """Actor-pool stage: html binary/str column -> extracted text column."""
+
+    def __init__(self, html_col: str = "html", out_col: str = "text_extracted"):
+        self.html_col, self.out_col = html_col, out_col
+        # patterns precompiled at module import; bind locally once per actor
+        self.head, self.script, self.tag, self.ws = _HEAD, _SCRIPT, _TAG, _WS
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        col = df[self.html_col]
+        if len(col) and isinstance(col.iloc[0], (bytes, bytearray)):
+            col = col.map(lambda b: b.decode("utf-8", errors="replace"))
+        s = col.str.replace(self.head, " ", regex=True)
+        s = s.str.replace(self.script, " ", regex=True)
+        s = s.str.replace(self.tag, " ", regex=True)
+        s = s.str.replace(self.ws, " ", regex=True).str.strip()
+        df[self.out_col] = s
+        return df

@@ -26,6 +26,78 @@ from ..state.checkpoint import run_stage
 from .queries_spatial import GRID1
 
 
+def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
+                   concurrency=(1, 24)) -> dict:
+    """The north-rule pipeline over the Common-Crawl-style pages corpus:
+
+    read pages (columns pruned; html stays out of every wide stage) ->
+    extract_text (actor pool, compiled regexes, byte-identical per url) ->
+    broadcast polygon clip on (lon, lat) -> cell + tile encode ->
+    checkpointed hive-partitioned write on tile_id -> per-cell rollup.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..functions.extract_html import ExtractText
+
+    t0 = time.time()
+    files = [os.path.join(corpus_dir, f) for f in sorted(os.listdir(corpus_dir))
+             if f.endswith(".parquet")]
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+    size = sum(os.path.getsize(f) for f in files)
+    blocks = max(8, min(1024, size // (32 * 1024 * 1024) + 1))
+
+    def build():
+        ds = ray.data.read_parquet(corpus_dir, columns=["url", "page_id", "html", "lon", "lat"],
+                                   override_num_blocks=int(blocks))
+        ds = ds.map_batches(ExtractText, fn_constructor_kwargs={"out_col": "text"},
+                            batch_format="pandas", batch_size=8192,
+                            concurrency=concurrency)
+        # project html away BEFORE anything wide: only narrow columns shuffle
+        ds = ds.map_batches(
+            lambda t: t.select(["url", "page_id", "text", "lon", "lat"]),
+            batch_format="pyarrow")
+        kept = clip_points(ds, builtin_polygons(), x_col="lon", y_col="lat",
+                           concurrency=concurrency)
+
+        def enc(t: pa.Table) -> pa.Table:
+            x = t["lon"].to_numpy(zero_copy_only=False)
+            y = t["lat"].to_numpy(zero_copy_only=False)
+            row = GRID1.row_from_y(y)
+            col = GRID1.col_from_x(x)
+            return t.append_column("cell_id", pa.array(GRID1.cell_id(row, col))) \
+                    .append_column("tile_id", pa.array(GRID1.tile_id(row, col)))
+
+        return kept.map_batches(enc, batch_format="pyarrow")
+
+    tiled, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
+                                input_sig=f"{corpus_dir}:pages_clip_tile:v1",
+                                partition_col="tile_id", resume=resume)
+
+    rollup = partial_agg(
+        tiled.map_batches(
+            lambda t: pa.table({
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "n": np.ones(len(t), np.int64),
+            }), batch_format="pyarrow"),
+        ["cell_id"], [("n", "sum", "n")])
+    n_cells = rollup.count()
+
+    wall = time.time() - t0
+    return {
+        "wall_sec": wall,
+        "n_docs": n_docs,
+        "n_kept": manifest["rows"],
+        "n_tiles": len(manifest["partitions"]),
+        "n_cells": n_cells,
+        "docs_per_sec": n_docs / wall,
+        "tiles_per_sec": len(manifest["partitions"]) / wall,
+        "lineage": {k: v for k, v in manifest.items() if k != "partitions"},
+    }
+
+
 def flagship_tiling(sf_dir: str, out_dir: str, *, resume: bool = True,
                     concurrency=(1, 16)) -> dict:
     """Run the full pipeline; returns metrics incl. per-stage lineage."""

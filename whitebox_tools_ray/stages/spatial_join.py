@@ -62,11 +62,13 @@ class TagPolygon:
 
 
 def clip_points(ds, polygons: PackedPolygons, *, negate: bool = False,
+                x_col: str = "x", y_col: str = "y",
                 concurrency: int | tuple = (1, 8), batch_size: int = 65536):
     ref = ray.put(polygons)
     return ds.map_batches(
         ClipPoints,
-        fn_constructor_kwargs={"polygons_ref": ref, "negate": negate},
+        fn_constructor_kwargs={"polygons_ref": ref, "negate": negate,
+                               "x_col": x_col, "y_col": y_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
