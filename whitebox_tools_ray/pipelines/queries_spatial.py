@@ -262,6 +262,84 @@ def idw_gridding_int(sf_dir: str):
     return idw_grid_int(read_points(sf_dir), GRID_IDW, IDW_RADIUS)
 
 
+@query("idw_gridding_faithful")
+def idw_gridding_faithful(sf_dir: str):
+    """Reference-faithful IDW (radius search, kNN fallback, exact-hit;
+    idw_interpolation.rs:615-645) on a coarse grid — rows-only for the
+    driver; verified against a brute-force oracle in tests/test_idw_faithful."""
+    from ..grid import GridSpec
+    from ..stages.gridding import idw_grid
+
+    g = GridSpec(west=-180.0, north=85.0, res_x=10.0, res_y=10.0, rows=17, cols=36)
+    return idw_grid(read_points(sf_dir), g, radius=8.0, weight=2.0, min_points=3)
+
+
+# fixed query points for the kNN operator (literal constants shared with SQL)
+KNN_QUERIES = [
+    (-150.5, 60.25), (-75.25, -20.75), (-10.0, 10.5), (20.125, -40.25),
+    (60.75, 30.0), (110.25, -5.5), (150.0, 70.75), (0.375, 0.625),
+]
+KNN_K = 5
+
+_KNN_VALUES = " UNION ALL ".join(
+    f"SELECT {i} AS q_id, CAST({qx!r} AS DOUBLE) AS qx, CAST({qy!r} AS DOUBLE) AS qy"
+    for i, (qx, qy) in enumerate(KNN_QUERIES)
+)
+
+
+@query(
+    "knn_points",
+    f"""
+    WITH {PTS_CTE}, q AS ({_KNN_VALUES})
+    SELECT CAST(q.q_id AS BIGINT) AS q_id, p.event_id,
+           (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS d2,
+           CAST(row_number() OVER (PARTITION BY q.q_id
+                ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy),
+                         p.event_id) AS BIGINT) AS rank
+    FROM q, pts p
+    QUALIFY row_number() OVER (PARTITION BY q.q_id
+            ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy),
+                     p.event_id) <= {KNN_K}
+    """,
+)
+def knn_points(sf_dir: str):
+    """Exact kNN against a broadcast query set (FixedRadiusSearch knn_search
+    consumers, section 2.3f): per-batch vectorized distances + partial top-k,
+    tiny per-query final merge; ties by (d2, event_id)."""
+    q = np.asarray(KNN_QUERIES, np.float64)
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = []
+        for qi in range(len(q)):
+            d2 = (x - q[qi, 0]) * (x - q[qi, 0]) + (y - q[qi, 1]) * (y - q[qi, 1])
+            order = np.lexsort((ids, d2))[:KNN_K]
+            frames.append(pa.table({
+                "q_id": np.full(len(order), qi, np.int64),
+                "event_id": ids[order], "d2": d2[order],
+            }))
+        return pa.concat_tables(frames)
+
+    partials = read_points(sf_dir, extra_cols=()).map_batches(part, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))
+        df = df.iloc[order]
+        df = df.groupby("q_id", sort=False).head(KNN_K)
+        df = df.sort_values(["q_id", "d2", "event_id"], kind="mergesort")
+        df["rank"] = df.groupby("q_id", sort=False).cumcount() + 1
+        return df
+
+    from ..relational import tree_reduce
+
+    out = tree_reduce(partials, lambda df: df.iloc[
+        np.lexsort((df["event_id"].to_numpy(), df["d2"].to_numpy()))
+    ].groupby("q_id", sort=False).head(KNN_K), batch_format="pandas", levels=(8, 1))
+    return out.map_batches(merge, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Dedup + hex binning (sections 2.3f,h)
 # --------------------------------------------------------------------------

@@ -180,3 +180,125 @@ def idw_grid_int(points_ds, grid: GridSpec, radius: float, *, x_col="x", y_col="
         ("n_neighbors", "sum", "n_neighbors"),
         ("wsum", "sum", "wsum"), ("wv_sum", "sum", "wv_sum"),
     ])
+
+
+def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
+             min_points: int = 3, max_rounds: int = 5, x_col="x", y_col="y",
+             value_col="value", seq_col="event_id"):
+    """Reference-faithful IDW gridding (gis_analysis/idw_interpolation.rs:
+    615-645): per cell centre (x = west + (col+0.5)*res, exact float order),
+    radius search; if fewer than min_points neighbours, kNN(min_points)
+    fallback; weight 1/dist^weight over EUCLIDEAN distance; an exact hit
+    (dist == 0) short-circuits to the point value; cells that never reach
+    min_points stay nodata (omitted).
+
+    Distributed plan: candidate (cell, point) pairs at the base radius; cells
+    short of min_points re-probe in doubling-radius rounds (the expanding
+    shell of fixed_radius_search.rs:180-203). The kNN fallback is EXACT here
+    (take the min_points nearest among candidates; the probe radius bounds
+    the k-th distance, so no nearer point can be outside) — the reference's
+    shell scan is approximate; divergences are possible only where its shell
+    heuristic misses a true neighbour. Per-cell reduction orders candidates
+    by (d2, seq) before summing, so results are parallelism-invariant.
+
+    Output: cell_id, n_neighbors, idw (float64).
+    """
+
+    def make_cand(r: float, keep_cells=None):
+        def cand(t: pa.Table) -> pa.Table:
+            x = t[x_col].to_numpy(zero_copy_only=False)
+            y = t[y_col].to_numpy(zero_copy_only=False)
+            extra = {
+                "seq": t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                "value": t[value_col].to_numpy(zero_copy_only=False),
+            }
+            out = _candidate_cells_centres(x, y, extra, grid, r)
+            if keep_cells is not None:
+                mask = np.isin(out["cell_id"], keep_cells)
+                out = {k: v[mask] for k, v in out.items()}
+            return pa.table(out)
+
+        return cand
+
+    def reduce_cell(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
+        d2 = df["d2"].to_numpy()[order]
+        v = df["value"].to_numpy()[order]
+        if len(d2) < min_points:
+            return pd.DataFrame({"cell_id": pd.Series([], dtype=np.int64),
+                                 "n_neighbors": pd.Series([], dtype=np.int64),
+                                 "idw": pd.Series([], dtype=np.float64)})
+        dist = np.sqrt(d2)
+        if dist[0] == 0.0:
+            return pd.DataFrame({"cell_id": [df["cell_id"].iloc[0]],
+                                 "n_neighbors": [np.int64(len(d2))], "idw": [v[0]]})
+        # reference sums in retrieval order; our deterministic order is by
+        # (dist, seq) — fix the order, then the float64 sum is reproducible
+        w = 1.0 / dist ** weight
+        return pd.DataFrame({"cell_id": [df["cell_id"].iloc[0]],
+                             "n_neighbors": [np.int64(len(d2))],
+                             "idw": [float(np.sum(w * v) / np.sum(w))]})
+
+    base = points_ds.map_batches(make_cand(radius), batch_format="pyarrow").materialize()
+    counts = partial_agg(base, ["cell_id"], [("seq", "count", "n")]).to_pandas()
+    satisfied = counts[counts["n"] >= min_points]["cell_id"].to_numpy()
+
+    results = [base.map_batches(
+        lambda t: t.filter(pa.array(np.isin(t["cell_id"].to_numpy(zero_copy_only=False), satisfied))),
+        batch_format="pyarrow")]
+
+    all_cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    unsat = np.setdiff1d(all_cells, satisfied)
+    r = radius
+    for _ in range(max_rounds):
+        if len(unsat) == 0:
+            break
+        r *= 2.0
+        cand_r = points_ds.map_batches(make_cand(r, unsat), batch_format="pyarrow").materialize()
+        cnt = partial_agg(cand_r, ["cell_id"], [("seq", "count", "n")]).to_pandas()
+        ok_cells = cnt[cnt["n"] >= min_points]["cell_id"].to_numpy()
+        if len(ok_cells):
+            # kNN(min_points): keep only the min_points nearest per cell
+            def knn_trim(df: pd.DataFrame, _ok=ok_cells) -> pd.DataFrame:
+                df = df[df["cell_id"].isin(_ok)]
+                order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
+                df = df.iloc[order]
+                return df.groupby("cell_id", sort=False).head(min_points)
+
+            trimmed = tree_reduce(cand_r, knn_trim, batch_format="pandas",
+                                  levels=(1,))
+            results.append(trimmed)
+        unsat = np.setdiff1d(unsat, ok_cells)
+
+    cands = results[0]
+    for extra in results[1:]:
+        cands = cands.union(extra)
+    return cands.groupby("cell_id").map_groups(reduce_cell, batch_format="pandas")
+
+
+def _candidate_cells_centres(x, y, extra, grid: GridSpec, radius: float):
+    """Like _candidate_cells but with the reference IDW centre formula
+    x = west + (col+0.5)*res (idw_interpolation.rs:620-621) — bit-for-bit."""
+    n = len(x)
+    wx = int(np.ceil(radius / grid.res_x)) + 1
+    wy = int(np.ceil(radius / grid.res_y)) + 1
+    dc, dr = np.meshgrid(np.arange(-wx, wx + 1), np.arange(-wy, wy + 1), indexing="ij")
+    dc, dr = dc.ravel(), dr.ravel()
+    m = len(dc)
+    col0 = grid.col_from_x(x)
+    row0 = grid.row_from_y(y)
+    cols = np.repeat(col0, m) + np.tile(dc, n)
+    rows = np.repeat(row0, m) + np.tile(dr, n)
+    px = np.repeat(x, m)
+    py = np.repeat(y, m)
+    ok = grid.in_bounds(rows, cols)
+    cols, rows, px, py = cols[ok], rows[ok], px[ok], py[ok]
+    cx = grid.west + (cols.astype(np.float64) + 0.5) * grid.res_x
+    cy = grid.north - (rows.astype(np.float64) + 0.5) * grid.res_y
+    d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    near = d2 <= radius * radius
+    out = {"cell_id": grid.cell_id(rows, cols)[near], "d2": d2[near]}
+    keep_idx = np.repeat(np.arange(n), m)[ok][near]
+    for name, arr in extra.items():
+        out[name] = arr[keep_idx]
+    return out
