@@ -36,6 +36,21 @@ def extract_text_one(html: str) -> str:
     return s.strip()
 
 
+def extract_text_batch(df: pd.DataFrame, html_col: str = "html",
+                       out_col: str = "text_extracted") -> pd.DataFrame:
+    """Stateless map_batches kernel (regexes compiled once at module import,
+    shared by every task on a worker — no actor-pool spawn cost)."""
+    col = df[html_col]
+    if len(col) and isinstance(col.iloc[0], (bytes, bytearray)):
+        col = col.map(lambda b: b.decode("utf-8", errors="replace"))
+    s = col.str.replace(_HEAD, " ", regex=True)
+    s = s.str.replace(_SCRIPT, " ", regex=True)
+    s = s.str.replace(_TAG, " ", regex=True)
+    s = s.str.replace(_WS, " ", regex=True).str.strip()
+    df[out_col] = s
+    return df
+
+
 class ExtractText:
     """Actor-pool stage: html binary/str column -> extracted text column."""
 

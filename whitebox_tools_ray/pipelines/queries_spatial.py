@@ -15,15 +15,14 @@ import pyarrow as pa
 import ray
 
 from ..grid import GridSpec, hex_centers
-from ..layers import builtin_polygons, clip_keep_sql, feature_sql
+from ..layers import GRID1, builtin_polygons, clip_keep_sql, feature_sql
 from ..relational import cents, partial_agg
 from ..sources.tables import X_SQL, Y_SQL, read_points
 from ..stages.gridding import idw_grid_int, nn_grid, points_to_raster
 from ..stages.spatial_join import clip_points, tag_polygons
 from .queries import query
 
-# --- shared grid specs (1 deg cells; coarser grids for interpolation) ---
-GRID1 = GridSpec(west=-180.0, north=85.0, res_x=1.0, res_y=1.0, rows=170, cols=360, tile_size=32)
+# --- shared grid specs (GRID1 = 1 deg cells, from layers; coarser grids for interpolation) ---
 GRID_NN = GridSpec(west=-180.0, north=85.0, res_x=5.0, res_y=5.0, rows=34, cols=72)
 NN_MAX_DIST = 4.0
 GRID_IDW = GridSpec(west=-180.0, north=85.0, res_x=4.0, res_y=4.0, rows=43, cols=90)
@@ -414,25 +413,24 @@ def hex_binning(sf_dir: str):
     """VectorHexBinning (vector_hex_bin.rs:166-231): assign each point to its
     nearest hex centre (knn=1, ties -> lowest hex id), count per hex. The
     centre lattice is broadcast; assignment is chunked brute-force numpy."""
+    from ..stages.spatial_join import _cached_get
+
     hid, cx, cy = _hex_layout()
     ref = ray.put((hid, cx, cy))
 
-    class AssignHex:
-        def __init__(self):
-            self.hid, self.cx, self.cy = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            x = t["x"].to_numpy(zero_copy_only=False)
-            y = t["y"].to_numpy(zero_copy_only=False)
-            out = np.empty(len(x), np.int64)
-            for lo in range(0, len(x), 4096):
-                hi = min(lo + 4096, len(x))
-                d2 = (x[lo:hi, None] - self.cx[None, :]) ** 2 + (y[lo:hi, None] - self.cy[None, :]) ** 2
-                out[lo:hi] = self.hid[np.argmin(d2, axis=1)]
-            return pa.table({"hex_id": out, "n": np.ones(len(x), np.int64)})
+    def assign_hex(t: pa.Table) -> pa.Table:
+        hid_, cx_, cy_ = _cached_get(ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(x), np.int64)
+        for lo in range(0, len(x), 4096):
+            hi = min(lo + 4096, len(x))
+            d2 = (x[lo:hi, None] - cx_[None, :]) ** 2 + (y[lo:hi, None] - cy_[None, :]) ** 2
+            out[lo:hi] = hid_[np.argmin(d2, axis=1)]
+        return pa.table({"hex_id": out, "n": np.ones(len(x), np.int64)})
 
     ds = read_points(sf_dir, extra_cols=())
-    assigned = ds.map_batches(AssignHex, batch_format="pyarrow", concurrency=(1, 4))
+    assigned = ds.map_batches(assign_hex, batch_format="pyarrow")
     return partial_agg(assigned, ["hex_id"], [("n", "sum", "n")])
 
 
@@ -453,24 +451,22 @@ def extract_raster_values(sf_dir: str):
     """ExtractRasterValuesAtPoints (extract_raster_values_at_points.rs:
     124-174): point x raster lookup join. The raster (a synthetic deterministic
     surface) is broadcast once; each batch does a vectorized gather."""
+    from ..stages.spatial_join import _cached_get
+
     rast = (np.arange(GRID1.rows * GRID1.cols, dtype=np.int64) * 1000003) % 1000
     ref = ray.put(rast)
 
-    class Lookup:
-        def __init__(self):
-            self.rast = ray.get(ref)
+    def lookup(t: pa.Table) -> pa.Table:
+        r = _cached_get(ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        row = GRID1.row_from_y(y)
+        col = GRID1.col_from_x(x)
+        ok = GRID1.in_bounds(row, col)
+        cid = GRID1.cell_id(row, col)[ok]
+        return pa.table({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[ok],
+            "rast_val": r[cid],
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            x = t["x"].to_numpy(zero_copy_only=False)
-            y = t["y"].to_numpy(zero_copy_only=False)
-            row = GRID1.row_from_y(y)
-            col = GRID1.col_from_x(x)
-            ok = GRID1.in_bounds(row, col)
-            cid = GRID1.cell_id(row, col)[ok]
-            return pa.table({
-                "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[ok],
-                "rast_val": self.rast[cid],
-            })
-
-    return read_points(sf_dir, extra_cols=()).map_batches(Lookup, batch_format="pyarrow",
-                                                          concurrency=(1, 4))
+    return read_points(sf_dir, extra_cols=()).map_batches(lookup, batch_format="pyarrow")

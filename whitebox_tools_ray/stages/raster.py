@@ -1,0 +1,144 @@
+"""Tile-aligned raster datasets + halo-exchange stencil operators (M2).
+
+A raster is a Dataset of tiles (SURVEY.md section 1.1):
+    {tile_id: int64, trow: int32, tcol: int32, nrows: int32, ncols: int32,
+     data: list<float64>}   (row-major within the tile)
+
+Stencil operators (mean filter, slope, ...; image_analysis/mean_filter.rs:
+301-337, terrain_analysis/slope.rs:272-326) need a k-cell apron around each
+tile. Ray Data has no built-in halo exchange; the explicit plan is:
+
+    tiles -> flat_map: emit (target_tile, fragment) for self + 8 neighbours
+          -> groupby(target_tile) -> map_groups: assemble padded array,
+             run the vectorized kernel on the interior, emit result tile
+
+which is exactly the reference's tile-halo re-read pattern
+(lidar_analysis/lidar_idw_interpolation.rs:578-600) turned into a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..grid import GridSpec
+
+
+def synth_raster_tiles(grid: GridSpec, value_fn, *, tile: int = 64) -> ray.data.Dataset:
+    """Deterministic raster from value_fn(cell_id ndarray) -> value ndarray,
+    generated tile-parallel (any shard independently)."""
+    trows = -(-grid.rows // tile)
+    tcols = -(-grid.cols // tile)
+    ids = ray.data.range(trows * tcols, override_num_blocks=max(2, trows))
+
+    def gen(batch: dict) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tr, tc = int(tid) // tcols, int(tid) % tcols
+            r0, c0 = tr * tile, tc * tile
+            nr = min(tile, grid.rows - r0)
+            nc = min(tile, grid.cols - c0)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
+            cells = rr.astype(np.int64) * grid.cols + cc.astype(np.int64)
+            out.append({"tile_id": int(tid), "trow": tr, "tcol": tc,
+                        "nrows": nr, "ncols": nc,
+                        "data": value_fn(cells.ravel()).astype(np.float64)})
+        return pd.DataFrame(out)
+
+    return ids.map_batches(gen, batch_format="numpy")
+
+
+def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile: int = 64):
+    """Apply a 3x3-neighbourhood kernel over the raster with halo exchange.
+
+    cell_kernel(padded, nr, nc) receives a (nr+2, nc+2) float64 array (NaN
+    outside the raster / missing halo) and returns a dict of per-cell result
+    arrays of shape (nr, nc). Output: one row per cell with cell_id + results.
+    """
+    tcols = -(-grid.cols // tile)
+    trows = -(-grid.rows // tile)
+
+    def emit_fragments(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            arr = np.asarray(t["data"], np.float64).reshape(nr, nc)
+            tr, tc = int(t["trow"]), int(t["tcol"])
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    ntr, ntc = tr + dr, tc + dc
+                    if not (0 <= ntr < trows and 0 <= ntc < tcols):
+                        continue
+                    # the strip of THIS tile that neighbour (ntr,ntc) needs
+                    rs = slice(0, nr) if dr == 0 else (slice(nr - 1, nr) if dr == 1 else slice(0, 1))
+                    cs = slice(0, nc) if dc == 0 else (slice(nc - 1, nc) if dc == 1 else slice(0, 1))
+                    frag = arr[rs, cs]
+                    rows.append({
+                        "tile_id": ntr * tcols + ntc,
+                        "src_trow": tr, "src_tcol": tc,
+                        "r_off": rs.start, "c_off": cs.start,
+                        "fr": frag.shape[0], "fc": frag.shape[1],
+                        "frag": frag.ravel(),
+                    })
+        return pd.DataFrame(rows)
+
+    frags = tiles_ds.map_batches(emit_fragments, batch_format="pandas")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // tcols, tid % tcols
+        r0, c0 = tr * tile, tc * tile
+        nr = min(tile, grid.rows - r0)
+        nc = min(tile, grid.cols - c0)
+        padded = np.full((nr + 2, nc + 2), np.nan)
+        for _, f in g.iterrows():
+            frag = np.asarray(f["frag"], np.float64).reshape(int(f["fr"]), int(f["fc"]))
+            # absolute raster coords of the fragment origin
+            ar = int(f["src_trow"]) * tile + int(f["r_off"])
+            ac = int(f["src_tcol"]) * tile + int(f["c_off"])
+            pr = ar - r0 + 1
+            pc = ac - c0 + 1
+            padded[pr:pr + frag.shape[0], pc:pc + frag.shape[1]] = frag
+        res = cell_kernel(padded, nr, nc)
+        rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
+        out = {"cell_id": (rr.astype(np.int64) * grid.cols + cc.astype(np.int64)).ravel()}
+        for k, v in res.items():
+            out[k] = np.asarray(v).ravel()
+        return pd.DataFrame(out)
+
+    return frags.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+
+
+def mean3x3_kernel(padded: np.ndarray, nr: int, nc: int) -> dict:
+    """Sum + count of the 3x3 neighbourhood (incl. centre), NaN-aware —
+    integer-exact when cell values are integers (mean = sum9/n9 left to the
+    consumer; MeanFilter image_analysis/mean_filter.rs semantics on edges:
+    only existing cells contribute)."""
+    s = np.zeros((nr, nc))
+    n = np.zeros((nr, nc), np.int64)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            w = padded[dr:dr + nr, dc:dc + nc]
+            ok = ~np.isnan(w)
+            s = s + np.where(ok, w, 0.0)
+            n = n + ok.astype(np.int64)
+    return {"sum9": s, "n9": n}
+
+
+def slope_kernel_factory(res_x: float, res_y: float):
+    """Horn 3x3 slope (terrain_analysis/slope.rs): dz/dx, dz/dy via the
+    8-neighbour weighted differences; edge cells (incomplete halo) -> NaN."""
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]; i = z[2:nr + 2, 2:nc + 2]
+        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * res_x)
+        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * res_y)
+        slope = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+        return {"slope_deg": slope}
+
+    return kern

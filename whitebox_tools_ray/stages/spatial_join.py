@@ -61,27 +61,50 @@ class TagPolygon:
         return out.append_column("poly_id", pa.array(fid))
 
 
+# Per-worker-process cache of deserialized broadcast objects. Stateless map
+# tasks reuse long-lived worker processes; caching here gives actor-pool
+# economics (one fetch+unpickle per worker) without actor-pool SPAWN cost,
+# which measurably dominates small-state stages (an actor pool of 24 costs
+# tens of seconds of cold start; tasks reuse already-warm workers).
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    return _BROADCAST_CACHE[key]
+
+
 def clip_points(ds, polygons: PackedPolygons, *, negate: bool = False,
                 x_col: str = "x", y_col: str = "y",
-                concurrency: int | tuple = (1, 8), batch_size: int = 65536):
+                concurrency: int | tuple | None = None, batch_size: int = 65536):
     ref = ray.put(polygons)
-    return ds.map_batches(
-        ClipPoints,
-        fn_constructor_kwargs={"polygons_ref": ref, "negate": negate,
-                               "x_col": x_col, "y_col": y_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        polys: PackedPolygons = _cached_get(ref)
+        keep = polys.clip_mask(
+            batch[x_col].to_numpy(zero_copy_only=False),
+            batch[y_col].to_numpy(zero_copy_only=False),
+        )
+        if negate:
+            keep = ~keep
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(clip_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def tag_polygons(ds, polygons: PackedPolygons, *,
-                 concurrency: int | tuple = (1, 8), batch_size: int = 65536):
+                 concurrency: int | tuple | None = None, batch_size: int = 65536):
     ref = ray.put(polygons)
-    return ds.map_batches(
-        TagPolygon,
-        fn_constructor_kwargs={"polygons_ref": ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    def tag_batch(batch: pa.Table) -> pa.Table:
+        polys: PackedPolygons = _cached_get(ref)
+        idx, fid = polys.pip_pairs(
+            batch["x"].to_numpy(zero_copy_only=False),
+            batch["y"].to_numpy(zero_copy_only=False),
+        )
+        out = batch.take(pa.array(idx))
+        return out.append_column("poly_id", pa.array(fid))
+
+    return ds.map_batches(tag_batch, batch_format="pyarrow", batch_size=batch_size)
