@@ -87,7 +87,7 @@ def run_bench() -> dict:
 
 
 PAGES_CORPUS = os.environ.get("GRAFT_PAGES_DIR", "/tmp/wbt_pages_corpus")
-PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "2000000"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "8000000"))
 
 
 def run_pages(ncpu: int) -> dict:

@@ -36,6 +36,29 @@ def extract_text_one(html: str) -> str:
     return s.strip()
 
 
+def extract_text_arrow(t, html_col: str = "html", out_col: str = "text_extracted"):
+    """Zero-copy Arrow kernel: the same extraction spec via RE2
+    (pyarrow.compute.replace_substring_regex) — C++, GIL-free, several times
+    faster than the Python-re path and verified equivalent on the corpus
+    (script/style handled as separate patterns; RE2 has no backreferences).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = t[html_col]
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        col = col.cast(pa.string())
+    s = pc.replace_substring_regex(col, pattern=r"(?s)<head\b.*?</head>", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"(?s)<script\b.*?</script>", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"(?s)<style\b.*?</style>", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim_whitespace(s)
+    if out_col in t.column_names:
+        t = t.drop_columns([out_col])
+    return t.append_column(out_col, s)
+
+
 def extract_text_batch(df: pd.DataFrame, html_col: str = "html",
                        out_col: str = "text_extracted") -> pd.DataFrame:
     """Stateless map_batches kernel (regexes compiled once at module import,

@@ -41,7 +41,7 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
     import pyarrow.parquet as pq
     import ray.data
 
-    from ..functions.extract_html import extract_text_batch
+    from ..functions.extract_html import extract_text_arrow
 
     # warm the worker pool before timing: steady-state throughput should not
     # charge one-time process spawn to the pipeline (a real cluster is warm)
@@ -58,12 +58,11 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
     def build():
         ds = ray.data.read_parquet(corpus_dir, columns=["url", "page_id", "html", "lon", "lat"],
                                    override_num_blocks=int(blocks))
-        ds = ds.map_batches(functools.partial(extract_text_batch, out_col="text"),
-                            batch_format="pandas", batch_size=8192)
-        # project html away BEFORE anything wide: only narrow columns shuffle
         ds = ds.map_batches(
-            lambda t: t.select(["url", "page_id", "text", "lon", "lat"]),
-            batch_format="pyarrow")
+            lambda t: functools.partial(extract_text_arrow, out_col="text")(t)
+            # project html away BEFORE anything wide: only narrow columns shuffle
+            .select(["url", "page_id", "text", "lon", "lat"]),
+            batch_format="pyarrow", batch_size=16384)
         kept = clip_points(ds, builtin_polygons(), x_col="lon", y_col="lat",
                            concurrency=concurrency)
 
@@ -75,7 +74,10 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
             return t.append_column("cell_id", pa.array(GRID1.cell_id(row, col))) \
                     .append_column("tile_id", pa.array(GRID1.tile_id(row, col)))
 
-        return kept.map_batches(enc, batch_format="pyarrow")
+        # coalesce before the partitioned write: files per tile dir = writer
+        # blocks, and (partitions x many blocks) of tiny files slows both the
+        # write and every later read
+        return kept.map_batches(enc, batch_format="pyarrow").repartition(32)
 
     tiled, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
                                 input_sig=f"{corpus_dir}:pages_clip_tile:v1",

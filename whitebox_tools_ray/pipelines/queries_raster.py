@@ -65,6 +65,30 @@ def raster_slope(sf_dir: str):
     return stencil_3x3(tiles, GRID1, slope_kernel_factory(GRID1.res_x, GRID1.res_y))
 
 
+@query("clump_labels")
+def clump_labels(sf_dir: str):
+    """Clump / connected components (gis_analysis/clump.rs; phase 1 of
+    RasterToVectorPolygons, raster_to_vector_polygons.rs:235-262): per-tile
+    union-find + cross-tile border merge; clump id = component min cell_id
+    (parallelism-invariant). Rows-only; brute-force BFS oracle in
+    tests/test_clump.py. Output: clump_id, value, n_cells."""
+    from ..stages.clump import clump as run_clump
+
+    def blocky(cells: np.ndarray) -> np.ndarray:
+        r = cells // GRID1.cols
+        c = cells % GRID1.cols
+        return (((r // 6) * 7 + (c // 6) * 3) % 4).astype(np.float64)
+
+    tiles = synth_raster_tiles(GRID1, blocky)
+    cells = run_clump(tiles, GRID1)
+    enc = cells.map_batches(
+        lambda df: pd.DataFrame({"clump_id": df["clump_id"].astype(np.int64),
+                                 "value": df["value"].astype(np.float64),
+                                 "n_cells": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+    return partial_agg(enc, ["clump_id", "value"], [("n_cells", "sum", "n_cells")])
+
+
 @query(
     "raster_summary_stats",
     f"""

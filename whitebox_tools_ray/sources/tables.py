@@ -65,6 +65,21 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
 
 
+def read_parquet_dir(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a parquet directory with byte-proportional block sizing — without
+    an override Ray makes one block per FILE, and a hive-partitioned
+    checkpoint (partitions x writer blocks) explodes into thousands of tiny
+    blocks whose task churn anti-scales with num_cpus."""
+    import os
+
+    size = 0
+    for root, _, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(root, f))
+                    for f in files if f.endswith(".parquet"))
+    blocks = max(2, min(512, size // (64 * 1024 * 1024) + 1))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
+
+
 def read_points(sf_dir: str, extra_cols: tuple[str, ...] = ("value",)) -> ray.data.Dataset:
     """The standard point layer: events + derived (x, y).
 

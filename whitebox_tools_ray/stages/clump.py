@@ -1,0 +1,167 @@
+"""Clump / connected-components labeling with cross-tile border merge (CC).
+
+Reference semantics (gis_analysis/clump.rs; data_tools/
+raster_to_vector_polygons.rs:235-262 phase 1): flood-fill over 8-connected
+equal-valued cells; zero and nodata cells excluded; each component gets a
+clump id.
+
+Ray Data plan (SURVEY.md section 2.3e):
+  1. per-tile labeling inside ``map_batches`` (union-find over the tile),
+     local label := the minimum global cell_id of the component within the
+     tile — deterministic, parallelism-invariant
+  2. every tile emits its border cells (global coords, value, local label);
+     a ``groupby`` on the shared-edge key pairs adjacent strips and emits
+     label-equivalence edges where 8-neighbouring cells hold equal values
+  3. the equivalence graph is tiny (O(border cells)); a driver-side
+     union-find produces the global relabel map (component id = min cell_id
+     anywhere in the component), broadcast via ``ray.put``
+  4. a final ``map_batches`` relabels every cell
+
+The output clump id is the component's minimum global cell_id — stable under
+any tiling, block order, or parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..grid import GridSpec
+
+_N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]  # scan half-neighbourhood
+
+
+class _DSU:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if ra < rb:  # keep the smaller id as root -> min-cell_id canonical
+            self.p[rb] = ra
+        else:
+            self.p[ra] = rb
+
+
+def _label_tile(arr: np.ndarray, r0: int, c0: int, grid: GridSpec, nodata: float):
+    """Label one tile; returns (labels int64 (min global cell id), mask)."""
+    nr, nc = arr.shape
+    valid = (arr != 0.0) & (arr != nodata) & ~np.isnan(arr)
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    gid = (rr + r0).astype(np.int64) * grid.cols + (cc + c0).astype(np.int64)
+    dsu = _DSU()
+    for dr, dc in _N8:
+        # align cell (r,c) with neighbour (r+dr, c+dc) wholly inside the tile
+        r_lo, r_hi = max(0, -dr), min(nr, nr - dr)
+        c_lo, c_hi = max(0, -dc), min(nc, nc - dc)
+        a = (slice(r_lo, r_hi), slice(c_lo, c_hi))
+        b = (slice(r_lo + dr, r_hi + dr), slice(c_lo + dc, c_hi + dc))
+        same = valid[a] & valid[b] & (arr[a] == arr[b])
+        for ga, gb in zip(gid[a][same].ravel(), gid[b][same].ravel()):
+            dsu.union(int(ga), int(gb))
+    labels = np.full(arr.shape, -1, np.int64)
+    it = np.nditer(valid, flags=["multi_index"])
+    for v in it:
+        if v:
+            r, c = it.multi_index
+            labels[r, c] = dsu.find(int(gid[r, c]))
+    return labels, valid, gid
+
+
+def clump(tiles_ds, grid: GridSpec, *, tile: int = 64, nodata: float = -32768.0):
+    """Returns a Dataset of (cell_id, value, clump_id).
+
+    tiles_ds rows: {tile_id, trow, tcol, nrows, ncols, data} (stages.raster
+    layout). Runs the 4-step plan above; steps 1-2 are one pass.
+    """
+    tcols = -(-grid.cols // tile)
+
+    def label_and_borders(df: pd.DataFrame):
+        cells, borders = [], []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * tile, int(t["tcol"]) * tile
+            arr = np.asarray(t["data"], np.float64).reshape(nr, nc)
+            labels, valid, gid = _label_tile(arr, r0, c0, grid, nodata)
+            sel = valid.ravel()
+            cells.append(pd.DataFrame({
+                "cell_id": gid.ravel()[sel], "value": arr.ravel()[sel],
+                "local_label": labels.ravel()[sel],
+            }))
+            # border strips: outermost ring of the tile
+            ring = np.zeros((nr, nc), bool)
+            ring[0, :] = ring[-1, :] = True
+            ring[:, 0] = ring[:, -1] = True
+            bsel = (ring & valid).ravel()
+            if bsel.any():
+                borders.append(pd.DataFrame({
+                    "cell_id": gid.ravel()[bsel], "value": arr.ravel()[bsel],
+                    "local_label": labels.ravel()[bsel],
+                }))
+        cdf = pd.concat(cells) if cells else pd.DataFrame(
+            columns=["cell_id", "value", "local_label"])
+        bdf = pd.concat(borders) if borders else pd.DataFrame(
+            columns=["cell_id", "value", "local_label"])
+        return cdf, bdf
+
+    # run once, materialize both outputs
+    labeled = tiles_ds.map_batches(lambda df: label_and_borders(df)[0],
+                                   batch_format="pandas").materialize()
+    border = tiles_ds.map_batches(lambda df: label_and_borders(df)[1],
+                                  batch_format="pandas")
+
+    # step 2: equivalence edges across tile borders. The border set is
+    # O(perimeter) — tiny relative to the raster — so collect it and match
+    # vectorized on the driver (at extreme scale this becomes one more
+    # groupby round over (neighbour_cell -> label) probe rows).
+    bdf = border.to_pandas()
+    cid = bdf["cell_id"].to_numpy(np.int64)
+    r, c = cid // grid.cols, cid % grid.cols
+    probes = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nrr, ncc = r + dr, c + dc
+            ok = (nrr >= 0) & (nrr < grid.rows) & (ncc >= 0) & (ncc < grid.cols)
+            probes.append(pd.DataFrame({
+                "key": (nrr * grid.cols + ncc)[ok],
+                "value": bdf["value"].to_numpy()[ok],
+                "label": bdf["local_label"].to_numpy(np.int64)[ok],
+            }))
+    pdf = pd.concat(probes) if probes else pd.DataFrame(columns=["key", "value", "label"])
+    own = bdf.rename(columns={"cell_id": "key", "local_label": "own_label"})
+    m = pdf.merge(own, on="key", suffixes=("", "_own"))
+    m = m[m["value"] == m["value_own"]]
+    edf = pd.DataFrame({"a": m["own_label"].to_numpy(np.int64),
+                        "b": m["label"].to_numpy(np.int64)})
+
+    # step 3: driver union-find over the (tiny) equivalence graph
+    dsu = _DSU()
+    for a, b in zip(edf["a"].to_numpy(np.int64), edf["b"].to_numpy(np.int64)):
+        dsu.union(int(a), int(b))
+    relabel = {x: dsu.find(x) for x in set(dsu.p)}
+    ref = ray.put(relabel)
+
+    def apply_relabel(df: pd.DataFrame) -> pd.DataFrame:
+        from .spatial_join import _cached_get
+
+        m = _cached_get(ref)
+        lab = df["local_label"].to_numpy(np.int64)
+        df = df.copy()
+        df["clump_id"] = np.array([m.get(int(x), int(x)) for x in lab], np.int64)
+        return df[["cell_id", "value", "clump_id"]]
+
+    return labeled.map_batches(apply_relabel, batch_format="pandas")

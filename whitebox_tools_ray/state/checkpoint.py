@@ -99,11 +99,13 @@ def run_stage(name: str, build: Callable[[], ray.data.Dataset], out_dir: str, *,
     Returns (dataset reading the stage output, manifest). On resume the
     build function is never called — the completed Parquet is the source.
     """
+    from ..sources.tables import read_parquet_dir
+
     if resume and is_complete(out_dir, input_sig):
         m = read_manifest(out_dir)
         m["resumed"] = True
-        return ray.data.read_parquet(out_dir), m
+        return read_parquet_dir(out_dir), m
     manifest = checkpointed_write(build(), out_dir, stage=name, input_sig=input_sig,
                                   partition_col=partition_col)
     manifest["resumed"] = False
-    return ray.data.read_parquet(out_dir), manifest
+    return read_parquet_dir(out_dir), manifest
