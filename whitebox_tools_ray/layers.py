@@ -30,8 +30,12 @@ RECT_A = (-120.0, -40.0, -60.0, 20.0)
 RECT_B = (-30.0, -50.0, 60.0, 40.0)
 HOLE_B = (0.0, -20.0, 30.0, 10.0)
 RECT_C = (10.0, -30.0, 45.0, 0.0)
-# clockwise convex pentagon, closed
-PENT = [(100.0, 50.0), (140.0, 30.0), (130.0, -10.0), (105.0, -25.0), (88.0, 12.0), (100.0, 50.0)]
+# clockwise convex pentagon, closed. Coordinates are dyadic (exact float64)
+# so SQL shoelace sums stay order-independent; the .03125 offsets keep every
+# edge clear of half-integer cell centres (a centre exactly ON an edge is
+# inside for the winding kernel but outside for the strict half-plane SQL).
+PENT = [(100.0, 50.0), (140.0, 30.0), (130.0, -10.0), (105.03125, -25.03125),
+        (88.0, 12.0), (100.0, 50.0)]
 
 
 def _rect_ring(xmin, ymin, xmax, ymax, clockwise=True):

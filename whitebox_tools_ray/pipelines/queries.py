@@ -340,3 +340,4 @@ def sample_hash(sf_dir: str):
 from . import queries_spatial  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_raster  # noqa: E402,F401
+from . import queries_more  # noqa: E402,F401

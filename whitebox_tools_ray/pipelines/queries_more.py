@@ -1,0 +1,324 @@
+"""Additional operator coverage: vector geometry attributes, expression
+filters, cumulative scans, bounding boxes, raster aggregation, polygon
+rasterization, large-side hash join, JSON attribute extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geometry import polygon_area
+from ..layers import GRID1, builtin_polygons, feature_sql
+from ..relational import cents, partial_agg
+from ..sources.tables import X_SQL, Y_SQL, read_table
+from .queries import query
+
+# --------------------------------------------------------------------------
+# Vector geometry attributes (M1 family: PolygonArea, Centroid, LayerFootprint)
+# --------------------------------------------------------------------------
+
+
+def _poly_rings_sql_values() -> str:
+    """Ring vertices of the builtin layer as a VALUES relation
+    (poly_id, part, seq, x, y) — all literals, so SQL can recompute geometry."""
+    rows = []
+    polys = builtin_polygons()
+    part_counter: dict[int, int] = {}
+    for p, ring in enumerate(polys.rings):
+        fid = int(polys.feature_id[p])
+        part = part_counter.get(fid, 0)
+        part_counter[fid] = part + 1
+        for s, (x, y) in enumerate(ring):
+            rows.append(f"({fid}, {part}, {s}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))")
+    return "ring_pts(poly_id, part, seq, x, y) AS (VALUES " + ", ".join(rows) + ")"
+
+
+@query(
+    "polygon_metrics",
+    f"""
+    WITH {_poly_rings_sql_values()},
+    edges AS (
+      SELECT a.poly_id, a.part, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+      FROM ring_pts a JOIN ring_pts b
+        ON a.poly_id = b.poly_id AND a.part = b.part AND b.seq = a.seq + 1
+    )
+    SELECT CAST(poly_id AS BIGINT) AS poly_id,
+           CAST(COUNT(*) + COUNT(DISTINCT part) AS BIGINT) AS n_vertices,
+           SUM(0.5 * (x0 * y1 - x1 * y0)) AS signed_area,
+           MIN(x0) AS xmin, MAX(x0) AS xmax, MIN(y0) AS ymin, MAX(y0) AS ymax
+    FROM edges GROUP BY poly_id
+    """,
+)
+def polygon_metrics(sf_dir: str):
+    """PolygonArea / MinimumBoundingEnvelope family (gis_analysis/
+    polygon_area.rs, layer_footprint.rs): shoelace signed area per feature
+    (holes CCW contribute opposite sign), vertex count, bbox. The layer's
+    integer-valued coordinates make every product exact -> bit-exact sums."""
+    import ray.data
+
+    polys = builtin_polygons()
+    rows = []
+    for fid in np.unique(polys.feature_id):
+        area = 0.0
+        nv = 0
+        xs, ys = [], []
+        for p in np.flatnonzero(polys.feature_id == fid):
+            ring = polys.rings[p]
+            area += polygon_area(ring)
+            nv += len(ring)
+            xs.append(ring[:-1, 0])
+            ys.append(ring[:-1, 1])
+        xs = np.concatenate(xs)
+        ys = np.concatenate(ys)
+        rows.append({"poly_id": int(fid), "n_vertices": np.int64(nv),
+                     "signed_area": area,
+                     "xmin": xs.min(), "xmax": xs.max(),
+                     "ymin": ys.min(), "ymax": ys.max()})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+@query(
+    "events_bbox_by_type",
+    f"""
+    WITH pts AS (SELECT event_type, {X_SQL} AS x, {Y_SQL} AS y FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+    FROM pts GROUP BY event_type
+    """,
+)
+def events_bbox_by_type(sf_dir: str):
+    """LayerFootprint / MinimumBoundingEnvelope as a grouped aggregate."""
+    from ..sources.tables import add_xy
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(add_xy, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": np.ones(len(t), np.int64),
+                            "xmin": t["x"], "xmax": t["x"],
+                            "ymin": t["y"], "ymax": t["y"]}),
+        batch_format="pyarrow")
+    return partial_agg(ds, ["event_type"], [
+        ("n", "sum", "n"), ("xmin", "min", "xmin"), ("xmax", "max", "xmax"),
+        ("ymin", "min", "ymin"), ("ymax", "max", "ymax")])
+
+
+# --------------------------------------------------------------------------
+# Expression filter (ExtractByAttribute plugin: evalexpr over attributes)
+# --------------------------------------------------------------------------
+
+FILTER_EXPR = "(value > 200.0) & (event_type == 'click')"
+
+
+@query(
+    "attribute_filter_expr",
+    "SELECT event_id, value FROM events WHERE value > 200.0 AND event_type = 'click'",
+)
+def attribute_filter_expr(sf_dir: str):
+    """User-supplied expression filter (whitebox-plugins/src/
+    extract_by_attribute/main.rs:136-142 evalexpr analog): the expression
+    string is compiled once and evaluated vectorized per batch via
+    pandas.eval — the engine's UDF-predicate hook."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.eval(FILTER_EXPR)
+        return df.loc[keep, ["event_id", "value"]]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Cumulative scan (CumulativeDistribution analog) — ordered running totals
+# --------------------------------------------------------------------------
+
+@query(
+    "cumulative_qty",
+    """
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS running_qty
+    FROM lineitem
+    """,
+)
+def cumulative_qty(sf_dir: str):
+    """Running total per group over an explicit total order (the ordered-log
+    scan; l_quantity is integer-valued so float64 cumsum is exact)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_shipdate", "l_orderkey",
+                             "l_linenumber", "l_quantity"])
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"], kind="mergesort")
+        run = g["l_quantity"].cumsum()
+        return pd.DataFrame({"l_orderkey": g["l_orderkey"].to_numpy(),
+                             "l_linenumber": g["l_linenumber"].to_numpy(),
+                             "running_qty": run.to_numpy()})
+
+    return ds.groupby("l_returnflag").map_groups(scan, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Raster aggregation (AggregateRaster: downsample by an integer factor)
+# --------------------------------------------------------------------------
+
+@query(
+    "raster_aggregate4",
+    f"""
+    WITH cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id,
+                          CAST(t.i // {GRID1.cols} AS BIGINT) AS r,
+                          CAST(t.i % {GRID1.cols} AS BIGINT) AS c,
+                          ((t.i * 1000003) % 1000) AS v
+                   FROM range({GRID1.rows * GRID1.cols}) t(i))
+    SELECT (r // 4) * {-(-GRID1.cols // 4)} + (c // 4) AS agg_cell,
+           CAST(SUM(v) AS BIGINT) AS vsum, COUNT(*) AS n
+    FROM cells GROUP BY agg_cell
+    """,
+)
+def raster_aggregate4(sf_dir: str):
+    """AggregateRaster (gis_analysis/aggregate_raster.rs): 4x downsample =
+    tile-local grouped reduce (no cross-tile traffic when the aggregation
+    factor divides the tile size)."""
+    from ..stages.raster import synth_raster_tiles
+
+    acols = -(-GRID1.cols // 4)
+
+    def vfn(cells: np.ndarray) -> np.ndarray:
+        return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
+
+    tiles = synth_raster_tiles(GRID1, vfn)
+
+    def agg_tile(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * 64, int(t["tcol"]) * 64
+            arr = np.asarray(t["data"], np.float64).reshape(nr, nc)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
+            key = (rr // 4).astype(np.int64) * acols + (cc // 4).astype(np.int64)
+            g = pd.DataFrame({"agg_cell": key.ravel(), "vsum": arr.ravel().astype(np.int64)})
+            g["n"] = np.int64(1)
+            frames.append(g.groupby("agg_cell", sort=False).sum().reset_index())
+        return pd.concat(frames)
+
+    return partial_agg(tiles.map_batches(agg_tile, batch_format="pandas"),
+                       ["agg_cell"], [("vsum", "sum", "vsum"), ("n", "sum", "n")])
+
+
+# --------------------------------------------------------------------------
+# VectorPolygonsToRaster (cell-centre-in-polygon rasterization)
+# --------------------------------------------------------------------------
+
+_FEAT_CENTRE = feature_sql("cx", "cy")
+_P2R_CASE = "CASE " + " ".join(
+    f"WHEN {cond} THEN CAST({fid} AS BIGINT)"
+    for fid, cond in sorted(_FEAT_CENTRE.items(), reverse=True)
+) + " ELSE NULL END"
+
+
+@query(
+    "polygons_to_raster",
+    f"""
+    WITH cells AS (
+      SELECT CAST(t.i AS BIGINT) AS cell_id,
+             ({GRID1.west + GRID1.res_x / 2.0!r} + CAST(t.i % {GRID1.cols} AS DOUBLE) * {GRID1.res_x!r}) AS cx,
+             ({GRID1.north - GRID1.res_y / 2.0!r} - CAST(t.i // {GRID1.cols} AS DOUBLE) * {GRID1.res_y!r}) AS cy
+      FROM range({GRID1.rows * GRID1.cols}) t(i))
+    SELECT cell_id, {_P2R_CASE} AS poly_id
+    FROM cells
+    WHERE {_P2R_CASE} IS NOT NULL
+    """,
+)
+def polygons_to_raster(sf_dir: str):
+    """VectorPolygonsToRaster (data_tools/vector_polygons_to_raster.rs):
+    burn feature ids into cells whose CENTRE falls inside the feature;
+    overlapping features resolved by highest feature id (deterministic
+    last-feature-wins, mirroring record-order burn). Tile-parallel: cell
+    centres are generated per tile and tested against the broadcast layer."""
+    import ray.data
+
+    polys = builtin_polygons()
+
+    n_tiles = GRID1.tile_rows * GRID1.tile_cols
+    ids = ray.data.range(n_tiles, override_num_blocks=4)
+
+    def burn(batch: dict) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            tr, tc = int(tid) // GRID1.tile_cols, int(tid) % GRID1.tile_cols
+            r0, c0 = tr * GRID1.tile_size, tc * GRID1.tile_size
+            nr = min(GRID1.tile_size, GRID1.rows - r0)
+            nc = min(GRID1.tile_size, GRID1.cols - c0)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
+            cx = GRID1.west + GRID1.res_x / 2.0 + cc.ravel().astype(np.float64) * GRID1.res_x
+            cy = GRID1.north - GRID1.res_y / 2.0 - rr.ravel().astype(np.float64) * GRID1.res_y
+            cid = rr.ravel().astype(np.int64) * GRID1.cols + cc.ravel().astype(np.int64)
+            idx, fid = polys.pip_pairs(cx, cy)
+            if len(idx) == 0:
+                continue
+            df = pd.DataFrame({"cell_id": cid[idx], "poly_id": fid})
+            # highest feature id wins on overlap
+            df = df.sort_values(["cell_id", "poly_id"]).drop_duplicates("cell_id", keep="last")
+            frames.append(df)
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"cell_id": pd.Series([], dtype=np.int64), "poly_id": pd.Series([], dtype=np.int64)})
+
+    return ids.map_batches(burn, batch_format="numpy")
+
+
+# --------------------------------------------------------------------------
+# Large-side hash join (Ray native Dataset.join) + JSON attribute extraction
+# --------------------------------------------------------------------------
+
+@query(
+    "join_orders_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_orders_customers(sf_dir: str):
+    """Distributed hash join (Ray Dataset.join, hash-partitioned on the key)
+    — the both-sides-large path; the rollup then pre-aggregates as usual."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = joined.map_batches(
+        lambda t: cents(t, "o_totalprice", "total_cents")
+        .append_column("n", pa.array(np.ones(len(t), np.int64)))
+        .select(["c_mktsegment", "n", "total_cents"]),
+        batch_format="pyarrow")
+    return partial_agg(joined, ["c_mktsegment"],
+                       [("n", "sum", "n"), ("total_cents", "sum", "total_cents")])
+
+
+@query(
+    "props_extract_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def props_extract_stats(sf_dir: str):
+    """Semi-structured attribute extraction (MergeTableWithCsv/JoinTables
+    attribute-transfer analog over JSON props): vectorized field pull +
+    grouped integer stats."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>-?\d+)')
+        kv = pc.struct_field(k, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "k_sum": kv, "k_min": kv, "k_max": kv})
+
+    return partial_agg(ds.map_batches(ext, batch_format="pyarrow"), ["event_type"], [
+        ("k_sum", "sum", "k_sum"), ("k_min", "min", "k_min"), ("k_max", "max", "k_max")])
