@@ -74,10 +74,7 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
             return t.append_column("cell_id", pa.array(GRID1.cell_id(row, col))) \
                     .append_column("tile_id", pa.array(GRID1.tile_id(row, col)))
 
-        # coalesce before the partitioned write: files per tile dir = writer
-        # blocks, and (partitions x many blocks) of tiny files slows both the
-        # write and every later read
-        return kept.map_batches(enc, batch_format="pyarrow").repartition(32)
+        return kept.map_batches(enc, batch_format="pyarrow")
 
     tiled, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
                                 input_sig=f"{corpus_dir}:pages_clip_tile:v1",
