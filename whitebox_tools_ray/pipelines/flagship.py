@@ -76,10 +76,14 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
 
         return kept.map_batches(enc, batch_format="pyarrow")
 
-    tiled, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
-                                input_sig=f"{corpus_dir}:pages_clip_tile:v1",
-                                partition_col="tile_id", resume=resume)
+    _, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
+                            input_sig=f"{corpus_dir}:pages_clip_tile:v1",
+                            partition_col="tile_id", resume=resume)
 
+    # prune at the read: the rollup only needs cell_id, not url/text
+    from ..sources.tables import read_parquet_dir
+
+    tiled = read_parquet_dir(f"{out_dir}/tiled", columns=["cell_id"])
     rollup = partial_agg(
         tiled.map_batches(
             lambda t: pa.table({

@@ -105,6 +105,44 @@ def partial_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
     return partials.groupby(keys).aggregate(*finals)
 
 
+def salted_group_agg(ds, key: str, partial_fn, merge_fn, *, hot_keys=None,
+                     n_salts: int = 8, seq_col: str | None = None,
+                     batch_format: str = "pandas"):
+    """Two-phase grouped aggregation with hot-key salting (north-rule skew
+    control for dense urban cells).
+
+    A ``groupby(key).map_groups`` serializes each key into one task; a key
+    holding 20% of the rows becomes a straggler. Here hot keys (``hot_keys``
+    iterable, or all keys when None) are split into ``n_salts`` sub-groups by
+    ``seq_col % n_salts`` (or a per-batch counter), ``partial_fn`` reduces
+    each (key, salt) sub-group in parallel, and ``merge_fn`` combines the
+    n_salts partial rows per key in a second, tiny groupby. Both fns are
+    pandas-in/pandas-out; partial_fn's output must be mergeable by merge_fn
+    (algebraic or sketch-style state).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    hot = set(int(k) for k in hot_keys) if hot_keys is not None else None
+
+    def add_salt(df):
+        if seq_col is not None:
+            salt = df[seq_col].to_numpy() % n_salts
+        else:
+            salt = np.arange(len(df)) % n_salts
+        if hot is not None:
+            salt = np.where(df[key].isin(hot).to_numpy(), salt, 0)
+        df = df.copy()
+        df["_salt"] = salt.astype(np.int64)
+        return df
+
+    salted = ds.map_batches(add_salt, batch_format=batch_format)
+    partials = salted.groupby([key, "_salt"]).map_groups(partial_fn,
+                                                         batch_format=batch_format)
+    merged = partials.groupby(key).map_groups(merge_fn, batch_format=batch_format)
+    return merged
+
+
 def arg_extreme_reduce(ds, keys: list[str], seq_col: str, carry: list[str], *,
                        mode: str = "min", batch_size: int = 65536):
     """Keep, per key group, the row with the min (or max) ``seq_col``.
