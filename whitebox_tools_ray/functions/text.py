@@ -80,8 +80,8 @@ class NgramLanguageId:
         for i, t in enumerate(texts.to_numpy()):
             best_lang, best = self.langs[0], -1
             for lang in self.langs:
-                table = self.tables[lang]
-                score = sum(table.get(t[j:j + 3], 0) for j in range(0, max(len(t) - 2, 0), 4))
+                # weighted count of profile grams present in the text
+                score = sum(w * t.count(g) for g, w in self.tables[lang].items())
                 if score > best:
                     best, best_lang = score, lang
             out[i] = best_lang
