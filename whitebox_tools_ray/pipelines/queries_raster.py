@@ -65,6 +65,60 @@ def raster_slope(sf_dir: str):
     return stencil_3x3(tiles, GRID1, slope_kernel_factory(GRID1.res_x, GRID1.res_y))
 
 
+@query(
+    "euclidean_distance",
+    f"""
+    WITH {_CELLS_CTE},
+    targets AS (SELECT r, c FROM cells WHERE (cell_id * 7919) % 509 = 0)
+    SELECT a.cell_id,
+           MIN((a.r - t.r) * (a.r - t.r) + (a.c - t.c) * (a.c - t.c)) AS d2
+    FROM cells a, targets t
+    GROUP BY a.cell_id
+    """,
+)
+def euclidean_distance(sf_dir: str):
+    """EuclideanDistance (gis_analysis/euclidean_distance.rs, G2 family):
+    per-cell squared distance (cell units — integer-exact) to the nearest
+    target cell. Targets here are sparse (~120 of 61k cells) and broadcast;
+    each tile computes its min vectorized. The scale path for dense target
+    sets is the FRS-bucketed doubling-radius probe of stages/gridding
+    (same contract); the reference's sequential two-scan transform
+    (euclidean_distance.rs:205-324) does not distribute."""
+    from ..stages.raster import synth_raster_tiles
+
+    def vfn(cells: np.ndarray) -> np.ndarray:
+        return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
+
+    all_cells = np.arange(GRID1.rows * GRID1.cols, dtype=np.int64)
+    tmask = (all_cells * 7919) % 509 == 0
+    tr = (all_cells[tmask] // GRID1.cols).astype(np.int64)
+    tc = (all_cells[tmask] % GRID1.cols).astype(np.int64)
+
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    ref = ray.put((tr, tc))
+    tiles = synth_raster_tiles(GRID1, vfn)
+
+    def dist_tile(df: pd.DataFrame) -> pd.DataFrame:
+        trr, tcc = _cached_get(ref)
+        frames = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * 64, int(t["tcol"]) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64), indexing="ij")
+            dr = rr.ravel()[:, None] - trr[None, :]
+            dc = cc.ravel()[:, None] - tcc[None, :]
+            d2 = (dr * dr + dc * dc).min(axis=1)
+            frames.append(pd.DataFrame({
+                "cell_id": rr.ravel() * GRID1.cols + cc.ravel(), "d2": d2}))
+        return pd.concat(frames)
+
+    return tiles.map_batches(dist_tile, batch_format="pandas")
+
+
 @query("clump_labels")
 def clump_labels(sf_dir: str):
     """Clump / connected components (gis_analysis/clump.rs; phase 1 of

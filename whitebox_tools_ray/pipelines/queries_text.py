@@ -391,6 +391,26 @@ def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+@query("media_features")
+def media_features(sf_dir: str):
+    """Multimodal plumbing (driver mandate): synthetic binary media table ->
+    actor-pool feature extraction with a stubbed codec boundary (decode is a
+    deterministic fake; the libs are absent here) -> per-item feature rows.
+    Rows-only; schema/flow verified in tests/test_multimodal.py."""
+    import ray.data
+
+    from ..stages.multimodal import media_feature_pipeline, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(2000))
+    feats = media_feature_pipeline(media, batch_size=256, concurrency=(1, 2))
+    return feats.map_batches(
+        lambda t: pa.table({
+            "item_id": t["item_id"],
+            "media_type": t["media_type"],
+            "feat_norm": pa.array([float(np.linalg.norm(v)) for v in t["feature"].to_pylist()]),
+        }), batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Sessionization (stream-shaped; SQL-backed via window functions)
 # --------------------------------------------------------------------------
