@@ -391,6 +391,19 @@ def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+@query("kmeans_embeddings")
+def kmeans_embeddings(sf_dir: str):
+    """KMeansClustering (IT pattern, image_analysis/k_means_clustering.rs):
+    driver loop over distributed assign + exact integer partial updates;
+    deterministic at any parallelism. Rows-only; exact-match oracle in
+    tests/test_kmeans.py. Output: vec_id, cluster."""
+    from ..stages.kmeans import kmeans_fit
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assigns = kmeans_fit(emb, k=8, iters=6)
+    return assigns
+
+
 @query("media_features")
 def media_features(sf_dir: str):
     """Multimodal plumbing (driver mandate): synthetic binary media table ->
