@@ -434,6 +434,20 @@ def hex_binning(sf_dir: str):
     return partial_agg(assigned, ["hex_id"], [("n", "sum", "n")])
 
 
+@query("line_intersections")
+def line_intersections_q(sf_dir: str):
+    """LineIntersections (gis_analysis/line_intersections.rs): all proper
+    segment crossings of a deterministic synthetic line layer, found via
+    FRS-cell bucketing with exactly-once cell ownership of each intersection
+    point. Rows-only; brute-force oracle in tests/test_lines.py."""
+    import ray.data
+
+    from ..stages.lines import line_intersections, synth_segments
+
+    ds = ray.data.from_pandas(synth_segments(5000)).repartition(8)
+    return line_intersections(ds)
+
+
 # --------------------------------------------------------------------------
 # Raster value extraction (section 2.3i)
 # --------------------------------------------------------------------------
