@@ -119,6 +119,29 @@ def euclidean_distance(sf_dir: str):
     return tiles.map_batches(dist_tile, batch_format="pandas")
 
 
+BUFFER_R2 = 25  # cells within 5 cell-widths of a target
+
+
+@query(
+    "buffer_raster",
+    f"""
+    WITH {_CELLS_CTE},
+    targets AS (SELECT r, c FROM cells WHERE (cell_id * 7919) % 509 = 0)
+    SELECT a.cell_id,
+           MIN((a.r - t.r) * (a.r - t.r) + (a.c - t.c) * (a.c - t.c)) AS d2
+    FROM cells a, targets t
+    GROUP BY a.cell_id
+    HAVING MIN((a.r - t.r) * (a.r - t.r) + (a.c - t.c) * (a.c - t.c)) <= {BUFFER_R2}
+    """,
+)
+def buffer_raster(sf_dir: str):
+    """BufferRaster (gis_analysis/buffer_raster.rs): cells within a distance
+    threshold of any target = the Euclidean distance transform thresholded."""
+    ds = euclidean_distance(sf_dir)
+    return ds.map_batches(
+        lambda df: df[df["d2"] <= BUFFER_R2], batch_format="pandas")
+
+
 @query("clump_labels")
 def clump_labels(sf_dir: str):
     """Clump / connected components (gis_analysis/clump.rs; phase 1 of

@@ -434,6 +434,48 @@ def hex_binning(sf_dir: str):
     return partial_agg(assigned, ["hex_id"], [("n", "sum", "n")])
 
 
+@query(
+    "medoid_by_type",
+    f"""
+    WITH {PTS_CTE},
+    med AS (
+      SELECT event_type, quantile_disc(x, 0.5) AS mx, quantile_disc(y, 0.5) AS my
+      FROM (SELECT e.event_type, p.x, p.y FROM events e
+            JOIN pts p ON p.event_id = e.event_id)
+      GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_type, p.event_id,
+             (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my) AS d2
+      FROM events e JOIN pts p ON p.event_id = e.event_id
+      JOIN med m ON m.event_type = e.event_type
+    )
+    SELECT event_type, event_id AS medoid_id, d2 FROM scored
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY d2, event_id) = 1
+    """,
+)
+def medoid_by_type(sf_dir: str):
+    """Medoid (gis_analysis/medoid.rs:24-28): per group, the member point
+    nearest to (median x, median y). Median uses the discrete
+    ceil(q*n)-1 index (DuckDB quantile_disc semantics) on sorted values;
+    ties at equal distance break on the lower id."""
+    ds = read_points(sf_dir, extra_cols=("event_type",))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        ids = g["event_id"].to_numpy().astype(np.int64)
+        n = len(g)
+        mx = np.sort(x)[int(np.ceil(0.5 * n)) - 1]
+        my = np.sort(y)[int(np.ceil(0.5 * n)) - 1]
+        d2 = (x - mx) * (x - mx) + (y - my) * (y - my)
+        i = np.lexsort((ids, d2))[0]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "medoid_id": [ids[i]], "d2": [d2[i]]})
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
 @query("line_intersections")
 def line_intersections_q(sf_dir: str):
     """LineIntersections (gis_analysis/line_intersections.rs): all proper
