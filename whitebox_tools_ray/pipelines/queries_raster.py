@@ -166,6 +166,36 @@ def clump_labels(sf_dir: str):
     return partial_agg(enc, ["clump_id", "value"], [("n_cells", "sum", "n_cells")])
 
 
+@query("raster_to_polygons")
+def raster_to_polygons(sf_dir: str):
+    """RasterToVectorPolygons end to end (data_tools/
+    raster_to_vector_polygons.rs): clump labeling (phase 1) then per-clump
+    boundary ring tracing with hole orientation (phase 2). Rows-only;
+    ring-structure + round-trip oracle in tests/test_polygonize.py.
+    Output: clump_id, value, ring_idx, is_hole, area, n_vertices."""
+    from ..stages.clump import clump as run_clump
+    from ..stages.polygonize import polygonize
+    from ..stages.raster import synth_raster_tiles
+
+    def blocky(cells: np.ndarray) -> np.ndarray:
+        r = cells // GRID1.cols
+        c = cells % GRID1.cols
+        return (((r // 6) * 7 + (c // 6) * 3) % 4).astype(np.float64)
+
+    tiles = synth_raster_tiles(GRID1, blocky)
+    cells = run_clump(tiles, GRID1)
+    rings = polygonize(cells, GRID1)
+    return rings.map_batches(
+        lambda df: pd.DataFrame({
+            "clump_id": df["clump_id"].astype(np.int64),
+            "value": df["value"].astype(np.float64),
+            "ring_idx": df["ring_idx"].astype(np.int64),
+            "is_hole": df["is_hole"].astype(bool),
+            "area": df["area"].astype(np.float64),
+            "n_vertices": df["xs"].map(len).astype(np.int64),
+        }), batch_format="pandas")
+
+
 @query(
     "raster_summary_stats",
     f"""
