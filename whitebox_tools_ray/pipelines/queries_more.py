@@ -139,20 +139,23 @@ def attribute_filter_expr(sf_dir: str):
     """
     SELECT l_orderkey, l_linenumber,
            SUM(l_quantity) OVER (PARTITION BY l_returnflag
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                                  ROWS UNBOUNDED PRECEDING) AS running_qty
     FROM lineitem
     """,
 )
 def cumulative_qty(sf_dir: str):
     """Running total per group over an explicit total order (the ordered-log
-    scan; l_quantity is integer-valued so float64 cumsum is exact)."""
+    scan; l_quantity is integer-valued so float64 cumsum is exact). The sort
+    key includes l_quantity so any remaining ties are between fully identical
+    rows — the (id, running) multiset is then order-independent."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_shipdate", "l_orderkey",
                              "l_linenumber", "l_quantity"])
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"], kind="mergesort")
+        g = g.sort_values(["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+                          kind="mergesort")
         run = g["l_quantity"].cumsum()
         return pd.DataFrame({"l_orderkey": g["l_orderkey"].to_numpy(),
                              "l_linenumber": g["l_linenumber"].to_numpy(),

@@ -24,19 +24,20 @@ _CELLS_CTE = (
     f"((t.i * 1000003) % 1000) AS v FROM range({GRID1.rows * GRID1.cols}) t(i))"
 )
 
-_OFFS = ", ".join(f"({dr}, {dc})" for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+# one equi-join per 3x3 offset (a cross-join with arithmetic conditions
+# defeats DuckDB's hash-join planner: 50s vs <1s)
+_NB_UNION = " UNION ALL ".join(
+    f"SELECT a.cell_id, b.v FROM cells a JOIN cells b "
+    f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+    for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+)
 
 
 @query(
     "raster_mean3x3",
     f"""
     WITH {_CELLS_CTE},
-    offs(dr, dc) AS (VALUES {_OFFS}),
-    nb AS (
-      SELECT a.cell_id, b.v
-      FROM cells a CROSS JOIN offs o
-      JOIN cells b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
-    )
+    nb AS ({_NB_UNION})
     SELECT cell_id, CAST(SUM(v) AS BIGINT) AS sum9, COUNT(*) AS n9
     FROM nb GROUP BY cell_id
     """,
