@@ -36,11 +36,21 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(out)
 
 
+_TOKEN_CACHE: dict[str, int] = {}
+
+
 def hash_token(tok: str) -> int:
-    """Deterministic token hash (FNV-1a, independent of PYTHONHASHSEED)."""
+    """Deterministic token hash (FNV-1a, independent of PYTHONHASHSEED).
+    Memoized per worker — natural-language vocabularies are heavy-tailed, so
+    the cache hit rate is high and the per-byte Python loop rarely runs."""
+    h = _TOKEN_CACHE.get(tok)
+    if h is not None:
+        return h
     h = 14695981039346656037
     for byte in tok.encode("utf-8"):
         h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    if len(_TOKEN_CACHE) < 4_000_000:  # bound worker memory
+        _TOKEN_CACHE[tok] = h
     return h
 
 
@@ -59,6 +69,38 @@ class MinHasher:
             # (num_perm, n_shingles) universal hashes, min over shingles
             hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) & _MASK61
         return hv.min(axis=1)
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """Vectorized signatures for a batch of texts: all shingles hashed in
+        one (num_perm, total_shingles) pass, per-doc minima via
+        ``np.minimum.reduceat`` — no per-document Python in the hash loop."""
+        all_sh = []
+        starts = [0]
+        for t in texts:
+            sh = shingle_hashes(t, self.k)
+            all_sh.append(sh)
+            starts.append(starts[-1] + len(sh))
+        flat = np.concatenate(all_sh) if all_sh else np.empty(0, np.uint64)
+        if len(flat) == 0:
+            return np.empty((0, self.num_perm), np.uint64)
+        with np.errstate(over="ignore"):
+            hv = (self.a[:, None] * flat[None, :] + self.b[:, None]) & _MASK61
+        mins = np.minimum.reduceat(hv, np.asarray(starts[:-1]), axis=1)
+        return mins.T  # (n_docs, num_perm)
+
+    def band_hashes_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) -> (n_docs, bands) bucket keys, vectorized FNV
+        fold over each band's rows."""
+        n = sigs.shape[0]
+        out = np.empty((n, self.bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for bi in range(self.bands):
+                seg = sigs[:, bi * self.rows:(bi + 1) * self.rows]
+                h = np.full(n, 14695981039346656037, np.uint64)
+                for j in range(self.rows):
+                    h = (h ^ seg[:, j]) * np.uint64(1099511628211)
+                out[:, bi] = h
+        return out
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
         """Collapse each band of the signature to one uint64 bucket key."""

@@ -189,24 +189,30 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
             self.mh = MinHasher(num_perm=num_perm, bands=bands)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-                sig = self.mh.signature(text)
-                bh = self.mh.band_hashes(sig)
-                for bi, h in enumerate(bh):
-                    rows.append((int(did), bi, int(h) - (1 << 63)))
-            return pd.DataFrame(rows, columns=["doc_id", "band", "bh"])
+            sigs = self.mh.signatures_batch(df["text"].to_numpy())
+            bh = self.mh.band_hashes_batch(sigs)  # (n_docs, bands)
+            n, b = bh.shape
+            dids = np.repeat(df["doc_id"].to_numpy(np.int64), b)
+            bands_col = np.tile(np.arange(b, dtype=np.int64), n)
+            vals = bh.view(np.int64).ravel()  # bit-reinterpret for the int64 key
+            return pd.DataFrame({"doc_id": dids, "band": bands_col, "bh": vals})
 
-    banded = ds.map_batches(Bands, batch_format="pandas", concurrency=(1, 4))
+    # materialize: both join sides reuse the signatures (computed once), and
+    # the join's hash-shuffle aggregator actors never compete with the
+    # signature actor pool for CPUs (deadlock risk on small clusters)
+    banded = ds.map_batches(Bands, batch_format="pandas", concurrency=(1, 4)).materialize()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    cand = banded.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    # candidate pairs via hash SELF-JOIN on the band bucket (a map_groups
+    # over ~docs x bands tiny buckets pays per-group overhead; the join
+    # shuffles once and streams matches)
+    right = banded.map_batches(lambda df: df.rename(columns={"doc_id": "doc_b"}),
+                               batch_format="pandas")
+    joined = banded.join(right, join_type="inner", num_partitions=8,
+                         on=("band", "bh"))
+    cand = joined.map_batches(
+        lambda df: df.loc[df["doc_id"] < df["doc_b"], ["doc_id", "doc_b"]]
+        .rename(columns={"doc_id": "doc_a"}),
+        batch_format="pandas")
     cand = tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
                        batch_format="pandas")
 
