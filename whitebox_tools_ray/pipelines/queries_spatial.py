@@ -476,6 +476,19 @@ def medoid_by_type(sf_dir: str):
     return ds.groupby("event_type").map_groups(med, batch_format="pandas")
 
 
+@query("tin_gridding")
+def tin_gridding(sf_dir: str):
+    """TINGridding (gis_analysis/tin_gridding.rs): per-tile Bowyer-Watson
+    Delaunay over halo-replicated points + barycentric linear interpolation
+    of cell centres (the reference's sharded-lidar halo pattern,
+    lidar_idw_interpolation.rs:536-600). Rows-only; plane-reproduction
+    oracle in tests/test_tin.py."""
+    from ..stages.tin import tin_grid
+
+    g = GridSpec(west=-180.0, north=85.0, res_x=5.0, res_y=5.0, rows=34, cols=72)
+    return tin_grid(read_points(sf_dir), g, tile_deg=45.0, buffer=10.0)
+
+
 @query("line_intersections")
 def line_intersections_q(sf_dir: str):
     """LineIntersections (gis_analysis/line_intersections.rs): all proper
