@@ -120,6 +120,66 @@ def euclidean_distance(sf_dir: str):
     return tiles.map_batches(dist_tile, batch_format="pandas")
 
 
+# D8 neighbour order (d8_pointer.rs:252-253): NE,E,SE,S,SW,W,NW,N
+_D8_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_D8_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+def _d8_len(i: int) -> float:
+    diag = float(np.sqrt(GRID1.res_x * GRID1.res_x + GRID1.res_y * GRID1.res_y))
+    return [diag, GRID1.res_x, diag, GRID1.res_y, diag, GRID1.res_x, diag, GRID1.res_y][i]
+
+
+_D8_SLOPES = " UNION ALL ".join(
+    f"SELECT a.cell_id, {i} AS i, CAST({1 << i} AS BIGINT) AS code, "
+    f"(a.v - b.v) / {_d8_len(i)!r} AS slope "
+    f"FROM cells a JOIN cells b ON b.r = a.r + ({_D8_DY[i]}) AND b.c = a.c + ({_D8_DX[i]})"
+    for i in range(8)
+)
+
+
+@query(
+    "d8_pointer",
+    f"""
+    WITH {_CELLS_CTE},
+    slopes AS ({_D8_SLOPES}),
+    best AS (
+      SELECT cell_id, code FROM slopes WHERE slope > 0
+      QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY slope DESC, i ASC) = 1
+    )
+    SELECT c.cell_id, CAST(COALESCE(b.code, 0) AS BIGINT) AS d8
+    FROM cells c LEFT JOIN best b ON b.cell_id = c.cell_id
+    """,
+)
+def d8_pointer(sf_dir: str):
+    """D8Pointer (hydro_analysis/d8_pointer.rs:252-295): steepest positive
+    downslope neighbour, first-in-order wins ties (strict >), code 2^i,
+    0 when no neighbour is lower — a pure halo stencil, the entry point of
+    the G hydrology family (the iterative accumulation is round-2)."""
+    from ..stages.raster import stencil_3x3, synth_raster_tiles
+
+    def vfn(cells: np.ndarray) -> np.ndarray:
+        return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        best_slope = np.full((nr, nc), -np.inf)
+        code = np.zeros((nr, nc), np.int64)
+        for i in range(8):
+            zn = padded[1 + _D8_DY[i]:1 + _D8_DY[i] + nr, 1 + _D8_DX[i]:1 + _D8_DX[i] + nc]
+            slope = (z - zn) / _d8_len(i)
+            ok = ~np.isnan(zn) & (slope > 0) & (slope > best_slope)
+            best_slope = np.where(ok, slope, best_slope)
+            code = np.where(ok, np.int64(1 << i), code)
+        return {"d8": code}
+
+    tiles = synth_raster_tiles(GRID1, vfn)
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "d8": df["d8"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 BUFFER_R2 = 25  # cells within 5 cell-widths of a target
 
 
