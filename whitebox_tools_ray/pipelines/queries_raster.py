@@ -180,6 +180,87 @@ def d8_pointer(sf_dir: str):
         batch_format="pandas")
 
 
+# D8 code -> down-cell offset, rendered into SQL (graph CTE shared by the
+# iterative flow oracles)
+_D8_CASE = "CASE b.code " + " ".join(
+    f"WHEN {1 << i} THEN c.cell_id + ({_D8_DY[i] * GRID1.cols + _D8_DX[i]})"
+    for i in range(8)
+) + " ELSE -1 END"
+
+_GRAPH_CTES = f"""
+    {_CELLS_CTE},
+    slopes AS ({_D8_SLOPES}),
+    best AS (
+      SELECT cell_id, code FROM slopes WHERE slope > 0
+      QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY slope DESC, i ASC) = 1
+    ),
+    graph AS (
+      SELECT c.cell_id, CAST({_D8_CASE} AS BIGINT) AS down_id
+      FROM cells c LEFT JOIN best b ON b.cell_id = c.cell_id
+    )
+"""
+
+
+@query(
+    "flow_accumulation",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT g.cell_id, CAST(1 + COALESCE(p.n, 0) AS BIGINT) AS acc
+    FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+      ON p.cur = g.cell_id
+    """,
+)
+def flow_accumulation_q(sf_dir: str):
+    """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:483-560): number
+    of cells draining through each cell (incl. itself). The reference's
+    whole-raster sequential drain becomes Pregel-style tile sweeps: per-tile
+    internal drains + cross-border mass packets per round (stages/flow)."""
+    import ray.data
+
+    from ..stages.flow import d8_down_ids, flow_accumulation
+
+    d8 = d8_pointer(sf_dir).to_pandas()
+    down = d8_down_ids(d8, GRID1)
+    acc = flow_accumulation(down, GRID1)
+    return ray.data.from_pandas(acc)
+
+
+@query(
+    "watershed_basins",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    w(cell_id, cur) AS (
+      SELECT cell_id, cell_id FROM graph
+      UNION ALL
+      SELECT w.cell_id, g.down_id FROM w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT w.cell_id, CAST(w.cur AS BIGINT) AS basin
+    FROM w JOIN graph g ON g.cell_id = w.cur
+    WHERE g.down_id < 0
+    """,
+)
+def watershed_basins(sf_dir: str):
+    """Watershed / Basins (hydro_analysis/{watershed,basins}.rs): label each
+    cell with the outlet its D8 path reaches, via pointer doubling —
+    O(log path) rounds of next := next(next)."""
+    import ray.data
+
+    from ..stages.flow import basins_pointer_doubling, d8_down_ids
+
+    d8 = d8_pointer(sf_dir).to_pandas()
+    down = d8_down_ids(d8, GRID1)
+    basin = basins_pointer_doubling(down)
+    return ray.data.from_pandas(pd.DataFrame({
+        "cell_id": np.arange(len(basin), dtype=np.int64), "basin": basin}))
+
+
 BUFFER_R2 = 25  # cells within 5 cell-widths of a target
 
 
