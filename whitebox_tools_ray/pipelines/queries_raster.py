@@ -261,6 +261,53 @@ def watershed_basins(sf_dir: str):
         "cell_id": np.arange(len(basin), dtype=np.int64), "basin": basin}))
 
 
+@query(
+    "num_inflowing_neighbours",
+    f"""
+    WITH {_GRAPH_CTES}
+    SELECT g.cell_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_inflow
+    FROM graph g
+    LEFT JOIN (SELECT down_id, COUNT(*) AS n FROM graph
+               WHERE down_id >= 0 GROUP BY down_id) p
+      ON p.down_id = g.cell_id
+    """,
+)
+def num_inflowing_neighbours(sf_dir: str):
+    """NumInflowingNeighbours (hydro_analysis/num_inflowing_neighbours.rs):
+    in-degree of the D8 graph — one grouped count on the down pointer."""
+    import ray.data
+
+    from ..relational import partial_agg
+    from ..stages.flow import d8_down_ids
+
+    d8 = d8_pointer(sf_dir).to_pandas()
+    down = d8_down_ids(d8, GRID1)
+    counts = np.bincount(down[down >= 0], minlength=len(down))
+    return ray.data.from_pandas(pd.DataFrame({
+        "cell_id": np.arange(len(down), dtype=np.int64),
+        "n_inflow": counts.astype(np.int64)}))
+
+
+@query("strahler_order")
+def strahler_order(sf_dir: str):
+    """StrahlerStreamOrder (stream_network_analysis/strahler_order.rs) over
+    the D8 forest: leaves are order 1; a cell's order is the max child order,
+    +1 when two or more children attain that max. Computed in topological
+    waves (cells whose children are all resolved) — bounded by the longest
+    path, same Pregel shape as flow accumulation. Rows-only; brute-force
+    oracle in tests/test_flow.py."""
+    import ray.data
+
+    from ..stages.flow import d8_down_ids, strahler
+
+    d8 = d8_pointer(sf_dir).to_pandas()
+    down = d8_down_ids(d8, GRID1)
+    order = strahler(down)
+    return ray.data.from_pandas(pd.DataFrame({
+        "cell_id": np.arange(len(down), dtype=np.int64),
+        "strahler": order}))
+
+
 BUFFER_R2 = 25  # cells within 5 cell-widths of a target
 
 

@@ -105,6 +105,40 @@ def flow_accumulation(down: np.ndarray, grid: GridSpec, *, tile: int = 64,
     return acc.sort_values("cell_id").reset_index(drop=True)
 
 
+def strahler(down: np.ndarray, *, max_rounds: int = 100_000) -> np.ndarray:
+    """Strahler order over the D8 forest, topological-wave iteration:
+    resolve cells whose inflowing children are all resolved; order = max
+    child order, +1 when >= 2 children attain the max; leaves = 1."""
+    n = len(down)
+    indeg = np.bincount(down[down >= 0], minlength=n)
+    order = np.zeros(n, np.int64)
+    max_child = np.zeros(n, np.int64)
+    max_count = np.zeros(n, np.int64)
+    pending = indeg.copy()
+    frontier = np.flatnonzero(pending == 0)
+    order[frontier] = 1
+    rounds = 0
+    while len(frontier):
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("strahler did not converge (cycle?)")
+        # push resolved orders downstream (vectorized per wave)
+        d = down[frontier]
+        ok = d >= 0
+        for cell, o in zip(d[ok], order[frontier[ok]]):
+            if o > max_child[cell]:
+                max_child[cell] = o
+                max_count[cell] = 1
+            elif o == max_child[cell]:
+                max_count[cell] += 1
+        np.subtract.at(pending, d[ok], 1)
+        nxt = d[ok][pending[d[ok]] == 0]
+        nxt = np.unique(nxt)
+        order[nxt] = max_child[nxt] + (max_count[nxt] >= 2)
+        frontier = nxt
+    return order
+
+
 def basins_pointer_doubling(down: np.ndarray, *, max_rounds: int = 40) -> np.ndarray:
     """label[v] = outlet cell id of v's flow path, via pointer doubling.
 
