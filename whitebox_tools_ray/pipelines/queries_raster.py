@@ -57,6 +57,86 @@ def raster_mean3x3(sf_dir: str):
         batch_format="pandas")
 
 
+@query(
+    "raster_minmax3x3",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_NB_UNION})
+    SELECT cell_id, MIN(v) AS vmin9, MAX(v) AS vmax9,
+           MAX(v) - MIN(v) AS vrange9
+    FROM nb GROUP BY cell_id
+    """,
+)
+def raster_minmax3x3(sf_dir: str):
+    """Minimum/Maximum/Range filters (image_analysis/{min,max,range}_filter.rs)
+    in one halo-stencil pass — integer-exact."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        vmin = np.full((nr, nc), np.inf)
+        vmax = np.full((nr, nc), -np.inf)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                w = padded[dr:dr + nr, dc:dc + nc]
+                vmin = np.fmin(vmin, w)  # fmin/fmax ignore NaN halo
+                vmax = np.fmax(vmax, w)
+        return {"vmin9": vmin, "vmax9": vmax, "vrange9": vmax - vmin}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "vmin9": df["vmin9"].astype(np.float64),
+                                 "vmax9": df["vmax9"].astype(np.float64),
+                                 "vrange9": df["vrange9"].astype(np.float64)}),
+        batch_format="pandas")
+
+
+@query(
+    "raster_sobel",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS (
+      {" UNION ALL ".join(
+        f"SELECT a.cell_id, CAST({dc} AS BIGINT) AS dc, CAST({dr} AS BIGINT) AS dr, b.v "
+        f"FROM cells a JOIN cells b ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1))}
+    )
+    SELECT cell_id,
+      CAST(SUM(CASE WHEN dc = 1 THEN (CASE WHEN dr = 0 THEN 2 ELSE 1 END) * v
+                    WHEN dc = -1 THEN -(CASE WHEN dr = 0 THEN 2 ELSE 1 END) * v
+                    ELSE 0 END) AS BIGINT) AS gx,
+      CAST(SUM(CASE WHEN dr = 1 THEN (CASE WHEN dc = 0 THEN 2 ELSE 1 END) * v
+                    WHEN dr = -1 THEN -(CASE WHEN dc = 0 THEN 2 ELSE 1 END) * v
+                    ELSE 0 END) AS BIGINT) AS gy
+    FROM nb GROUP BY cell_id
+    HAVING COUNT(*) = 9
+    """,
+)
+def raster_sobel(sf_dir: str):
+    """SobelFilter (image_analysis/sobel_filter.rs): integer gx/gy gradients,
+    interior cells only (edge cells lack the full 3x3 — HAVING COUNT(*)=9)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]; i = z[2:nr + 2, 2:nc + 2]
+        gx = (c + 2 * f + i) - (a + 2 * d + g)
+        gy = (g + 2 * h + i) - (a + 2 * b + c)
+        return {"gx": gx, "gy": gy}
+
+    cells = stencil_3x3(tiles, GRID1, kern)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~(df["gx"].isna() | df["gy"].isna())
+        df = df[keep]
+        return pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                             "gx": df["gx"].astype(np.int64),
+                             "gy": df["gy"].astype(np.int64)})
+
+    return cells.map_batches(finish, batch_format="pandas")
+
+
 @query("raster_slope")
 def raster_slope(sf_dir: str):
     """Horn slope (terrain_analysis/slope.rs:272-326) via the same halo
