@@ -64,6 +64,47 @@ def is_clockwise(ring: np.ndarray) -> bool:
     return polygon_area(ring) < 0.0
 
 
+def clip_polygon_convex(subject: np.ndarray, clip_cw: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip a (closed) subject ring to a CONVEX clockwise
+    clip ring. Returns the closed clipped ring (possibly empty, shape (0, 2)).
+
+    The overlay primitive behind the Intersect/Clip polygon branches
+    (gis_analysis/{intersect,clip}.rs split-and-reassemble); boundary points
+    are retained (standard S-H inclusive semantics).
+    """
+    subject = np.asarray(subject, np.float64)
+    clip_cw = np.asarray(clip_cw, np.float64)
+    out = list(map(tuple, subject[:-1])) if len(subject) else []
+    for (ex0, ey0), (ex1, ey1) in zip(clip_cw[:-1], clip_cw[1:]):
+        if not out:
+            return np.empty((0, 2))
+        inp = out
+        out = []
+
+        def side(p):
+            # inside = on or right of the clockwise clip edge (is_left <= 0)
+            return (ex1 - ex0) * (p[1] - ey0) - (p[0] - ex0) * (ey1 - ey0)
+
+        def isect(a, b):
+            da, db = side(a), side(b)
+            t = da / (da - db)
+            return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+
+        prev = inp[-1]
+        for cur in inp:
+            if side(cur) <= 0.0:
+                if side(prev) > 0.0:
+                    out.append(isect(prev, cur))
+                out.append(cur)
+            elif side(prev) <= 0.0:
+                out.append(isect(prev, cur))
+            prev = cur
+    if len(out) < 3:
+        return np.empty((0, 2))
+    ring = np.asarray(out + [out[0]], np.float64)
+    return ring
+
+
 @dataclass
 class PackedPolygons:
     """A polygon layer packed into flat numpy arrays for broadcast.

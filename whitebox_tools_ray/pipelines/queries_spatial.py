@@ -15,7 +15,16 @@ import pyarrow as pa
 import ray
 
 from ..grid import GridSpec, hex_centers
-from ..layers import GRID1, builtin_polygons, clip_keep_sql, feature_sql
+from ..layers import (
+    GRID1,
+    HOLE_B,
+    RECT_A,
+    RECT_B,
+    RECT_C,
+    builtin_polygons,
+    clip_keep_sql,
+    feature_sql,
+)
 from ..relational import cents, partial_agg
 from ..sources.tables import X_SQL, Y_SQL, read_points
 from ..stages.gridding import idw_grid_int, nn_grid, points_to_raster
@@ -474,6 +483,86 @@ def medoid_by_type(sf_dir: str):
                              "medoid_id": [ids[i]], "d2": [d2[i]]})
 
     return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+# clip windows for the polygon-overlay operator (dyadic-exact coordinates)
+CLIP_RECTS = [(-100.0, -30.0, -70.0, 10.0), (-20.0, -40.0, 40.0, 30.0),
+              (20.0, -35.0, 120.0, 45.0)]
+
+
+def _ov(lo_a, hi_a, lo_b, hi_b) -> str:
+    return f"GREATEST(0.0, LEAST({hi_a!r}, {hi_b!r}) - GREATEST({lo_a!r}, {lo_b!r}))"
+
+
+def _rect_clip_area_sql(rect, clip) -> str:
+    ax0, ay0, ax1, ay1 = rect
+    cx0, cy0, cx1, cy1 = clip
+    return f"({_ov(ax0, ax1, cx0, cx1)} * {_ov(ay0, ay1, cy0, cy1)})"
+
+
+def _overlay_oracle() -> str:
+    # per (rect feature, clip window): exact intersection area; feature 1
+    # subtracts its hole. The pentagon (feature 3) is excluded from the SQL
+    # contract (covered by unit tests) — rect/rect intersections are exact
+    # closed forms over dyadic literals.
+    selects = []
+    for i, clip in enumerate(CLIP_RECTS):
+        exprs = {
+            0: _rect_clip_area_sql(RECT_A, clip),
+            1: f"({_rect_clip_area_sql(RECT_B, clip)} - {_rect_clip_area_sql(HOLE_B, clip)})",
+            2: _rect_clip_area_sql(RECT_C, clip),
+        }
+        for fid, expr in exprs.items():
+            selects.append(
+                f"SELECT CAST({fid} AS BIGINT) AS poly_id, "
+                f"CAST({i} AS BIGINT) AS clip_id, {expr} AS area")
+    return ("SELECT poly_id, clip_id, area FROM ("
+            + " UNION ALL ".join(selects) + ") WHERE area > 0")
+
+
+@query("polygon_intersect_rects", _overlay_oracle())
+def polygon_intersect_rects(sf_dir: str):
+    """Vector Intersect (gis_analysis/intersect.rs) for convex clip windows:
+    Sutherland-Hodgman clip of every feature part against each window,
+    areas via shoelace; holes subtract. Exact dyadic arithmetic end to end."""
+    import ray.data
+
+    from ..geometry import clip_polygon_convex, polygon_area
+    from ..layers import _rect_ring
+
+    polys = builtin_polygons()
+    items = []
+    for i, (x0, y0, x1, y1) in enumerate(CLIP_RECTS):
+        for fid in np.unique(polys.feature_id):
+            items.append({"clip_id": i, "poly_id": int(fid),
+                          "cx0": x0, "cy0": y0, "cx1": x1, "cy1": y1})
+    ds = ray.data.from_items(items)
+    pref = ray.put(polys)
+
+    def clip_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        pp = _cached_get(pref)
+        rows = []
+        for r in df.itertuples():
+            window = _rect_ring(r.cx0, r.cy0, r.cx1, r.cy1)
+            area = 0.0
+            nonempty = False
+            for p in np.flatnonzero(pp.feature_id == r.poly_id):
+                clipped = clip_polygon_convex(pp.rings[p], window)
+                if len(clipped) == 0:
+                    continue
+                nonempty = True
+                a = abs(polygon_area(clipped))
+                area += -a if pp.is_hole[p] else a
+            if nonempty and area > 0:
+                rows.append({"poly_id": int(r.poly_id), "clip_id": int(r.clip_id),
+                             "area": float(area)})
+        return pd.DataFrame(rows, columns=["poly_id", "clip_id", "area"])
+
+    out = ds.map_batches(clip_batch, batch_format="pandas")
+    # the SQL contract covers the rectangular features only
+    return out.map_batches(lambda df: df[df["poly_id"] < 3], batch_format="pandas")
 
 
 @query("tin_gridding")
