@@ -10,6 +10,7 @@ import pyarrow as pa
 
 from ..relational import partial_agg
 from ..stages.raster import mean3x3_kernel, slope_kernel_factory, stencil_3x3, synth_raster_tiles
+from ..grid import GridSpec
 from ..layers import GRID1
 from .queries import query
 
@@ -135,6 +136,129 @@ def raster_sobel(sf_dir: str):
                              "gy": df["gy"].astype(np.int64)})
 
     return cells.map_batches(finish, batch_format="pandas")
+
+
+@query(
+    "raster_median3x3",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_NB_UNION})
+    SELECT cell_id, quantile_disc(v, 0.5) AS vmed9, COUNT(*) AS n9
+    FROM nb GROUP BY cell_id
+    """,
+)
+def raster_median3x3(sf_dir: str):
+    """MedianFilter (image_analysis/median_filter.rs): discrete median of
+    the available 3x3 neighbourhood (index ceil(n/2)-1 on sorted values —
+    quantile_disc semantics, exact)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        vals = np.stack([padded[dr:dr + nr, dc:dc + nc]
+                         for dr in (0, 1, 2) for dc in (0, 1, 2)])  # (9, nr, nc)
+        svals = np.sort(vals, axis=0)  # NaNs sort to the end
+        n = (~np.isnan(vals)).sum(axis=0)
+        idx = np.ceil(n / 2).astype(np.int64) - 1
+        med = np.take_along_axis(svals, idx[None, :, :], axis=0)[0]
+        return {"vmed9": med, "n9": n}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "vmed9": df["vmed9"].astype(np.float64),
+                                 "n9": df["n9"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "percent_equal_to",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_NB_UNION})
+    SELECT n.cell_id,
+           CAST(SUM(CASE WHEN n.v = c.v THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+           COUNT(*) AS n9
+    FROM nb n JOIN cells c ON c.cell_id = n.cell_id
+    GROUP BY n.cell_id
+    """,
+)
+def percent_equal_to(sf_dir: str):
+    """PercentEqualTo (gis_analysis/percent_equal_to.rs): count of 3x3
+    neighbours (incl. centre) equal to the centre value — integer contract;
+    the ratio n_eq/n9 is left to consumers."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        centre = padded[1:nr + 1, 1:nc + 1]
+        n_eq = np.zeros((nr, nc), np.int64)
+        n = np.zeros((nr, nc), np.int64)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                w = padded[dr:dr + nr, dc:dc + nc]
+                ok = ~np.isnan(w)
+                n_eq += (ok & (w == centre)).astype(np.int64)
+                n += ok.astype(np.int64)
+        return {"n_eq": n_eq, "n9": n}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "n_eq": df["n_eq"].astype(np.int64),
+                                 "n9": df["n9"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+# resample target grid: 1.5x coarser, offset origin (tests the general
+# nearest-neighbour source lookup, not a trivial integer decimation)
+RS = GridSpec(west=-177.5, north=83.5, res_x=1.5, res_y=1.5, rows=100, cols=200)
+
+
+@query(
+    "raster_resample_nn",
+    f"""
+    WITH src AS (SELECT CAST(t.i AS BIGINT) AS cell_id,
+                        CAST(t.i // {GRID1.cols} AS BIGINT) AS r,
+                        CAST(t.i % {GRID1.cols} AS BIGINT) AS c,
+                        ((t.i * 1000003) % 1000) AS v
+                 FROM range({GRID1.rows * GRID1.cols}) t(i)),
+    dst AS (SELECT CAST(t.i AS BIGINT) AS dst_cell,
+                   ({RS.west + RS.res_x / 2.0!r} + CAST(t.i % {RS.cols} AS DOUBLE) * {RS.res_x!r}) AS cx,
+                   ({RS.north - RS.res_y / 2.0!r} - CAST(t.i // {RS.cols} AS DOUBLE) * {RS.res_y!r}) AS cy
+            FROM range({RS.rows * RS.cols}) t(i)),
+    lookup AS (
+      SELECT dst_cell,
+             CAST(FLOOR((cx - ({GRID1.west!r})) / {GRID1.res_x!r}) AS BIGINT) AS sc,
+             CAST(FLOOR((({GRID1.north!r}) - cy) / {GRID1.res_y!r}) AS BIGINT) AS sr
+      FROM dst
+    )
+    SELECT l.dst_cell, CAST(s.v AS BIGINT) AS v
+    FROM lookup l JOIN src s ON s.r = l.sr AND s.c = l.sc
+    """,
+)
+def raster_resample_nn(sf_dir: str):
+    """Resample, nearest-neighbour method (image_analysis/resample.rs): each
+    target cell centre looks up its containing source cell (reference floor
+    arithmetic); tile-parallel over the target grid with broadcast source."""
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    src = ((np.arange(GRID1.rows * GRID1.cols, dtype=np.int64) * 1000003) % 1000)
+    ref = ray.put(src)
+
+    ids = __import__("ray.data", fromlist=["range"]).range(
+        RS.rows * RS.cols, override_num_blocks=4)
+
+    def resample(batch: dict) -> pd.DataFrame:
+        s = _cached_get(ref)
+        d = batch["id"].astype(np.int64)
+        cx = RS.west + RS.res_x / 2.0 + (d % RS.cols).astype(np.float64) * RS.res_x
+        cy = RS.north - RS.res_y / 2.0 - (d // RS.cols).astype(np.float64) * RS.res_y
+        sc = GRID1.col_from_x(cx)
+        sr = GRID1.row_from_y(cy)
+        ok = GRID1.in_bounds(sr, sc)
+        return pd.DataFrame({"dst_cell": d[ok],
+                             "v": s[GRID1.cell_id(sr, sc)[ok]]})
+
+    return ids.map_batches(resample, batch_format="numpy")
 
 
 @query("raster_slope")
