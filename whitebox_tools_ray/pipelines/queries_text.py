@@ -355,6 +355,68 @@ def ann_topk_dot(sf_dir: str):
     return partial.groupby("q_id").map_groups(topk, batch_format="pandas")
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 4):
+    """IVF-style ANN (the scale path for ann_topk_dot): k-means coarse
+    quantizer partitions the embeddings into nlist inverted lists; each query
+    probes only its nprobe nearest lists, then scores candidates with the
+    exact integer dot. Rows-only; recall-vs-brute-force oracle in
+    tests/test_ann_ivf.py. Output: q_id, vec_id, dot, rank."""
+    import ray
+
+    from ..stages.kmeans import _assign, _quantize, kmeans_fit
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=nlist, iters=4)
+    cents_q = _quantize(cents)
+
+    qdf = emb.filter(lambda r: r["vec_id"] < ANN_NQ).to_pandas()
+    qmat = _quantize(np.stack(qdf["embedding"].to_numpy()))
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    # probe lists per query: nprobe highest-dot centroids
+    qdots = qmat @ cents_q.T
+    probes = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, qmat, cents_q, probes))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        qids_, qmat_, cq, probes_ = _cached_get(ref)
+        m = _quantize(np.stack(df["embedding"].to_numpy()))
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        clusters = _assign(m, cq)
+        frames = []
+        for qi, qid in enumerate(qids_):
+            cand = np.isin(clusters, probes_[qi]) & (ids != qid)
+            if not cand.any():
+                continue
+            dots = m[cand] @ qmat_[qi]
+            cid = ids[cand]
+            order = np.lexsort((cid, -dots))[:k]
+            frames.append(pd.DataFrame({"q_id": qid, "vec_id": cid[order],
+                                        "dot": dots[order]}))
+        if not frames:
+            return pd.DataFrame({"q_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "dot": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partial = emb.map_batches(score, batch_format="pandas", batch_size=4096)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["vec_id"].to_numpy(), -df["dot"].to_numpy()))
+        df = df.iloc[order].groupby("q_id", sort=False).head(k)
+        df = df.sort_values(["q_id", "dot", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("q_id", sort=False).cumcount() + 1
+        return df
+
+    merged = tree_reduce(partial, lambda df: df.iloc[
+        np.lexsort((df["vec_id"].to_numpy(), -df["dot"].to_numpy()))
+    ].groupby("q_id", sort=False).head(k), batch_format="pandas", levels=(8, 1))
+    return merged.map_batches(topk, batch_format="pandas")
+
+
 @query("embedding_near_dup")
 def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
     """Embedding near-dup pairs via random-hyperplane LSH buckets + exact
