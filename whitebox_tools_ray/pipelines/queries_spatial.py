@@ -352,6 +352,47 @@ def knn_points(sf_dir: str):
 # Dedup + hex binning (sections 2.3f,h)
 # --------------------------------------------------------------------------
 
+HEAT_H = 8.0  # KDE bandwidth (degrees)
+
+
+@query(
+    "heatmap_kde",
+    f"""
+    WITH {PTS_CTE}, {_cells_cte(GRID_IDW)},
+    cand AS (
+      SELECT c.cell_id,
+             CAST(ROUND(1000000000.0 * POW(1.0 -
+               ((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))
+               / {HEAT_H * HEAT_H!r}, 2)) AS BIGINT) AS w
+      FROM cells c, pts p
+      WHERE (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+            <= {HEAT_H * HEAT_H!r}
+    )
+    SELECT cell_id, COUNT(*) AS n_pts, CAST(SUM(w) AS BIGINT) AS density_q
+    FROM cand GROUP BY cell_id
+    """,
+)
+def heatmap_kde(sf_dir: str):
+    """HeatMap KDE (whitebox-plugins/src/heat_map/main.rs): quartic kernel
+    density per cell centre, integer-quantized weights so the per-cell sum is
+    exact at any parallelism; same candidate-cell shuffle as IDW."""
+    from ..stages.gridding import _candidate_cells
+
+    def cand(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        out = _candidate_cells(x, y, {}, GRID_IDW, HEAT_H)
+        u = 1.0 - out.pop("d2") / (HEAT_H * HEAT_H)
+        w = np.rint(1e9 * u ** 2).astype(np.int64)
+        out["w"] = w
+        out["n_pts"] = np.ones(len(w), np.int64)
+        return pa.table(out)
+
+    cands = read_points(sf_dir, extra_cols=()).map_batches(cand, batch_format="pyarrow")
+    return partial_agg(cands, ["cell_id"],
+                       [("n_pts", "sum", "n_pts"), ("w", "sum", "density_q")])
+
+
 @query(
     "dedup_coincident_grid",
     f"""
