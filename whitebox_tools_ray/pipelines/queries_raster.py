@@ -261,6 +261,92 @@ def raster_resample_nn(sf_dir: str):
     return ids.map_batches(resample, batch_format="numpy")
 
 
+@query(
+    "raster_roughness_sums",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_NB_UNION})
+    SELECT cell_id, COUNT(*) AS n9, CAST(SUM(v) AS BIGINT) AS s1,
+           CAST(SUM(v * v) AS BIGINT) AS s2
+    FROM nb GROUP BY cell_id
+    """,
+)
+def raster_roughness_sums(sf_dir: str):
+    """RuggednessIndex / StandardDeviationFilter family
+    (terrain_analysis/ruggedness_index.rs, image_analysis/stdev_filter.rs):
+    exact neighbourhood moment sums (n, sum, sum-of-squares) — sd/TRI are
+    float functions of these, left to consumers for exactness."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        s1 = np.zeros((nr, nc))
+        s2 = np.zeros((nr, nc))
+        n = np.zeros((nr, nc), np.int64)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                w = padded[dr:dr + nr, dc:dc + nc]
+                ok = ~np.isnan(w)
+                s1 += np.where(ok, w, 0.0)
+                s2 += np.where(ok, w * w, 0.0)
+                n += ok.astype(np.int64)
+        return {"n9": n, "s1": s1, "s2": s2}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "n9": df["n9"].astype(np.int64),
+                                 "s1": df["s1"].astype(np.int64),
+                                 "s2": df["s2"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "raster_correlation_components",
+    f"""
+    WITH a AS (SELECT CAST(t.i AS BIGINT) AS cell_id, ((t.i * 1000003) % 1000) AS v
+               FROM range({GRID1.rows * GRID1.cols}) t(i)),
+    b AS (SELECT CAST(t.i AS BIGINT) AS cell_id, ((t.i * 7919 + 13) % 1000) AS v
+          FROM range({GRID1.rows * GRID1.cols}) t(i))
+    SELECT COUNT(*) AS n,
+           CAST(SUM(a.v) AS BIGINT) AS sum_a, CAST(SUM(b.v) AS BIGINT) AS sum_b,
+           CAST(SUM(a.v * b.v) AS BIGINT) AS sum_ab,
+           CAST(SUM(a.v * a.v) AS BIGINT) AS sum_a2,
+           CAST(SUM(b.v * b.v) AS BIGINT) AS sum_b2
+    FROM a JOIN b ON a.cell_id = b.cell_id
+    """,
+)
+def raster_correlation_components(sf_dir: str):
+    """ImageCorrelation (math_stat_analysis/image_correlation.rs): exact
+    cross-moment sums of two co-tiled rasters (Pearson r is a float function
+    of these) — the two-raster zip/reduce Z pattern, per-tile partials."""
+    from ..relational import partial_agg
+
+    def vfn_b(cells: np.ndarray) -> np.ndarray:
+        return ((cells.astype(np.int64) * 7919 + 13) % 1000).astype(np.float64)
+
+    ta = synth_raster_tiles(GRID1, _value_fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * 64, int(t["tcol"]) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
+            cells = rr.astype(np.int64) * GRID1.cols + cc.astype(np.int64)
+            a = np.asarray(t["data"], np.int64)
+            bvals = vfn_b(cells.ravel()).astype(np.int64)
+            rows.append({"k": 0, "n": np.int64(a.size),
+                         "sum_a": a.sum(), "sum_b": bvals.sum(),
+                         "sum_ab": (a * bvals).sum(),
+                         "sum_a2": (a * a).sum(), "sum_b2": (bvals * bvals).sum()})
+        return pd.DataFrame(rows)
+
+    agg = partial_agg(ta.map_batches(partial, batch_format="pandas"), ["k"], [
+        ("n", "sum", "n"), ("sum_a", "sum", "sum_a"), ("sum_b", "sum", "sum_b"),
+        ("sum_ab", "sum", "sum_ab"), ("sum_a2", "sum", "sum_a2"),
+        ("sum_b2", "sum", "sum_b2")])
+    return agg.drop_columns(["k"])
+
+
 @query("raster_slope")
 def raster_slope(sf_dir: str):
     """Horn slope (terrain_analysis/slope.rs:272-326) via the same halo
