@@ -48,6 +48,24 @@ def test_mean3x3_matches_whole_array():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_aspect_hillshade_matches_whole_array():
+    from whitebox_tools_ray.stages.raster import aspect_hillshade_kernel_factory
+
+    tiles = synth_raster_tiles(G, vfn, tile=16)
+    got = stencil_3x3(tiles, G, aspect_hillshade_kernel_factory(G.res_x, G.res_y),
+                      tile=16).to_pandas().sort_values("cell_id").reset_index(drop=True)
+    z = whole_raster()
+    pad = np.full((G.rows + 2, G.cols + 2), np.nan)
+    pad[1:-1, 1:-1] = z
+    want = aspect_hillshade_kernel_factory(G.res_x, G.res_y)(pad, G.rows, G.cols)
+    for col in ("aspect_deg", "hillshade"):
+        w = np.asarray(want[col]).ravel()
+        gv = got[col].to_numpy()
+        np.testing.assert_array_equal(np.isnan(gv), np.isnan(w))
+        np.testing.assert_array_equal(gv[~np.isnan(w)], w[~np.isnan(w)])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_slope_matches_whole_array():
     tiles = synth_raster_tiles(G, vfn, tile=16)
     got = stencil_3x3(tiles, G, slope_kernel_factory(G.res_x, G.res_y), tile=16) \

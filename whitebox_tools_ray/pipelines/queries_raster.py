@@ -347,6 +347,18 @@ def raster_correlation_components(sf_dir: str):
     return agg.drop_columns(["k"])
 
 
+@query("raster_aspect_hillshade")
+def raster_aspect_hillshade(sf_dir: str):
+    """Aspect + Hillshade (terrain_analysis/{aspect,hillshade}.rs) via the
+    halo stencil — rows-only (trig floats); whole-array numpy oracle in
+    tests/test_raster_stencil.py."""
+    from ..stages.raster import aspect_hillshade_kernel_factory
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    return stencil_3x3(tiles, GRID1,
+                       aspect_hillshade_kernel_factory(GRID1.res_x, GRID1.res_y))
+
+
 @query("raster_slope")
 def raster_slope(sf_dir: str):
     """Horn slope (terrain_analysis/slope.rs:272-326) via the same halo

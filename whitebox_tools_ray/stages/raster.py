@@ -127,6 +127,34 @@ def mean3x3_kernel(padded: np.ndarray, nr: int, nc: int) -> dict:
     return {"sum9": s, "n9": n}
 
 
+def aspect_hillshade_kernel_factory(res_x: float, res_y: float, *,
+                                    azimuth_deg: float = 315.0,
+                                    altitude_deg: float = 30.0):
+    """Aspect (terrain_analysis/aspect.rs) + Hillshade
+    (terrain_analysis/hillshade.rs) from the same Horn gradients:
+    aspect = atan2(dzdy, -dzdx) mapped to compass degrees; hillshade =
+    cos(zenith)cos(slope) + sin(zenith)sin(slope)cos(azimuth - aspect),
+    clamped to [0, 1]."""
+    az = np.radians(azimuth_deg)
+    zen = np.radians(90.0 - altitude_deg)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]; i = z[2:nr + 2, 2:nc + 2]
+        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * res_x)
+        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * res_y)
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        compass = np.degrees(np.where(aspect < 0, aspect + 2 * np.pi, aspect))
+        hs = np.cos(zen) * np.cos(slope) + \
+            np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        return {"aspect_deg": compass, "hillshade": np.clip(hs, 0.0, 1.0)}
+
+    return kern
+
+
 def slope_kernel_factory(res_x: float, res_y: float):
     """Horn 3x3 slope (terrain_analysis/slope.rs): dz/dx, dz/dy via the
     8-neighbour weighted differences; edge cells (incomplete halo) -> NaN."""
