@@ -272,6 +272,53 @@ def polygons_to_raster(sf_dir: str):
     return ids.map_batches(burn, batch_format="numpy")
 
 
+@query(
+    "trend_surface_components",
+    f"""
+    WITH pts AS (
+      SELECT CAST(ROUND({X_SQL} * 100) AS BIGINT) AS xq,
+             CAST(ROUND({Y_SQL} * 100) AS BIGINT) AS yq,
+             CAST(ROUND(value * 100) AS BIGINT) AS zq
+      FROM events
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(zq) AS BIGINT) AS sz,
+           CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+           CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+           CAST(SUM(yq * yq) AS BIGINT) AS syy,
+           CAST(SUM(xq * zq) AS BIGINT) AS sxz,
+           CAST(SUM(yq * zq) AS BIGINT) AS syz
+    FROM pts
+    """,
+)
+def trend_surface_components(sf_dir: str):
+    """TrendSurface degree-1 (math_stat_analysis/trend_surface.rs /
+    trend_surface_vector_points.rs): the normal-equation moment sums over
+    centidegree/cent-quantized coordinates — exact int64, order-independent;
+    the 3x3 solve for the plane coefficients is a driver-side float step."""
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        xq = np.rint(t["x"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        yq = np.rint(t["y"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        zq = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "k": np.zeros(len(xq), np.int64),
+            "n": np.ones(len(xq), np.int64),
+            "sx": xq, "sy": yq, "sz": zq,
+            "sxx": xq * xq, "sxy": xq * yq, "syy": yq * yq,
+            "sxz": xq * zq, "syz": yq * zq,
+        })
+
+    agg = partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["k"], [
+        (c, "sum", c) for c in ("n", "sx", "sy", "sz", "sxx", "sxy", "syy", "sxz", "syz")
+    ])
+    return agg.drop_columns(["k"])
+
+
 # --------------------------------------------------------------------------
 # Large-side hash join (Ray native Dataset.join) + JSON attribute extraction
 # --------------------------------------------------------------------------
