@@ -276,8 +276,8 @@ def polygons_to_raster(sf_dir: str):
     "trend_surface_components",
     f"""
     WITH pts AS (
-      SELECT CAST(ROUND({X_SQL} * 100) AS BIGINT) AS xq,
-             CAST(ROUND({Y_SQL} * 100) AS BIGINT) AS yq,
+      SELECT CAST(ROUND({X_SQL} * 128) AS BIGINT) AS xq,
+             CAST(ROUND({Y_SQL} * 128) AS BIGINT) AS yq,
              CAST(ROUND(value * 100) AS BIGINT) AS zq
       FROM events
     )
@@ -295,15 +295,15 @@ def polygons_to_raster(sf_dir: str):
 def trend_surface_components(sf_dir: str):
     """TrendSurface degree-1 (math_stat_analysis/trend_surface.rs /
     trend_surface_vector_points.rs): the normal-equation moment sums over
-    centidegree/cent-quantized coordinates — exact int64, order-independent;
+    dyadically quantized (x*128 -- exact float multiply, so half-way rounding cases are measure-zero) coordinates and cent values — exact int64, order-independent;
     the 3x3 solve for the plane coefficients is a driver-side float step."""
     from ..sources.tables import read_points
 
     ds = read_points(sf_dir)
 
     def enc(t: pa.Table) -> pa.Table:
-        xq = np.rint(t["x"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        yq = np.rint(t["y"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        xq = np.rint(t["x"].to_numpy(zero_copy_only=False) * 128).astype(np.int64)
+        yq = np.rint(t["y"].to_numpy(zero_copy_only=False) * 128).astype(np.int64)
         zq = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table({
             "k": np.zeros(len(xq), np.int64),
