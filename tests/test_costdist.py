@@ -1,0 +1,48 @@
+"""Tile-sweep cost distance vs a global Dijkstra oracle (exact int64)."""
+
+import heapq
+
+import numpy as np
+import pytest
+
+from whitebox_tools_ray.grid import GridSpec
+
+G = GridSpec(west=0.0, north=24.0, res_x=1.0, res_y=1.0, rows=24, cols=36)
+
+
+def brute_dijkstra(cost, sources):
+    n = G.rows * G.cols
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, np.int64)
+    heap = [(0, int(s)) for s in sources]
+    dist[sources] = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if d > dist[v]:
+            continue
+        r, c = v // G.cols, v % G.cols
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < G.rows and 0 <= nc < G.cols:
+                u = nr * G.cols + nc
+                nd = d + int(cost[v]) + int(cost[u])
+                if nd < dist[u]:
+                    dist[u] = nd
+                    heapq.heappush(heap, (nd, u))
+    return dist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cost_distance_matches_dijkstra():
+    from whitebox_tools_ray.stages.costdist import cost_distance
+
+    rng = np.random.default_rng(6)
+    n = G.rows * G.cols
+    cost = rng.integers(1, 20, n).astype(np.int64)
+    sources = np.array([5, n // 2, n - 7], np.int64)
+
+    got = cost_distance(cost, sources, G, tile=8)
+    want = brute_dijkstra(cost, sources)
+    np.testing.assert_array_equal(got, want)
+    assert (got[sources] == 0).all()
+    assert got.max() < np.iinfo(np.int64).max  # fully connected grid

@@ -610,6 +610,26 @@ def strahler_order(sf_dir: str):
         "strahler": order}))
 
 
+@query("cost_distance")
+def cost_distance_q(sf_dir: str):
+    """CostDistance (gis_analysis/cost_distance.rs): accumulated least cost
+    from sparse source cells over a synthetic cost surface — tile-sweep
+    Dijkstra with halo relaxation rounds, exact int64 (4-neighbour variant).
+    Rows-only; global-Dijkstra oracle in tests/test_costdist.py."""
+    import ray.data
+
+    from ..stages.costdist import INF, cost_distance
+
+    n = GRID1.rows * GRID1.cols
+    cells = np.arange(n, dtype=np.int64)
+    cost = (1 + (cells * 31) % 7).astype(np.int64)
+    sources = cells[(cells * 7919) % 509 == 0]
+    dist = cost_distance(cost, sources, GRID1)
+    ok = dist < INF
+    return ray.data.from_pandas(pd.DataFrame({
+        "cell_id": cells[ok], "cost_dist2": dist[ok]}))
+
+
 BUFFER_R2 = 25  # cells within 5 cell-widths of a target
 
 
