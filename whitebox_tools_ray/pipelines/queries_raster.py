@@ -707,6 +707,68 @@ def raster_to_polygons(sf_dir: str):
         }), batch_format="pandas")
 
 
+@query("dissolve_by_category")
+def dissolve_by_category(sf_dir: str):
+    """Dissolve (gis_analysis/dissolve.rs) in raster space — an operator
+    COMPOSITION: burn category ids into cells (VectorPolygonsToRaster) ->
+    connected components over equal categories (Clump) -> boundary ring
+    tracing (RasterToVectorPolygons phase 2). Adjacent same-category
+    features merge into one region; holes preserved. Rows-only; the three
+    stages carry their own oracles. Output: region ring inventory."""
+    from ..layers import builtin_polygons
+    from ..stages.clump import clump as run_clump
+    from ..stages.polygonize import polygonize
+
+    polys = builtin_polygons()
+    # category = feature id parity (two categories, merges B and pentagon
+    # only if adjacent — they are not; A/C merge nothing; the interesting
+    # case is C overlapping B's hole region)
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    pref = ray.put(polys)
+    tile = GRID1.tile_size
+
+    def burn_tiles(batch: dict) -> pd.DataFrame:
+        pp = _cached_get(pref)
+        rows = []
+        for tid in batch["id"]:
+            tr, tc = int(tid) // GRID1.tile_cols, int(tid) % GRID1.tile_cols
+            r0, c0 = tr * tile, tc * tile
+            nr = min(tile, GRID1.rows - r0)
+            nc = min(tile, GRID1.cols - c0)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc),
+                                 indexing="ij")
+            cx = GRID1.west + GRID1.res_x / 2.0 + cc.ravel().astype(np.float64) * GRID1.res_x
+            cy = GRID1.north - GRID1.res_y / 2.0 - rr.ravel().astype(np.float64) * GRID1.res_y
+            idx, fid = pp.pip_pairs(cx, cy)
+            vals = np.zeros(nr * nc)
+            if len(idx):
+                cat = (fid % 2).astype(np.float64) + 1.0  # categories 1/2
+                order = np.argsort(fid, kind="stable")
+                vals[idx[order]] = cat[order]  # highest feature id wins
+            rows.append({"tile_id": int(tid), "trow": tr, "tcol": tc,
+                         "nrows": nr, "ncols": nc, "data": vals})
+        return pd.DataFrame(rows)
+
+    import ray.data
+
+    tiles = ray.data.range(GRID1.tile_rows * GRID1.tile_cols,
+                           override_num_blocks=4).map_batches(burn_tiles,
+                                                              batch_format="numpy")
+    cells = run_clump(tiles, GRID1, tile=tile)
+    rings = polygonize(cells, GRID1)
+    return rings.map_batches(
+        lambda df: pd.DataFrame({
+            "region_id": df["clump_id"].astype(np.int64),
+            "category": df["value"].astype(np.float64),
+            "ring_idx": df["ring_idx"].astype(np.int64),
+            "is_hole": df["is_hole"].astype(bool),
+            "area": df["area"].astype(np.float64),
+        }), batch_format="pandas")
+
+
 @query(
     "raster_summary_stats",
     f"""

@@ -606,6 +606,51 @@ def polygon_intersect_rects(sf_dir: str):
     return out.map_batches(lambda df: df[df["poly_id"] < 3], batch_format="pandas")
 
 
+@query(
+    "smooth_traces",
+    f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND({X_SQL} * 128) AS BIGINT) AS xq,
+             CAST(ROUND({Y_SQL} * 128) AS BIGINT) AS yq
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(xq) OVER w AS BIGINT) AS sm_x_num,
+           CAST(SUM(yq) OVER w AS BIGINT) AS sm_y_num,
+           CAST(COUNT(*) OVER w AS BIGINT) AS sm_n
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def smooth_traces(sf_dir: str):
+    """SmoothVectors (gis_analysis/smooth_vectors.rs): 3-vertex moving
+    average along each per-user trace (events ordered by ts). Vertices are
+    dyadically quantized so the window sums are exact ints; the smoothed
+    coordinate is sm_num/sm_n/128 (float division left to consumers)."""
+    ds = read_points(sf_dir, extra_cols=("user_id", "ts"))
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        xq = np.rint(g["x"].to_numpy() * 128).astype(np.int64)
+        yq = np.rint(g["y"].to_numpy() * 128).astype(np.int64)
+        n = len(g)
+        csx = np.concatenate([[0], np.cumsum(xq)])
+        csy = np.concatenate([[0], np.cumsum(yq)])
+        lo = np.maximum(np.arange(n) - 1, 0)
+        hi = np.minimum(np.arange(n) + 2, n)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "sm_x_num": csx[hi] - csx[lo],
+            "sm_y_num": csy[hi] - csy[lo],
+            "sm_n": (hi - lo).astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(smooth, batch_format="pandas")
+
+
 @query("tin_gridding")
 def tin_gridding(sf_dir: str):
     """TINGridding (gis_analysis/tin_gridding.rs): per-tile Bowyer-Watson
