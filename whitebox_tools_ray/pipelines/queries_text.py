@@ -459,6 +459,35 @@ def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+@query(
+    "train_test_split",
+    """
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY split
+    """,
+)
+def train_test_split(sf_dir: str):
+    """Deterministic 90/10 train/test split by id hash — membership is a
+    pure function of the row, so the split is identical at any parallelism
+    and across re-runs (the training-data-pipeline splitter)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        train = (ids * np.int64(2654435761)) % np.int64(100) < 90
+        split = np.where(train, "train", "test").astype(object)
+        return pa.table({"split": pa.array(split, pa.string()),
+                         "n": np.ones(len(ids), np.int64),
+                         "sum_chars": t["n_chars"],
+                         "min_id": ids, "max_id": ids})
+
+    return partial_agg(ds.map_batches(tag, batch_format="pyarrow"), ["split"], [
+        ("n", "sum", "n"), ("sum_chars", "sum", "sum_chars"),
+        ("min_id", "min", "min_id"), ("max_id", "max", "max_id")])
+
+
 @query("kmeans_embeddings")
 def kmeans_embeddings(sf_dir: str):
     """KMeansClustering (IT pattern, image_analysis/k_means_clustering.rs):
