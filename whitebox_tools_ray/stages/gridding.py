@@ -138,7 +138,7 @@ def nn_grid(points_ds, grid: GridSpec, max_dist: float, *, x_col="x", y_col="y",
         }
         return pa.table(_candidate_cells(x, y, extra, grid, max_dist))
 
-    cands = points_ds.map_batches(cand, batch_format="pyarrow")
+    cands = points_ds.map_batches(cand, batch_format="pyarrow", batch_size=16384)
 
     def best_per_batch(df: pd.DataFrame) -> pd.DataFrame:
         # algebraic argmin by (d2, seq): per-batch partial, then tree merge
@@ -175,7 +175,7 @@ def idw_grid_int(points_ds, grid: GridSpec, radius: float, *, x_col="x", y_col="
         out["n_neighbors"] = np.ones(len(w), np.int64)
         return pa.table(out)
 
-    cands = points_ds.map_batches(cand, batch_format="pyarrow")
+    cands = points_ds.map_batches(cand, batch_format="pyarrow", batch_size=16384)
     return partial_agg(cands, ["cell_id"], [
         ("n_neighbors", "sum", "n_neighbors"),
         ("wsum", "sum", "wsum"), ("wv_sum", "sum", "wv_sum"),
