@@ -40,6 +40,41 @@ def test_stage_checkpoint_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_per_partition_resume(tmp_path):
+    """A rerun skips partitions whose _DONE marker exists (their files are
+    untouched) and writes only the missing ones."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import ray.data
+
+    from whitebox_tools_ray.state.checkpoint import resumable_partition_write
+
+    out = str(tmp_path / "ptiles")
+    df = pd.DataFrame({"tile_id": np.repeat([0, 1, 2, 3], 25), "v": np.arange(100)})
+
+    # first run: only tiles 0 and 1 "survive the crash"
+    part = ray.data.from_pandas(df[df.tile_id < 2])
+    m1 = resumable_partition_write(part, out, partition_col="tile_id",
+                                   stage="s", input_sig="sig")
+    assert set(m1["partitions"]) == {"0", "1"} and m1["newly_written"] == 2
+
+    mtimes = {d: os.path.getmtime(os.path.join(out, d, "part.parquet"))
+              for d in os.listdir(out) if "=" in d}
+    _time.sleep(0.05)
+
+    # rerun with the FULL input: tiles 0/1 skipped, 2/3 written
+    m2 = resumable_partition_write(ray.data.from_pandas(df), out,
+                                   partition_col="tile_id", stage="s", input_sig="sig")
+    assert set(m2["partitions"]) == {"0", "1", "2", "3"}
+    assert m2["resumed_partitions"] == 2 and m2["newly_written"] == 2
+    assert m2["rows"] == 100
+    for d, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "part.parquet")) == t  # untouched
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_interrupted_run_recovers(tmp_path):
     """A run killed mid-write leaves a .tmp dir and no manifest; the rerun
     recomputes and produces a complete, identical output."""

@@ -91,6 +91,65 @@ def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
     return manifest
 
 
+def resumable_partition_write(ds: ray.data.Dataset, out_dir: str, *,
+                              partition_col: str, stage: str, input_sig: str) -> dict:
+    """Per-PARTITION resumable write: each key's rows land in
+    ``<out_dir>/<partition_col>=<key>/`` written atomically (tmp file +
+    rename + ``_DONE`` marker). A rerun filters out rows of already-done
+    partitions BEFORE the shuffle and only recomputes the missing ones —
+    the finest-grained resume the north rule asks for (a killed run loses
+    only its in-flight partitions).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+            if "=" in d and os.path.exists(os.path.join(out_dir, d, "_DONE"))}
+
+    if done:
+        done_keys = {int(k) if k.lstrip("-").isdigit() else k for k in done}
+        ref = ray.put(done_keys)
+
+        def drop_done(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return df[~df[partition_col].isin(keys)]
+
+        ds = ds.map_batches(drop_done, batch_format="pandas")
+
+    def write_partition(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[partition_col].iloc[0]
+        pdir = os.path.join(out_dir, f"{partition_col}={key}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, "part.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.rename(tmp, os.path.join(pdir, "part.parquet"))
+        with open(os.path.join(pdir, "_DONE"), "w") as f:
+            f.write(input_sig)
+        return pd.DataFrame({partition_col: [key], "rows": [len(g)]})
+
+    written = ds.groupby(partition_col).map_groups(write_partition,
+                                                   batch_format="pandas").to_pandas()
+    parts = {}
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if "=" in d and os.path.isdir(full) and os.path.exists(os.path.join(full, "_DONE")):
+            parts[d.split("=", 1)[1]] = sum(
+                pq.read_metadata(os.path.join(full, f)).num_rows
+                for f in os.listdir(full) if f.endswith(".parquet"))
+    manifest = {
+        "stage": stage, "input_sig": input_sig, "complete": True,
+        "rows": int(sum(parts.values())), "partitions": parts,
+        "newly_written": int(len(written)),
+        "resumed_partitions": int(len(done)),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def run_stage(name: str, build: Callable[[], ray.data.Dataset], out_dir: str, *,
               input_sig: str, partition_col: str | None = None,
               resume: bool = True) -> tuple[ray.data.Dataset, dict]:
