@@ -770,6 +770,107 @@ def dissolve_by_category(sf_dir: str):
 
 
 @query(
+    "histogram_equalization",
+    f"""
+    WITH {_CELLS_CTE},
+    hist AS (SELECT v, COUNT(*) AS cnt FROM cells GROUP BY v),
+    cdf AS (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist)
+    SELECT c.cell_id,
+           CAST(LEAST(FLOOR((d.cum - 1) * 256.0 / {GRID1.rows * GRID1.cols}), 255)
+                AS BIGINT) AS eq
+    FROM cells c JOIN cdf d ON d.v = c.v
+    """,
+)
+def histogram_equalization(sf_dir: str):
+    """HistogramEqualization (image_analysis/histogram_equalization.rs): the
+    distributed rank transform — per-value histogram (partial combine), a
+    tiny driver-side CDF, broadcast value->level map, vectorized remap.
+    Integer-exact end to end."""
+    import ray
+
+    from ..relational import partial_agg
+    from ..stages.spatial_join import _cached_get
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, t in df.iterrows():
+            v = np.asarray(t["data"], np.int64)
+            vals, cnts = np.unique(v, return_counts=True)
+            frames.append(pd.DataFrame({"v": vals, "cnt": cnts.astype(np.int64)}))
+        return pd.concat(frames)
+
+    hist = partial_agg(tiles.map_batches(hist_partial, batch_format="pandas"),
+                       ["v"], [("cnt", "sum", "cnt")]).to_pandas().sort_values("v")
+    n = GRID1.rows * GRID1.cols
+    cum = hist["cnt"].cumsum().to_numpy(np.int64)
+    level = np.minimum(np.floor((cum - 1) * 256.0 / n), 255).astype(np.int64)
+    lut = dict(zip(hist["v"].astype(np.int64), level))
+    lut_arr = np.zeros(int(hist["v"].max()) + 1, np.int64)
+    for v, lv in lut.items():
+        lut_arr[v] = lv
+    ref = ray.put(lut_arr)
+
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        lu = _cached_get(ref)
+        frames = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * 64, int(t["tcol"]) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc),
+                                 indexing="ij")
+            cid = rr.astype(np.int64) * GRID1.cols + cc.astype(np.int64)
+            v = np.asarray(t["data"], np.int64)
+            frames.append(pd.DataFrame({"cell_id": cid.ravel(), "eq": lu[v]}))
+        return pd.concat(frames)
+
+    return tiles.map_batches(remap, batch_format="pandas")
+
+
+@query(
+    "raster_mosaic",
+    f"""
+    WITH a AS (SELECT CAST(t.i AS BIGINT) AS cell_id, ((t.i * 1000003) % 1000) AS v
+               FROM range({GRID1.rows * GRID1.cols}) t(i)
+               WHERE (t.i % 360) < 200),
+    b AS (SELECT CAST(t.i AS BIGINT) AS cell_id, ((t.i * 7919 + 13) % 1000) AS v
+          FROM range({GRID1.rows * GRID1.cols}) t(i)
+          WHERE (t.i % 360) >= 120)
+    SELECT COALESCE(a.cell_id, b.cell_id) AS cell_id,
+           CAST(COALESCE(a.v, b.v) AS BIGINT) AS v
+    FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id
+    """,
+)
+def raster_mosaic(sf_dir: str):
+    """Mosaic (image_analysis/mosaic.rs): union of two partially overlapping
+    rasters; overlap resolved by source priority (first listed wins) — an
+    order-explicit union + keep-min-priority reduce."""
+    import ray.data
+
+    from ..relational import tree_reduce
+
+    n = GRID1.rows * GRID1.cols
+    cells = np.arange(n, dtype=np.int64)
+    ca = cells[(cells % 360) < 200]
+    cb = cells[(cells % 360) >= 120]
+    da = pd.DataFrame({"cell_id": ca, "v": (ca * 1000003) % 1000,
+                       "prio": np.zeros(len(ca), np.int64)})
+    db = pd.DataFrame({"cell_id": cb, "v": (cb * 7919 + 13) % 1000,
+                       "prio": np.ones(len(cb), np.int64)})
+    u = ray.data.from_pandas(da).union(ray.data.from_pandas(db))
+
+    def keep_min_prio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cell_id", "prio"], kind="mergesort")
+        return df.drop_duplicates("cell_id", keep="first")
+
+    out = tree_reduce(u.map_batches(keep_min_prio, batch_format="pandas"),
+                      keep_min_prio, batch_format="pandas")
+    return out.map_batches(lambda df: df[["cell_id", "v"]], batch_format="pandas")
+
+
+@query(
     "raster_summary_stats",
     f"""
     WITH {_CELLS_CTE}
