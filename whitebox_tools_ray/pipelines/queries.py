@@ -336,6 +336,35 @@ def sample_hash(sf_dir: str):
     return ds.map_batches(samp, batch_format="pyarrow")
 
 
+@query(
+    "exact_quantiles_value",
+    """
+    SELECT quantile_disc(value, 0.01) AS q01, quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.50) AS q50, quantile_disc(value, 0.75) AS q75,
+           quantile_disc(value, 0.99) AS q99
+    FROM events
+    """,
+)
+def exact_quantiles_value(sf_dir: str):
+    """EXACT distributed quantiles over an unbounded column: global
+    ``ds.sort`` (range-partitioned shuffle) + ``split_at_indices`` row picks
+    — scales where a per-group in-memory sort cannot (Quantiles,
+    math_stat_analysis/quantiles.rs). Discrete index = ceil(q*n)-1
+    (DuckDB quantile_disc semantics)."""
+    ds = read_table(sf_dir, "events", columns=["value"]).sort("value")
+    n = ds.count()
+    qs = [0.01, 0.25, 0.50, 0.75, 0.99]
+    idxs = [int(np.ceil(q * n)) - 1 for q in qs]
+    vals = []
+    pieces = ds.split_at_indices(idxs)
+    # the target row is the FIRST row of each piece after the split point
+    for piece in pieces[1:]:
+        vals.append(piece.take(1)[0]["value"])
+    # split_at_indices gives pieces starting AT idx; element idx = first of piece i+1
+    out = {f"q{int(q * 100):02d}": [v] for q, v in zip(qs, vals)}
+    return pd.DataFrame(out)
+
+
 # populate the registry with the other operator families
 from . import queries_spatial  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
