@@ -241,6 +241,34 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
 
 
+@query("ngram_jaccard_by_source")
+def ngram_jaccard_by_source(sf_dir: str, *, threshold_num: int = 1, threshold_den: int = 20):
+    """Exact word-3-gram Jaccard similarity for all document pairs within
+    each source group (the bounded-blocking exact-Jaccard dedup variant;
+    jaccard >= 1/20 reported). Output: source, doc_a, doc_b, jacc_num,
+    jacc_den — exact integers."""
+    from ..functions.dedup import shingle_hashes
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        sh = [shingle_hashes(t) for t in g["text"].to_numpy()]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(np.intersect1d(sh[i], sh[j], assume_unique=True))
+                union = len(sh[i]) + len(sh[j]) - inter
+                if union and inter * threshold_den >= threshold_num * union:
+                    rows.append((g["source"].iloc[0], int(ids[i]), int(ids[j]),
+                                 inter, union))
+        return pd.DataFrame(rows, columns=["source", "doc_a", "doc_b",
+                                           "jacc_num", "jacc_den"])
+
+    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
 @query("simhash_hamming_pairs")
 def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
     """SimHash near-dup: 64-bit simhash per doc, candidate pairs from shared
