@@ -871,6 +871,61 @@ def raster_mosaic(sf_dir: str):
 
 
 @query(
+    "count_if",
+    f"""
+    WITH {_CELLS_CTE}
+    SELECT CAST(SUM(CASE WHEN v = 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+           CAST(SUM(CASE WHEN v > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt
+    FROM cells
+    """,
+)
+def count_if(sf_dir: str):
+    """CountIf / PercentGreaterThan family (gis_analysis/count_if.rs,
+    percent_greater_than.rs): predicate counts over the raster, per-tile
+    partials."""
+    from ..relational import partial_agg
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, t in df.iterrows():
+            v = np.asarray(t["data"], np.int64)
+            rows.append({"k": 0, "n_eq": np.int64((v == 500).sum()),
+                         "n_gt": np.int64((v > 500).sum())})
+        return pd.DataFrame(rows)
+
+    return partial_agg(tiles.map_batches(part, batch_format="pandas"), ["k"],
+                       [("n_eq", "sum", "n_eq"), ("n_gt", "sum", "n_gt")]) \
+        .drop_columns(["k"])
+
+
+@query(
+    "list_unique_values_raster",
+    f"""
+    WITH {_CELLS_CTE}
+    SELECT CAST(v AS BIGINT) AS v, COUNT(*) AS n FROM cells GROUP BY v
+    """,
+)
+def list_unique_values_raster(sf_dir: str):
+    """ListUniqueValuesRaster (math_stat_analysis/list_unique_values_raster
+    .rs): distinct cell values + counts — per-tile histogram partials."""
+    from ..relational import partial_agg
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, t in df.iterrows():
+            vals, cnts = np.unique(np.asarray(t["data"], np.int64), return_counts=True)
+            frames.append(pd.DataFrame({"v": vals, "n": cnts.astype(np.int64)}))
+        return pd.concat(frames)
+
+    return partial_agg(tiles.map_batches(part, batch_format="pandas"), ["v"],
+                       [("n", "sum", "n")])
+
+
+@query(
     "raster_summary_stats",
     f"""
     WITH {_CELLS_CTE}
