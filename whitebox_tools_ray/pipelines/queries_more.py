@@ -272,6 +272,43 @@ def polygons_to_raster(sf_dir: str):
     return ids.map_batches(burn, batch_format="numpy")
 
 
+@query("polygon_shape_metrics")
+def polygon_shape_metrics(sf_dir: str):
+    """Shape-metric family (gis_analysis/{compactness_ratio,
+    elongation_ratio, perimeter_area_ratio}.rs): per feature — area,
+    perimeter, compactness = 4*pi*A/P^2, elongation = 1 - short/long bbox
+    axis. Rows-only (perimeter sums of square roots are float); values
+    verified against direct computation in tests."""
+    import ray.data
+
+    polys = builtin_polygons()
+    rows = []
+    for fid in np.unique(polys.feature_id):
+        area = 0.0
+        perim = 0.0
+        xs, ys = [], []
+        for p in np.flatnonzero(polys.feature_id == fid):
+            ring = polys.rings[p]
+            a = polygon_area(ring)
+            area += a  # holes (CCW) subtract from the CW-negative outer
+            d = np.diff(ring, axis=0)
+            perim += float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
+            xs.append(ring[:-1, 0])
+            ys.append(ring[:-1, 1])
+        xs, ys = np.concatenate(xs), np.concatenate(ys)
+        a_abs = abs(area)
+        w = xs.max() - xs.min()
+        h = ys.max() - ys.min()
+        rows.append({
+            "poly_id": int(fid),
+            "area": a_abs,
+            "perimeter": perim,
+            "compactness": 4.0 * np.pi * a_abs / (perim * perim),
+            "elongation": 1.0 - min(w, h) / max(w, h),
+        })
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
 @query(
     "trend_surface_components",
     f"""
