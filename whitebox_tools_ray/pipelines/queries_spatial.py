@@ -394,6 +394,59 @@ def heatmap_kde(sf_dir: str):
 
 
 @query(
+    "height_above_ground",
+    f"""
+    WITH {PTS_CTE},
+    enc AS (SELECT event_id, value, {_cid1} AS cell_id FROM pts),
+    ground AS (SELECT cell_id, MIN(value) AS gmin FROM enc GROUP BY cell_id)
+    SELECT e.event_id, e.cell_id,
+           CAST(ROUND(e.value * 100) AS BIGINT)
+             - CAST(ROUND(g.gmin * 100) AS BIGINT) AS hag_cents
+    FROM enc e JOIN ground g ON g.cell_id = e.cell_id
+    """,
+)
+def height_above_ground(sf_dir: str):
+    """HeightAboveGround (lidar_analysis/height_above_ground.rs): per-cell
+    ground = minimum value; each point's normalized height = value - ground
+    (integer cents, exact). Two-phase: per-cell min (map-side combine) is
+    broadcast back by a second pass over the same keyed rows — no row-level
+    join needed when the groupby result is cell-bounded."""
+    ds = read_points(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "cell_id": GRID1.cell_id_from_xy(x, y),
+            "value": t["value"].to_numpy(zero_copy_only=False),
+        })
+
+    encoded = ds.map_batches(enc, batch_format="pyarrow").materialize()
+    ground = partial_agg(encoded.map_batches(
+        lambda t: pa.table({"cell_id": t["cell_id"], "gmin": t["value"]}),
+        batch_format="pyarrow"), ["cell_id"], [("gmin", "min", "gmin")]).to_pandas()
+
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    gmap = np.full(GRID1.rows * GRID1.cols + GRID1.cols + 1, np.nan)
+    gmap[ground["cell_id"].to_numpy(np.int64)] = ground["gmin"].to_numpy()
+    ref = ray.put(gmap)
+
+    def hag(t: pa.Table) -> pa.Table:
+        g = _cached_get(ref)
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        gv = np.rint(g[cid] * 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "cell_id": cid,
+                         "hag_cents": v - gv})
+
+    return encoded.map_batches(hag, batch_format="pyarrow")
+
+
+@query(
     "dedup_coincident_grid",
     f"""
     WITH {PTS_CTE}
