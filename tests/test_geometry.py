@@ -125,3 +125,29 @@ def test_pip_pairs_per_feature_holes():
     # overlap of nothing -> empty
     idx, fid = polys.pip_pairs([179.0], [-80.0])
     assert len(idx) == 0
+
+
+def test_min_area_bbox_axes_rotated_rect():
+    """A 10x2 rectangle rotated 45 deg must give axes (2, 10) and
+    elongation 0.8 — the axis-aligned bbox would wrongly give ~0."""
+    import numpy as np
+
+    from whitebox_tools_ray.geometry import min_area_bbox_axes
+
+    rect = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 2.0], [0.0, 2.0]])
+    t = np.pi / 4.0
+    rot = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    pts = rect @ rot.T + np.array([3.0, 7.0])
+    s, l = min_area_bbox_axes(pts)
+    assert abs(s - 2.0) < 1e-9 and abs(l - 10.0) < 1e-9
+
+
+def test_min_area_bbox_axes_degenerate():
+    import numpy as np
+
+    from whitebox_tools_ray.geometry import min_area_bbox_axes
+
+    s, l = min_area_bbox_axes(np.array([[1.0, 2.0], [4.0, 6.0]]))
+    assert s == 0.0 and abs(l - 5.0) < 1e-12
+    s, l = min_area_bbox_axes(np.array([[1.0, 2.0], [1.0, 2.0]]))
+    assert (s, l) == (0.0, 0.0)

@@ -105,6 +105,63 @@ def clip_polygon_convex(subject: np.ndarray, clip_cw: np.ndarray) -> np.ndarray:
     return ring
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull, CCW, no repeated last point.
+
+    points: (N, 2) float64. Same role as the hull pass inside
+    whitebox-common/src/algorithms/minimum_bounding_box.rs:28-60 (which the
+    elongation/MBB tools rely on); algorithm is the standard Andrew chain.
+    """
+    pts = np.unique(np.asarray(points, np.float64), axis=0)  # sorts lexicographically
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1], np.float64)
+
+
+def min_area_bbox_axes(points: np.ndarray) -> tuple[float, float]:
+    """(short_axis, long_axis) of the minimum-AREA rotated bounding box.
+
+    Rotating calipers over the convex hull — the box minimizing area has an
+    edge collinear with a hull edge. Mirrors
+    whitebox-common/src/algorithms/minimum_bounding_box.rs
+    (MinimizationCriterion::Area) as used by
+    gis_analysis/elongation_ratio.rs:217-226.
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return 0.0, 0.0
+    if len(hull) == 2:
+        d = float(np.hypot(*(hull[1] - hull[0])))
+        return 0.0, d
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    theta = np.arctan2(edges[:, 1], edges[:, 0])
+    best = (np.inf, 0.0, 0.0)
+    for t in np.unique(np.mod(theta, np.pi / 2.0)):
+        c, s = np.cos(t), np.sin(t)
+        xr = hull[:, 0] * c + hull[:, 1] * s
+        yr = -hull[:, 0] * s + hull[:, 1] * c
+        w = float(xr.max() - xr.min())
+        h = float(yr.max() - yr.min())
+        if w * h < best[0]:
+            best = (w * h, w, h)
+    _, w, h = best
+    return min(w, h), max(w, h)
+
+
 @dataclass
 class PackedPolygons:
     """A polygon layer packed into flat numpy arrays for broadcast.

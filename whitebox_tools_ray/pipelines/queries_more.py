@@ -274,37 +274,40 @@ def polygons_to_raster(sf_dir: str):
 
 @query("polygon_shape_metrics")
 def polygon_shape_metrics(sf_dir: str):
-    """Shape-metric family (gis_analysis/{compactness_ratio,
-    elongation_ratio, perimeter_area_ratio}.rs): per feature — area,
-    perimeter, compactness = 4*pi*A/P^2, elongation = 1 - short/long bbox
-    axis. Rows-only (perimeter sums of square roots are float); values
-    verified against direct computation in tests."""
+    """Shape-metric family, reference-faithful formulas: per feature — area
+    (holes subtract, compactness_ratio.rs:204-228), perimeter,
+    compactness = A/P (compactness_ratio.rs:43,228), perimeter_area = P/A
+    (perimeter_area_ratio.rs), elongation = 1 - S/L with S/L the axes of the
+    minimum-AREA rotated bounding box over the feature's hull
+    (elongation_ratio.rs:217-226, minimum_bounding_box.rs
+    MinimizationCriterion::Area). Rows-only (square roots / rotations are
+    float); values verified against direct computation in tests."""
     import ray.data
+
+    from ..geometry import min_area_bbox_axes
 
     polys = builtin_polygons()
     rows = []
     for fid in np.unique(polys.feature_id):
         area = 0.0
         perim = 0.0
-        xs, ys = [], []
+        pts = []
         for p in np.flatnonzero(polys.feature_id == fid):
             ring = polys.rings[p]
             a = polygon_area(ring)
             area += a  # holes (CCW) subtract from the CW-negative outer
             d = np.diff(ring, axis=0)
             perim += float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
-            xs.append(ring[:-1, 0])
-            ys.append(ring[:-1, 1])
-        xs, ys = np.concatenate(xs), np.concatenate(ys)
+            pts.append(ring[:-1])
+        short_ax, long_ax = min_area_bbox_axes(np.concatenate(pts))
         a_abs = abs(area)
-        w = xs.max() - xs.min()
-        h = ys.max() - ys.min()
         rows.append({
             "poly_id": int(fid),
             "area": a_abs,
             "perimeter": perim,
-            "compactness": 4.0 * np.pi * a_abs / (perim * perim),
-            "elongation": 1.0 - min(w, h) / max(w, h),
+            "compactness": a_abs / perim,
+            "perimeter_area": perim / a_abs,
+            "elongation": 1.0 - (short_ax / long_ax if long_ax > 0 else 0.0),
         })
     return ray.data.from_pandas(pd.DataFrame(rows))
 

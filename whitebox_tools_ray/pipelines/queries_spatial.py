@@ -717,12 +717,48 @@ def tin_gridding(sf_dir: str):
     return tin_grid(read_points(sf_dir), g, tile_deg=45.0, buffer=10.0)
 
 
-@query("line_intersections")
+def _line_intersections_sql() -> str:
+    """Closed-form pairwise oracle: recompute the synthetic segments from
+    splitmix64 (bit-exact, sqlgen.synth_segments_cte), then test every pair
+    with the SAME is_left sign products and intersection formula — fully
+    independent of the Ray cell-bucketed path."""
+    from .sqlgen import synth_segments_cte
+
+    return f"""
+    WITH {synth_segments_cte(5000)},
+    pairs AS (
+      SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+             a.x0 AS px0, a.y0 AS py0, a.x1 AS px1, a.y1 AS py1,
+             b.x0 AS qx0, b.y0 AS qy0, b.x1 AS qx1, b.y1 AS qy1
+      FROM seg a JOIN seg b ON a.seg_id < b.seg_id
+      WHERE least(a.x0, a.x1) <= greatest(b.x0, b.x1)
+        AND least(b.x0, b.x1) <= greatest(a.x0, a.x1)
+        AND least(a.y0, a.y1) <= greatest(b.y0, b.y1)
+        AND least(b.y0, b.y1) <= greatest(a.y0, a.y1)
+    ),
+    d AS (
+      SELECT seg_a, seg_b, px0, py0, px1, py1,
+             (qx1 - qx0) * (py0 - qy0) - (px0 - qx0) * (qy1 - qy0) AS d1,
+             (qx1 - qx0) * (py1 - qy0) - (px1 - qx0) * (qy1 - qy0) AS d2,
+             (px1 - px0) * (qy0 - py0) - (qx0 - px0) * (py1 - py0) AS d3,
+             (px1 - px0) * (qy1 - py0) - (qx1 - px0) * (py1 - py0) AS d4
+      FROM pairs
+    )
+    SELECT seg_a, seg_b,
+           px0 + (d1 / (d1 - d2)) * (px1 - px0) AS ix,
+           py0 + (d1 / (d1 - d2)) * (py1 - py0) AS iy
+    FROM d
+    WHERE d1 * d2 < 0 AND d3 * d4 < 0
+    """
+
+
+@query("line_intersections", _line_intersections_sql())
 def line_intersections_q(sf_dir: str):
     """LineIntersections (gis_analysis/line_intersections.rs): all proper
     segment crossings of a deterministic synthetic line layer, found via
     FRS-cell bucketing with exactly-once cell ownership of each intersection
-    point. Rows-only; brute-force oracle in tests/test_lines.py."""
+    point. SQL oracle: brute-force pairwise CTE over the same
+    splitmix64-recomputed segments; also brute-forced in tests/test_lines.py."""
     import ray.data
 
     from ..stages.lines import line_intersections, synth_segments

@@ -143,9 +143,43 @@ def doc_quality_features(sf_dir: str):
 # Rows-only text ops (non-SQL-expressible; pytest oracles instead)
 # --------------------------------------------------------------------------
 
-@query("doc_fingerprint")
+def _fingerprint_sql() -> str:
+    """Independent SQL recomputation of fingerprint64 (functions/text.py:41):
+    h = sum(byte[i] * B^i) mod 2^64 over the utf-8 bytes. The corpus is pure
+    ASCII (asserted in tests), so ord(char) == utf-8 byte; powers of B mod
+    2^64 come from a recursive CTE using the overflow-safe mul64 expansion."""
+    from .sqlgen import mul64
+
+    return f"""
+    WITH RECURSIVE pw AS (
+      SELECT 0 AS i, CAST(1 AS UBIGINT) AS p
+      UNION ALL
+      SELECT i + 1, {mul64('p', '1099511628211')}
+      FROM pw WHERE i < (SELECT COALESCE(MAX(length(text)), 1) - 1 FROM documents)
+    ),
+    terms AS (
+      SELECT d.doc_id,
+             CAST(ord(substr(d.text, pw.i + 1, 1)) AS HUGEINT)
+               * CAST(pw.p AS HUGEINT) AS term
+      FROM documents d JOIN pw ON pw.i < length(d.text)
+    ),
+    sums AS (
+      SELECT d.doc_id,
+             COALESCE((SELECT SUM(t.term) FROM terms t WHERE t.doc_id = d.doc_id),
+                      0) % 18446744073709551616 AS h
+      FROM documents d
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN h < 9223372036854775808 THEN h
+                     ELSE h - 18446744073709551616 END AS BIGINT) AS fingerprint
+    FROM sums
+    """
+
+
+@query("doc_fingerprint", _fingerprint_sql())
 def doc_fingerprint(sf_dir: str):
-    """Rolling-hash 64-bit document fingerprint per doc (rows-only)."""
+    """Rolling-hash 64-bit document fingerprint per doc (SQL oracle:
+    recursive power table + per-byte explode, see _fingerprint_sql)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -155,7 +189,34 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
-@query("doc_lang_id")
+def _lang_id_sql() -> str:
+    """Recompute the n-gram-profile classifier in SQL: profile weights come
+    from the same NgramLanguageId.PROFILES constant; per-doc score =
+    sum(weight * non-overlapping count(gram)) — ``replace``-based counting
+    matches Python ``str.count``; argmax ties resolve to the alphabetically
+    first language (the Python scan order)."""
+    rows = []
+    for lang, grams in NgramLanguageId.PROFILES.items():
+        for i, g in enumerate(grams):
+            rows.append(f"('{lang}', '{g}', {len(grams) - i})")
+    values = ",\n             ".join(rows)
+    return f"""
+    WITH prof(plang, gram, w) AS (VALUES {values}),
+    scores AS (
+      SELECT d.doc_id, d.lang, p.plang,
+             SUM(p.w * ((length(d.text) - length(replace(d.text, p.gram, '')))
+                 // length(p.gram))) AS score
+      FROM documents d CROSS JOIN prof p
+      GROUP BY d.doc_id, d.lang, p.plang
+    )
+    SELECT doc_id, lang, plang AS pred_lang
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, plang ASC) = 1
+    """
+
+
+@query("doc_lang_id", _lang_id_sql())
 def doc_lang_id(sf_dir: str):
     """n-gram-profile language ID (stateful actor: profiles built once)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
@@ -241,7 +302,41 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
 
 
-@query("ngram_jaccard_by_source")
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+),
+padded AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ts) >= 3 THEN ts
+              WHEN len(ts) = 2 THEN list_concat(ts, [''])
+              ELSE list_concat(ts, ['', '']) END AS ts
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+           || ts[CAST(i AS INT) + 2] AS g
+  FROM padded, UNNEST(range(1, len(ts) - 1)) r(i)
+),
+counts AS (SELECT doc_id, COUNT(*) AS nsh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS jacc_num
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.doc_id < b.doc_id AND a.g = b.g
+  GROUP BY a.source, a.doc_id, b.doc_id
+)
+SELECT i.source, i.doc_a, i.doc_b, i.jacc_num,
+       ca.nsh + cb.nsh - i.jacc_num AS jacc_den
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.jacc_num * 20 >= (ca.nsh + cb.nsh - i.jacc_num)
+"""
+
+
+@query("ngram_jaccard_by_source", _NGRAM_JACCARD_SQL)
 def ngram_jaccard_by_source(sf_dir: str, *, threshold_num: int = 1, threshold_den: int = 20):
     """Exact word-3-gram Jaccard similarity for all document pairs within
     each source group (the bounded-blocking exact-Jaccard dedup variant;

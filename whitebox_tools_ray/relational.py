@@ -56,7 +56,11 @@ def tree_reduce(ds, reduce_batch, *, levels: tuple[int, ...] = (32, 1),
     the shuffle aggregate.
     """
     for n in levels:
-        ds = ds.repartition(n).map_batches(reduce_batch, batch_format=batch_format)
+        # batch_size=None pins whole-block batching: the merge at each level
+        # must see the entire repartitioned block in ONE batch or duplicate
+        # per-key partial rows survive to the root.
+        ds = ds.repartition(n).map_batches(reduce_batch, batch_format=batch_format,
+                                           batch_size=None)
     return ds
 
 

@@ -113,6 +113,7 @@ def cost_distance(cost: np.ndarray, sources: np.ndarray, grid: GridSpec, *,
         out = ray.data.from_pandas(seeds).groupby("tile") \
             .map_groups(sweep, batch_format="pandas").to_pandas()
         if out.empty:
+            seeds = seeds.iloc[0:0]  # converged: no improvements anywhere
             break
         # apply improvements; only genuinely-improved cells seed the next round
         cells = out["cell"].to_numpy(np.int64)
@@ -126,6 +127,8 @@ def cost_distance(cost: np.ndarray, sources: np.ndarray, grid: GridSpec, *,
         cells, dists = cells[better], dists[better]
         best[cells] = dists
         seeds = pd.DataFrame({"cell": cells, "dist": dists})
-    else:
+    if not seeds.empty:
+        # post-loop check (not for/else): converging exactly on the last
+        # allowed round leaves seeds empty and must not raise
         raise RuntimeError("cost distance did not converge")
     return best

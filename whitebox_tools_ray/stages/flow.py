@@ -42,7 +42,13 @@ def d8_down_ids(d8_cells: pd.DataFrame, grid: GridSpec) -> np.ndarray:
     c = cid % grid.cols
     for i in range(8):
         m = code == (1 << i)
-        down[cid[m]] = (r[m] + _D8_DY[i]) * grid.cols + (c[m] + _D8_DX[i])
+        nr, nc = r[m] + _D8_DY[i], c[m] + _D8_DX[i]
+        # off-grid neighbours become outlets (-1); without this, a code
+        # pointing off a row edge would wrap to the far column of the
+        # adjacent row and silently mis-route flow.
+        ok = (nr >= 0) & (nr < grid.rows) & (nc >= 0) & (nc < grid.cols)
+        tgt = np.where(ok, nr * grid.cols + nc, -1)
+        down[cid[m]] = tgt
     return down
 
 
@@ -97,7 +103,9 @@ def flow_accumulation(down: np.ndarray, grid: GridSpec, *, tile: int = 64,
         out = ds.groupby("tile").map_groups(drain, batch_format="pandas").to_pandas()
         acc_frames.append(out[out["is_packet"] == 0][["cell", "mass"]])
         packets = out[out["is_packet"] == 1][["cell", "mass"]].reset_index(drop=True)
-    else:
+    if not packets.empty:
+        # checked after the loop (not for/else) so a run that drains its last
+        # packets exactly on round max_rounds still counts as converged
         raise RuntimeError("flow accumulation did not converge (cycle?)")
 
     acc = pd.concat(acc_frames).groupby("cell", sort=False)["mass"].sum().reset_index()

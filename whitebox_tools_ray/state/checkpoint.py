@@ -105,8 +105,22 @@ def resumable_partition_write(ds: ray.data.Dataset, out_dir: str, *,
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
-            if "=" in d and os.path.exists(os.path.join(out_dir, d, "_DONE"))}
+    # A partition counts as done ONLY if its _DONE marker records the SAME
+    # input signature as this run: a stale partition (input changed since it
+    # was written) is deleted and recomputed, never silently kept.
+    done: set[str] = set()
+    for d in os.listdir(out_dir):
+        if "=" not in d:
+            continue
+        marker = os.path.join(out_dir, d, "_DONE")
+        if not os.path.exists(marker):
+            continue
+        with open(marker) as f:
+            recorded_sig = f.read()
+        if recorded_sig == input_sig:
+            done.add(d.split("=", 1)[1])
+        else:
+            shutil.rmtree(os.path.join(out_dir, d))
 
     if done:
         done_keys = {int(k) if k.lstrip("-").isdigit() else k for k in done}
