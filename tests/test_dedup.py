@@ -119,3 +119,33 @@ def test_minhash_pipeline_on_planted_corpus(tmp_path):
     for r in got.itertuples():
         assert 0 < r.jacc_num <= r.jacc_den
         assert r.jacc_num / r.jacc_den >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_planted_pair(tmp_path):
+    """A planted near-identical embedding pair must be detected (the round-1
+    version emitted 0 rows everywhere — vacuous)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whitebox_tools_ray.pipelines.queries_text import embedding_near_dup
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((40, 64))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m[1] = m[0] + rng.standard_normal(64) * 0.01  # near-dup of vec 0
+    m[1] /= np.linalg.norm(m[1])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(m.astype(np.float32)),
+                              pa.list_(pa.float32(), 64)),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = embedding_near_dup(str(tmp_path)).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert (0, 1) in pairs
+    # precision: every reported pair really clears the exact-dot threshold
+    q = np.rint(m.astype(np.float64) * 10000).astype(np.int64)
+    for r in got.itertuples():
+        assert int(q[r.vec_a] @ q[r.vec_b]) == r.dot >= 40_000_000

@@ -41,3 +41,19 @@ class EngineConfig:
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(asdict(self), f, indent=1, sort_keys=True)
+
+
+def actor_pool(min_size: int = 1, frac: float = 1.0) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the CLUSTER, not a constant.
+
+    A fixed ``concurrency=(1, 4)`` caps a stage at 4 workers while a 32-CPU
+    node (or a 256-node cluster) idles; this scales the upper bound with the
+    CPUs Ray actually has. ``frac`` reserves headroom for downstream stages
+    sharing the CPUs (e.g. 0.5 when two actor pools run concurrently)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return (min_size, max(min_size, int(cpus * frac)))

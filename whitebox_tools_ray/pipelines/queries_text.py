@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..functions.dedup import MinHasher, SimHasher, hamming64, jaccard
@@ -18,6 +19,19 @@ from ..functions.text import NgramLanguageId, fingerprint64, quality_features
 from ..relational import partial_agg, tree_reduce
 from ..sources.tables import read_table
 from .queries import query
+
+_WORKER_STATE: dict = {}
+
+
+def _cached_state(key, factory):
+    """Build-once-per-worker stateful kernels (compiled models, hash
+    families). Stateless map TASKS with a per-worker cache beat actor pools
+    for cheap state: no pool spawn latency, no fixed concurrency cap — the
+    stage scales with whatever CPUs the cluster has (round-1 bench history:
+    actor-pool spawn cost tens of seconds at 32 CPUs)."""
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = factory()
+    return _WORKER_STATE[key]
 
 # --------------------------------------------------------------------------
 # Text analysis (SQL-backed)
@@ -221,15 +235,12 @@ def doc_lang_id(sf_dir: str):
     """n-gram-profile language ID (stateful actor: profiles built once)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
-    class LangId:
-        def __init__(self):
-            self.model = NgramLanguageId()
+    def lang_id(df: pd.DataFrame) -> pd.DataFrame:
+        model = _cached_state("langid", NgramLanguageId)
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                             "pred_lang": model.classify(df["text"])})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
-                                 "pred_lang": self.model.classify(df["text"])})
-
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(lang_id, batch_format="pandas")
 
 
 @query("minhash_near_dup")
@@ -245,23 +256,21 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class Bands:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, bands=bands)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.mh.signatures_batch(df["text"].to_numpy())
-            bh = self.mh.band_hashes_batch(sigs)  # (n_docs, bands)
-            n, b = bh.shape
-            dids = np.repeat(df["doc_id"].to_numpy(np.int64), b)
-            bands_col = np.tile(np.arange(b, dtype=np.int64), n)
-            vals = bh.view(np.int64).ravel()  # bit-reinterpret for the int64 key
-            return pd.DataFrame({"doc_id": dids, "band": bands_col, "bh": vals})
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        mh = _cached_state(("minhash", num_perm, bands),
+                           lambda: MinHasher(num_perm=num_perm, bands=bands))
+        sigs = mh.signatures_batch(df["text"].to_numpy())
+        bh = mh.band_hashes_batch(sigs)  # (n_docs, bands)
+        n, b = bh.shape
+        dids = np.repeat(df["doc_id"].to_numpy(np.int64), b)
+        bands_col = np.tile(np.arange(b, dtype=np.int64), n)
+        vals = bh.view(np.int64).ravel()  # bit-reinterpret for the int64 key
+        return pd.DataFrame({"doc_id": dids, "band": bands_col, "bh": vals})
 
     # materialize: both join sides reuse the signatures (computed once), and
-    # the join's hash-shuffle aggregator actors never compete with the
-    # signature actor pool for CPUs (deadlock risk on small clusters)
-    banded = ds.map_batches(Bands, batch_format="pandas", concurrency=(1, 4)).materialize()
+    # the join's hash-shuffle aggregator actors never compete with upstream
+    # stages for CPUs (deadlock risk on small clusters)
+    banded = ds.map_batches(band_rows, batch_format="pandas").materialize()
 
     # candidate pairs via hash SELF-JOIN on the band bucket (a map_groups
     # over ~docs x bands tiny buckets pays per-group overhead; the join
@@ -277,29 +286,51 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     cand = tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
                        batch_format="pandas")
 
-    # verify: join texts back (small side broadcast; at scale this becomes a
-    # hash-join on doc id)
-    texts = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    lut_ref = ray.put(dict(zip(texts["doc_id"].astype(int), texts["text"])))
+    # verify: shingle ONLY the candidate docs, once each, and broadcast that
+    # bounded set. Round 1 broadcast the ENTIRE corpus text as a driver dict;
+    # here the corpus is scanned distributed, reduced to candidate docs with
+    # a vectorized mask, and only |candidate docs| shingle arrays (the tiny
+    # LSH output side, not the corpus) travel through the object store.
+    cand = cand.materialize()
+    cand_docs = np.unique(np.concatenate([
+        cand.to_pandas()["doc_a"].to_numpy(np.int64),
+        cand.to_pandas()["doc_b"].to_numpy(np.int64)])) \
+        if cand.count() else np.empty(0, np.int64)
+    docs_ref = ray.put(cand_docs)  # sorted array for searchsorted masks
 
-    class Verify:
-        def __init__(self):
-            self.lut = ray.get(lut_ref)
+    def shingle_cands(t: pa.Table) -> pd.DataFrame:
+        from ..functions.dedup import shingle_hashes
+        from ..stages.spatial_join import _cached_get
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for a, b in zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()):
-                from ..functions.dedup import shingle_hashes
+        wanted = _cached_get(docs_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, wanted, assume_unique=False)
+        texts = t["text"].to_pylist()
+        rows = [(int(ids[i]), shingle_hashes(texts[i]).view(np.int64))
+                for i in np.flatnonzero(mask)]
+        return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                             "sh": [r[1].tolist() for r in rows]})
 
-                sa, sb = shingle_hashes(self.lut[a]), shingle_hashes(self.lut[b])
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                if union and inter / union >= threshold:
-                    out.append((a, b, inter, union))
-            return pd.DataFrame(out, columns=["doc_a", "doc_b", "jacc_num", "jacc_den"]) \
-                .astype(np.int64)
+    sh_small = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(shingle_cands, batch_format="pyarrow").to_pandas()
+    lut_ref = ray.put({int(d): np.asarray(s, np.int64).view(np.uint64)
+                       for d, s in zip(sh_small["doc_id"], sh_small["sh"])})
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        lut = _cached_get(lut_ref)
+        out = []
+        for a, b in zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()):
+            sa, sb = lut[int(a)], lut[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                out.append((a, b, inter, union))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jacc_num", "jacc_den"]) \
+            .astype(np.int64)
+
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 _NGRAM_JACCARD_SQL = """
@@ -372,19 +403,16 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
     pigeonhole over 4 chunks), verified by exact popcount distance."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class SH:
-        def __init__(self):
-            self.sh = SimHasher()
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sh = _cached_state("simhash", SimHasher)
+        rows = []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            h = int(sh.simhash(text))
+            for c in range(4):
+                rows.append((int(did), h - (1 << 63), c, (h >> (16 * c)) & 0xFFFF))
+        return pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk", "chunk_val"])
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-                h = int(self.sh.simhash(text))
-                for c in range(4):
-                    rows.append((int(did), h - (1 << 63), c, (h >> (16 * c)) & 0xFFFF))
-            return pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk", "chunk_val"])
-
-    chunked = ds.map_batches(SH, batch_format="pandas", concurrency=(1, 4))
+    chunked = ds.map_batches(chunk_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
@@ -445,29 +473,29 @@ def ann_topk_dot(sf_dir: str):
     LSH/IVF bucket prefilter with the same contract.
     """
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] < ANN_NQ).to_pandas()
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], ANN_NQ)),
+                      batch_format="pyarrow").to_pandas()
     qmat = np.rint(np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * ANN_SCALE).astype(np.int64)
     qids = qdf["vec_id"].to_numpy().astype(np.int64)
     qref = ray.put((qids, qmat))
 
-    class Dots:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(qref)
+    def dots_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["vec_id"].to_numpy().astype(np.int64)
-            m = np.rint(np.stack(df["embedding"].to_numpy()).astype(np.float64) * ANN_SCALE).astype(np.int64)
-            dots = m @ self.qmat.T  # (batch, nq) int64
-            out = []
-            for qi, qid in enumerate(self.qids):
-                col = dots[:, qi]
-                mask = ids != qid
-                cid, cdot = ids[mask], col[mask]
-                order = np.lexsort((cid, -cdot))[:ANN_K]
-                out.append(pd.DataFrame({"q_id": qid, "vec_id": cid[order], "dot": cdot[order]}))
-            return pd.concat(out, ignore_index=True)
+        qids_, qmat = _cached_get(qref)  # one object-store fetch per worker
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        m = np.rint(np.stack(df["embedding"].to_numpy()).astype(np.float64) * ANN_SCALE).astype(np.int64)
+        dots = m @ qmat.T  # (batch, nq) int64
+        out = []
+        for qi, qid in enumerate(qids_):
+            col = dots[:, qi]
+            mask = ids != qid
+            cid, cdot = ids[mask], col[mask]
+            order = np.lexsort((cid, -cdot))[:ANN_K]
+            out.append(pd.DataFrame({"q_id": qid, "vec_id": cid[order], "dot": cdot[order]}))
+        return pd.concat(out, ignore_index=True)
 
-    partial = emb.map_batches(Dots, batch_format="pandas", concurrency=(1, 4), batch_size=4096)
+    partial = emb.map_batches(dots_partial, batch_format="pandas", batch_size=4096)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g["vec_id"].to_numpy(), -g["dot"].to_numpy()))[:ANN_K]
@@ -493,7 +521,8 @@ def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 
     cents, _ = kmeans_fit(emb, k=nlist, iters=4)
     cents_q = _quantize(cents)
 
-    qdf = emb.filter(lambda r: r["vec_id"] < ANN_NQ).to_pandas()
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], ANN_NQ)),
+                      batch_format="pyarrow").to_pandas()
     qmat = _quantize(np.stack(qdf["embedding"].to_numpy()))
     qids = qdf["vec_id"].to_numpy().astype(np.int64)
     # probe lists per query: nprobe highest-dot centroids
@@ -540,46 +569,114 @@ def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 
     return merged.map_batches(topk, batch_format="pandas")
 
 
-@query("embedding_near_dup")
-def embedding_near_dup(sf_dir: str, *, min_dot: int = 40_000_000):
-    """Embedding near-dup pairs via random-hyperplane LSH buckets + exact
-    integer-dot verification (rows-only; the cosine analog of MinHash)."""
+EMB_LSH_BANDS = 8
+EMB_LSH_ROWS = 8  # planes per band; bucket space 2^8 per band
+EMB_LSH_SEED = 12648430  # 0xC0FFEE
+EMB_NEAR_DOT = 40_000_000  # cos >= 0.4 at the 1e4 quantization
+
+
+def _lsh_planes() -> np.ndarray:
+    """(bands*rows, 64) small-integer hyperplanes from splitmix64 — the SAME
+    derivation is reproduced in the SQL oracle, making the banding itself
+    checkable (planes in {-3..3}, zero-mean over the 7 residues)."""
+    from ..sources.synthetic import splitmix64
+
+    n = EMB_LSH_BANDS * EMB_LSH_ROWS * 64
+    vals = (splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(EMB_LSH_SEED))
+            % np.uint64(7)).astype(np.int64) - 3
+    return vals.reshape(EMB_LSH_BANDS * EMB_LSH_ROWS, 64)
+
+
+def _embedding_near_dup_sql() -> str:
+    from .sqlgen import sm64
+
+    n_planes = EMB_LSH_BANDS * EMB_LSH_ROWS
+    w = f"CAST({sm64(f'CAST(t.k + {EMB_LSH_SEED} AS UBIGINT)')} % 7 AS BIGINT) - 3"
+    return f"""
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {ANN_SCALE!r}) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    planes AS MATERIALIZED (
+      SELECT CAST(t.k // 64 AS BIGINT) AS p, CAST(t.k % 64 AS BIGINT) AS i,
+             {w} AS w
+      FROM range({n_planes * 64}) t(k)
+    ),
+    proj AS (
+      SELECT f.vec_id, pl.p, SUM(f.q * pl.w) AS s
+      FROM flat f JOIN planes pl ON pl.i + 1 = f.i
+      GROUP BY f.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {EMB_LSH_ROWS} AS band,
+             SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                 * (1 << (p % {EMB_LSH_ROWS}))) AS bucket
+      FROM proj GROUP BY vec_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.vec_a, c.vec_b, CAST(SUM(fa.q * fb.q) AS BIGINT) AS dot
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.vec_a
+      JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+      GROUP BY c.vec_a, c.vec_b
+    )
+    SELECT vec_a, vec_b, dot FROM dots WHERE dot >= {EMB_NEAR_DOT}
+    """
+
+
+@query("embedding_near_dup", _embedding_near_dup_sql())
+def embedding_near_dup(sf_dir: str, *, min_dot: int = EMB_NEAR_DOT):
+    """Embedding near-dup pairs: banded random-hyperplane LSH (8 bands x 8
+    planes — OR-amplified for recall, unlike a single 16-bit code whose
+    recall at cos~0.4 is ~0) + exact integer-dot verification. Planes are
+    splitmix64-derived integers so the ENTIRE pipeline — banding included —
+    has an exact DuckDB oracle. At corpus scale, widen rows-per-band to grow
+    the bucket space (2^rows per band) and keep in-bucket pair counts bounded."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((16, 64))
-    pref = ray.put(planes)
+    planes = _lsh_planes()  # tiny constant; captured by closure
 
-    class Bucket:
-        def __init__(self):
-            self.planes = ray.get(pref)
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                    * ANN_SCALE).astype(np.int64)
+        bits = (q @ planes.T > 0).astype(np.int64)  # (n, bands*rows)
+        n = len(q)
+        ids = df["vec_id"].to_numpy(np.int64)
+        frames = []
+        weights = 1 << np.arange(EMB_LSH_ROWS, dtype=np.int64)
+        for b in range(EMB_LSH_BANDS):
+            seg = bits[:, b * EMB_LSH_ROWS:(b + 1) * EMB_LSH_ROWS]
+            frames.append(pd.DataFrame({
+                "vec_id": ids, "band": np.full(n, b, np.int64),
+                "bucket": seg @ weights, "qvec": list(q)}))
+        return pd.concat(frames, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            bits = (m @ self.planes.T > 0).astype(np.uint64)
-            code = np.zeros(len(m), np.uint64)
-            for b in range(16):
-                code |= bits[:, b] << np.uint64(b)
-            q = np.rint(m * ANN_SCALE).astype(np.int64)
-            return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
-                                 "bucket": code.astype(np.int64),
-                                 "qvec": list(q)})
-
-    bucketed = emb.map_batches(Bucket, batch_format="pandas", concurrency=(1, 4))
+    banded = emb.map_batches(band_rows, batch_format="pandas", batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot": []}).astype(np.int64)
+            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                                 "vec_b": pd.Series([], dtype=np.int64),
+                                 "dot": pd.Series([], dtype=np.int64)})
         m = np.stack(g["qvec"].to_numpy())
         dots = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         d = dots[ia, ib]
         keep = d >= min_dot
         return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
-                             "dot": d[keep]}).astype(np.int64)
+                             "dot": d[keep].astype(np.int64)})
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    found = banded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    # the same near pair can surface in several bands — exactly-once dedup
+    return tree_reduce(found, lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+                       batch_format="pandas")
 
 
 @query(
@@ -635,7 +732,7 @@ def media_features(sf_dir: str):
     from ..stages.multimodal import media_feature_pipeline, synth_media_table
 
     media = ray.data.from_arrow(synth_media_table(2000))
-    feats = media_feature_pipeline(media, batch_size=256, concurrency=(1, 2))
+    feats = media_feature_pipeline(media, batch_size=256)
     return feats.map_batches(
         lambda t: pa.table({
             "item_id": t["item_id"],
@@ -673,22 +770,56 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
     FROM s GROUP BY user_id, session_idx
     """,
 )
-def events_sessionize(sf_dir: str):
-    """Session windows (gap = 30 min) — the ordered-log pattern: partition by
-    key, sort within partition, stateful scan inside map_groups (Ray Data has
-    no watermarks; SURVEY.md streaming note)."""
+def events_sessionize(sf_dir: str, *, n_buckets: int = 64):
+    """Session windows (gap = 30 min) WITHOUT shuffling raw events.
+
+    Interval-merge design (sessions form a semigroup): each batch emits its
+    batch-local partial sessions as narrow interval rows (user, first_ts,
+    last_ts, n, min_event) — the raw event log never enters an exchange.
+    Partials then shuffle by a small user-hash bucket key (64 groups, each
+    holding MANY users) and merge with one fully-vectorized pandas pass per
+    bucket: sorted by (user, first_ts), a chain continues iff its first_ts is
+    within gap of the running cummax(last_ts). Merging partial intervals this
+    way is EXACT: a ≤gap span between two events bounds every consecutive
+    sub-gap inside it, and the sort order guarantees no unseen event lies in
+    a >gap hole. Replaces groupby(user).map_groups (full event shuffle +
+    per-user task granularity — the round-1 bench's slowest stage)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
-        gap = np.diff(us, prepend=us[0] - SESSION_GAP_US - 1) > SESSION_GAP_US
-        sid = np.cumsum(gap).astype(np.int64)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid,
-                            "event_id": g["event_id"].to_numpy()})
-        agg = out.groupby(["user_id", "session_idx"], sort=False).agg(
-            n=("event_id", "size"), first_event=("event_id", "min")).reset_index()
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].astype("int64").to_numpy()
+        ev = df["event_id"].to_numpy(np.int64)
+        o = np.lexsort((ev, ts, u))
+        u, ts, ev = u[o], ts[o], ev[o]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP_US)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "first_ts": ts[starts],
+            "last_ts": ts[ends - 1],  # ts-sorted within segment => max
+            "n": (ends - starts).astype(np.int64),
+            "min_ev": np.minimum.reduceat(ev, starts),
+            "bucket": ((u[starts].astype(np.uint64) * np.uint64(2654435761))
+                       % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "first_ts"], kind="mergesort",
+                          ignore_index=True)
+        by_user = g.groupby("user_id", sort=False)
+        run_max = by_user["last_ts"].cummax().shift(1)
+        user_change = g["user_id"].ne(g["user_id"].shift(1))
+        # shift(1) crosses user boundaries, but user_change overrides there
+        new = user_change | (g["first_ts"] > run_max + SESSION_GAP_US)
+        g["session_idx"] = new.groupby(g["user_id"], sort=False).cumsum().astype(np.int64)
+        agg = g.groupby(["user_id", "session_idx"], sort=False).agg(
+            n=("n", "sum"), first_event=("min_ev", "min")).reset_index()
         agg["n"] = agg["n"].astype(np.int64)
         return agg
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return parts.groupby("bucket").map_groups(merge, batch_format="pandas")

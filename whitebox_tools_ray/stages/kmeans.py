@@ -37,7 +37,11 @@ def kmeans_fit(emb_ds, *, k: int = 8, iters: int = 10, vec_col: str = "embedding
                id_col: str = "vec_id"):
     """Returns (centroids float64 (k, dim), assignments Dataset(vec_id,
     cluster)). Init = the k rows with the lowest ids (deterministic)."""
-    init = emb_ds.filter(lambda r: r[id_col] < k).to_pandas().sort_values(id_col)
+    import pyarrow.compute as pc
+
+    # vectorized Arrow mask (not a per-row Python filter over every embedding)
+    init = emb_ds.map_batches(lambda t: t.filter(pc.less(t[id_col], k)),
+                              batch_format="pyarrow").to_pandas().sort_values(id_col)
     cents_q = _quantize(np.stack(init[vec_col].to_numpy()))
     dim = cents_q.shape[1]
 

@@ -126,9 +126,18 @@ class FrameSampler:
 
 
 def media_feature_pipeline(media: ray.data.Dataset, *, batch_size: int = 256,
-                           concurrency=(1, 4)) -> ray.data.Dataset:
+                           concurrency=None) -> ray.data.Dataset:
     """images/audio -> feature vectors (actor pool, small batches for wide
     binary rows), videos -> sampled frames. Returns the feature dataset."""
-    imgs = media.filter(lambda r: r["media_type"] != "video")
+    import pyarrow.compute as pc
+
+    from ..config import actor_pool
+
+    if concurrency is None:
+        concurrency = actor_pool()  # scale the pool with cluster CPUs
+    # vectorized Arrow mask, not a per-row Python filter
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.not_equal(t["media_type"], "video")),
+        batch_format="pyarrow")
     return imgs.map_batches(MediaFeatureExtract, batch_size=batch_size,
                             batch_format="pyarrow", concurrency=concurrency)
