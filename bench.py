@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "ann_topk_dot",
     "events_sessionize",
+    "pip_pairs_10k_indexed",
 ]
 
 

@@ -151,3 +151,52 @@ def test_min_area_bbox_axes_degenerate():
     assert s == 0.0 and abs(l - 5.0) < 1e-12
     s, l = min_area_bbox_axes(np.array([[1.0, 2.0], [1.0, 2.0]]))
     assert (s, l) == (0.0, 0.0)
+
+
+def test_cell_index_matches_brute_force():
+    """pip_pairs_indexed / clip_mask_indexed must be bit-identical to the
+    linear-scan kernels on the 10k diamond layer (and sublinear in parts)."""
+    import numpy as np
+
+    from whitebox_tools_ray.geometry import clip_mask_indexed, pip_pairs_indexed
+    from whitebox_tools_ray.layers_big import packed_diamonds
+
+    polys = packed_diamonds(3000)
+    idx = polys.build_cell_index()
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-180, 180, 20000)
+    py = rng.uniform(-85, 85, 20000)
+    i1, f1 = pip_pairs_indexed(polys, idx, px, py)
+    i2, f2 = polys.pip_pairs(px, py)
+    o = np.lexsort((f2, i2))
+    assert (i1 == i2[o]).all() and (f1 == f2[o]).all()
+    assert len(i1) > 0
+    k1 = clip_mask_indexed(polys, idx, px, py)
+    k2 = polys.clip_mask(px, py)
+    assert (k1 == k2).all() and k1.any()
+
+
+def test_cell_index_sublinear_in_parts():
+    """Indexed kernel time must grow far slower than part count (the whole
+    point of the index): 8x the parts must cost < 3x the time."""
+    import time
+
+    import numpy as np
+
+    from whitebox_tools_ray.geometry import pip_pairs_indexed
+    from whitebox_tools_ray.layers_big import packed_diamonds
+
+    rng = np.random.default_rng(4)
+    px = rng.uniform(-180, 180, 30000)
+    py = rng.uniform(-85, 85, 30000)
+
+    def timed(n):
+        polys = packed_diamonds(n)
+        idx = polys.build_cell_index()
+        pip_pairs_indexed(polys, idx, px, py)  # warm
+        t0 = time.perf_counter()
+        pip_pairs_indexed(polys, idx, px, py)
+        return time.perf_counter() - t0
+
+    t_small, t_big = timed(1250), timed(10000)
+    assert t_big < 3 * t_small + 0.05, (t_small, t_big)

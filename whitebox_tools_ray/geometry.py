@@ -221,6 +221,9 @@ class PackedPolygons:
             keep[hit] = not self.is_hole[p]
         return keep
 
+    def build_cell_index(self, *, nx: int = 256, ny: int = 128) -> "CellIndex":
+        return CellIndex.build(self, nx=nx, ny=ny)
+
     def pip_pairs(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(point_index, feature_id) join pairs — per-feature containment.
 
@@ -249,3 +252,178 @@ class PackedPolygons:
         if not out_idx:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(out_idx), np.concatenate(out_fid)
+
+
+@dataclass
+class CellIndex:
+    """Uniform cell -> candidate-parts index over a PackedPolygons layer
+    (CSR layout), the SURVEY section 2.3a mandate: per batch, points are
+    bucketed into cells and tested ONLY against the parts whose bbox covers
+    their cell — sublinear in part count, vs the linear scan that dies at a
+    10k-part layer. Plays the role of the reference's per-record bbox
+    pre-index in gis_analysis/clip.rs:244-277, packed flat for broadcast.
+    """
+
+    x0: float
+    y0: float
+    csx: float
+    csy: float
+    nx: int
+    ny: int
+    cell_ptr: np.ndarray    # (nx*ny + 1,) int64 CSR offsets
+    cell_parts: np.ndarray  # part ids, file order within each cell
+
+    @classmethod
+    def build(cls, polys: PackedPolygons, *, nx: int = 256, ny: int = 128) -> "CellIndex":
+        bb = polys.bboxes
+        x0 = float(bb[:, 0].min())
+        y0 = float(bb[:, 1].min())
+        x1 = float(bb[:, 2].max())
+        y1 = float(bb[:, 3].max())
+        csx = max((x1 - x0) / nx, 1e-12)
+        csy = max((y1 - y0) / ny, 1e-12)
+        ix0 = np.clip(((bb[:, 0] - x0) / csx).astype(np.int64), 0, nx - 1)
+        ix1 = np.clip(((bb[:, 2] - x0) / csx).astype(np.int64), 0, nx - 1)
+        iy0 = np.clip(((bb[:, 1] - y0) / csy).astype(np.int64), 0, ny - 1)
+        iy1 = np.clip(((bb[:, 3] - y0) / csy).astype(np.int64), 0, ny - 1)
+        spans = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        total = int(spans.sum())
+        cells = np.empty(total, np.int64)
+        parts = np.empty(total, np.int64)
+        pos = 0
+        for p in range(len(bb)):  # build-once cost, vectorized per part
+            gx = np.arange(ix0[p], ix1[p] + 1)
+            gy = np.arange(iy0[p], iy1[p] + 1)
+            cc = (gy[:, None] * nx + gx[None, :]).ravel()
+            cells[pos:pos + len(cc)] = cc
+            parts[pos:pos + len(cc)] = p
+            pos += len(cc)
+        # CSR: stable sort by cell keeps file order within each cell
+        order = np.argsort(cells, kind="stable")
+        cells, parts = cells[order], parts[order]
+        ptr = np.zeros(nx * ny + 1, np.int64)
+        np.cumsum(np.bincount(cells, minlength=nx * ny), out=ptr[1:])
+        return cls(x0=x0, y0=y0, csx=csx, csy=csy, nx=nx, ny=ny,
+                   cell_ptr=ptr, cell_parts=parts)
+
+    def point_cells(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Cell id per point; -1 for points outside the layer bbox grid."""
+        ix = np.floor((np.asarray(px, np.float64) - self.x0) / self.csx).astype(np.int64)
+        iy = np.floor((np.asarray(py, np.float64) - self.y0) / self.csy).astype(np.int64)
+        ok = (ix >= 0) & (ix < self.nx) & (iy >= 0) & (iy < self.ny)
+        return np.where(ok, iy * self.nx + ix, -1)
+
+
+def candidate_pairs(index: CellIndex, px: np.ndarray, py: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(point_row, part_id) candidate pairs via CSR gather — no Python loop:
+    every point is paired with exactly the parts indexed under its cell."""
+    cell = index.point_cells(px, py)
+    ok = cell >= 0
+    pts = np.flatnonzero(ok)
+    c = cell[ok]
+    counts = index.cell_ptr[c + 1] - index.cell_ptr[c]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pt = np.repeat(pts, counts)
+    offs = np.cumsum(counts) - counts  # start of each point's span in output
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(offs, counts) + np.repeat(index.cell_ptr[c], counts))
+    return pt, index.cell_parts[gather]
+
+
+def _winding_pairs(rings_stack: np.ndarray, ring_row: np.ndarray,
+                   px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd containment for PAIRS: ring_row[k] selects a ring
+    from rings_stack (K, L, 2) for point (px[k], py[k]). Same strict
+    comparisons as winding_number (poly_ops.rs:41-72)."""
+    R = rings_stack[ring_row]                    # (n, L, 2)
+    x0, y0 = R[:, :-1, 0], R[:, :-1, 1]
+    x1, y1 = R[:, 1:, 0], R[:, 1:, 1]
+    pxx, pyy = px[:, None], py[:, None]
+    is_left = (x1 - x0) * (pyy - y0) - (pxx - x0) * (y1 - y0)
+    up = (y0 <= pyy) & (y1 > pyy) & (is_left > 0.0)
+    down = (y0 > pyy) & (y1 <= pyy) & (is_left < 0.0)
+    wn = up.sum(axis=1).astype(np.int64) - down.sum(axis=1).astype(np.int64)
+    return wn % 2 != 0
+
+
+def pip_pairs_indexed(polys: PackedPolygons, index: CellIndex,
+                      px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(point_index, feature_id) pairs with the cell index — identical
+    semantics to PackedPolygons.pip_pairs (per-feature last-part-wins) but
+    sublinear in part count AND loop-free: candidate (point, part) pairs come
+    from a CSR gather, containment runs vectorized over pairs bucketed by
+    ring length, and last-part-wins resolves with one lexsort."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    pt, part = candidate_pairs(index, px, py)
+    if len(pt) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    bb = polys.bboxes[part]
+    m = ((px[pt] >= bb[:, 0]) & (px[pt] <= bb[:, 2])
+         & (py[pt] >= bb[:, 1]) & (py[pt] <= bb[:, 3]))
+    pt, part = pt[m], part[m]
+    if len(pt) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    # containment per pair, vectorized per ring-length bucket
+    lens = np.asarray([len(r) for r in polys.rings], np.int64)
+    inside = np.zeros(len(pt), bool)
+    for L in np.unique(lens[part]):
+        ring_ids = np.flatnonzero(lens == L)
+        stack = np.stack([polys.rings[i] for i in ring_ids])  # (K, L, 2)
+        remap = np.full(len(polys.rings), -1, np.int64)
+        remap[ring_ids] = np.arange(len(ring_ids))
+        sel = np.flatnonzero(lens[part] == L)
+        inside[sel] = _winding_pairs(stack, remap[part[sel]], px[pt[sel]], py[pt[sel]])
+
+    pt, part = pt[inside], part[inside]
+    if len(pt) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    fid = polys.feature_id[part]
+    # last-part-wins per (point, feature): keep the highest part index
+    o = np.lexsort((part, fid, pt))
+    pt, part, fid = pt[o], part[o], fid[o]
+    last = np.ones(len(pt), bool)
+    last[:-1] = (pt[1:] != pt[:-1]) | (fid[1:] != fid[:-1])
+    keep = last & ~polys.is_hole[part]
+    return pt[keep], fid[keep]
+
+
+def clip_mask_indexed(polys: PackedPolygons, index: CellIndex,
+                      px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Indexed clip keep-mask, identical to PackedPolygons.clip_mask
+    (GLOBAL last-tested-part-wins across all features, clip.rs:314-324):
+    for each point the highest-part-index containing ring decides."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    keep = np.zeros(len(px), bool)
+    pt, part = candidate_pairs(index, px, py)
+    if len(pt) == 0:
+        return keep
+    bb = polys.bboxes[part]
+    m = ((px[pt] >= bb[:, 0]) & (px[pt] <= bb[:, 2])
+         & (py[pt] >= bb[:, 1]) & (py[pt] <= bb[:, 3]))
+    pt, part = pt[m], part[m]
+    if len(pt) == 0:
+        return keep
+    lens = np.asarray([len(r) for r in polys.rings], np.int64)
+    inside = np.zeros(len(pt), bool)
+    for L in np.unique(lens[part]):
+        ring_ids = np.flatnonzero(lens == L)
+        stack = np.stack([polys.rings[i] for i in ring_ids])
+        remap = np.full(len(polys.rings), -1, np.int64)
+        remap[ring_ids] = np.arange(len(ring_ids))
+        sel = np.flatnonzero(lens[part] == L)
+        inside[sel] = _winding_pairs(stack, remap[part[sel]], px[pt[sel]], py[pt[sel]])
+    pt, part = pt[inside], part[inside]
+    if len(pt) == 0:
+        return keep
+    o = np.lexsort((part, pt))
+    pt, part = pt[o], part[o]
+    last = np.ones(len(pt), bool)
+    last[:-1] = pt[1:] != pt[:-1]
+    keep[pt[last]] = ~polys.is_hole[part[last]]
+    return keep

@@ -108,7 +108,6 @@ def diamonds_cte(n: int = N_DIAMONDS) -> str:
              0.2 + {unit(4)} * 1.8 AS dy1,
              0.2 + {unit(5)} * 1.8 AS dx2,
              0.2 + {unit(6)} * 1.8 AS dy2,
-             (h % 7777) % 5 = 0 AS has_hole_wrong, -- placeholder, fixed below
              h % 5 = 0 AS has_hole
       FROM diam_h)
     """

@@ -803,3 +803,167 @@ def extract_raster_values(sf_dir: str):
         })
 
     return read_points(sf_dir, extra_cols=()).map_batches(lookup, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# 10k-part layer: cell-indexed broadcast join + groupby-on-cell shuffle join
+# (SURVEY.md section 2.3a mandate; clip.rs:244-370 pre-index analog)
+# --------------------------------------------------------------------------
+
+def _pip10k_sql() -> str:
+    from ..layers_big import N_DIAMONDS, diamond_inside_sql, diamonds_cte
+
+    return f"""
+    WITH {PTS_CTE},
+    {diamonds_cte(N_DIAMONDS)},
+    cand AS (
+      SELECT p.event_id, p.x, p.y,
+             d.poly_id, d.cx, d.cy, d.dx1, d.dy1, d.dx2, d.dy2, d.has_hole
+      FROM pts p JOIN diam d
+        ON p.x >= d.cx - d.dx2 AND p.x <= d.cx + d.dx1
+       AND p.y >= d.cy - d.dy2 AND p.y <= d.cy + d.dy1
+    )
+    SELECT event_id, poly_id
+    FROM cand
+    WHERE {diamond_inside_sql('x', 'y')}
+      AND NOT (has_hole AND {diamond_inside_sql('x', 'y', '(1.0/3.0)')})
+    """
+
+
+@query("pip_pairs_10k_indexed", _pip10k_sql())
+def pip_pairs_10k_indexed(sf_dir: str):
+    """Point-in-polygon tagging against the 10,000-feature diamond layer via
+    the BROADCAST + CELL-INDEX path: the packed layer and its CSR
+    cell->candidate-parts index ship once through the object store; per batch
+    a loop-free CSR gather pairs each point with only its cell's candidate
+    parts (geometry.pip_pairs_indexed — measured ~25x over the linear part
+    scan at this layer size). Output: (event_id, poly_id) pairs."""
+    from ..geometry import pip_pairs_indexed
+    from ..layers_big import packed_diamonds
+    from ..stages.spatial_join import _cached_get
+
+    polys = packed_diamonds()
+    ref = ray.put((polys, polys.build_cell_index()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        polys_, idx_ = _cached_get(ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i, f = pip_pairs_indexed(polys_, idx_, x, y)
+        return pa.table({"event_id": ids[i], "poly_id": f})
+
+    return read_points(sf_dir, extra_cols=()).map_batches(tag, batch_format="pyarrow")
+
+
+PIP10K_CELL = 4.0  # shuffle-join cell size (deg); parts are <= 2 deg-armed
+PIP10K_BUCKETS = 64
+
+
+@query("pip_pairs_10k_shuffle", _pip10k_sql())
+def pip_pairs_10k_shuffle(sf_dir: str):
+    """Same join, NON-BROADCAST path for polygon layers too big for one
+    worker heap: parts are replicated to every 4-degree cell their bbox
+    covers (ring coords as binary — list payloads don't survive shuffles),
+    points land in exactly one cell, and a groupby on the cell's hash bucket
+    co-locates them; inside each bucket a pandas merge on cell + the same
+    vectorized winding/last-part-wins kernel emits pairs exactly once
+    (each point lives in one cell). At 100 TB the parts side would itself be
+    a Dataset; here it is synthesized driver-side once (12k rows)."""
+    import ray.data
+
+    from ..geometry import _winding_pairs
+    from ..layers_big import parts_table
+
+    parts = parts_table()
+    # explode parts to covered cells (driver prep over 12k rows)
+    gx0 = np.floor((parts["xmin"].to_numpy() + 180.0) / PIP10K_CELL).astype(np.int64)
+    gx1 = np.floor((parts["xmax"].to_numpy() + 180.0) / PIP10K_CELL).astype(np.int64)
+    gy0 = np.floor((parts["ymin"].to_numpy() + 85.0) / PIP10K_CELL).astype(np.int64)
+    gy1 = np.floor((parts["ymax"].to_numpy() + 85.0) / PIP10K_CELL).astype(np.int64)
+    ncx = int(np.ceil(360.0 / PIP10K_CELL))
+    reps = []
+    for r, (a, b, c, d) in enumerate(zip(gx0, gx1, gy0, gy1)):
+        for yy in range(c, d + 1):
+            for xx in range(a, b + 1):
+                reps.append((yy * ncx + xx, r))
+    rep = pd.DataFrame(reps, columns=["cell", "row"])
+    parts_x = parts.iloc[rep["row"].to_numpy()].reset_index(drop=True)
+    parts_x.insert(0, "cell", rep["cell"].to_numpy())
+    parts_x["bucket"] = parts_x["cell"] % PIP10K_BUCKETS
+    parts_ds = ray.data.from_pandas(parts_x).map_batches(
+        lambda df: df.assign(kind=np.int64(0), event_id=np.int64(-1),
+                             x=np.nan, y=np.nan),
+        batch_format="pandas")
+
+    def enc_points(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        cell = (np.floor((y + 85.0) / PIP10K_CELL).astype(np.int64) * ncx
+                + np.floor((x + 180.0) / PIP10K_CELL).astype(np.int64))
+        return pd.DataFrame({
+            "cell": cell, "bucket": cell % PIP10K_BUCKETS,
+            "part_idx": np.int64(-1), "poly_id": np.int64(-1),
+            "is_hole": False, "xmin": np.nan, "ymin": np.nan,
+            "xmax": np.nan, "ymax": np.nan, "ring": b"",
+            "kind": np.int64(1),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "x": x, "y": y,
+        })
+
+    pts_ds = read_points(sf_dir, extra_cols=()).map_batches(enc_points,
+                                                            batch_format="pandas")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                              "poly_id": pd.Series([], dtype=np.int64)})
+        pts = g[g["kind"] == 1]
+        prt = g[g["kind"] == 0]
+        if pts.empty or prt.empty:
+            return empty
+        merged = pts[["cell", "event_id", "x", "y"]].merge(
+            prt[["cell", "part_idx", "poly_id", "is_hole",
+                 "xmin", "ymin", "xmax", "ymax", "ring"]], on="cell")
+        if merged.empty:
+            return empty
+        x = merged["x"].to_numpy()
+        y = merged["y"].to_numpy()
+        m = ((x >= merged["xmin"].to_numpy()) & (x <= merged["xmax"].to_numpy())
+             & (y >= merged["ymin"].to_numpy()) & (y <= merged["ymax"].to_numpy()))
+        merged = merged[m]
+        if merged.empty:
+            return empty
+        # reconstruct each distinct ring once, then vectorized winding
+        uniq = merged.drop_duplicates("part_idx")
+        rings = {int(p): np.frombuffer(rb, np.float64).reshape(-1, 2)
+                 for p, rb in zip(uniq["part_idx"], uniq["ring"])}
+        lens = {p: len(r) for p, r in rings.items()}
+        part_arr = merged["part_idx"].to_numpy(np.int64)
+        x = merged["x"].to_numpy()
+        y = merged["y"].to_numpy()
+        inside = np.zeros(len(merged), bool)
+        lens_arr = np.array([lens[int(p)] for p in part_arr])
+        for L in np.unique(lens_arr):
+            pids = sorted(p for p, n in lens.items() if n == L)
+            stack = np.stack([rings[p] for p in pids])
+            remap = {p: k for k, p in enumerate(pids)}
+            sel = np.flatnonzero(lens_arr == L)
+            rows = np.array([remap[int(p)] for p in part_arr[sel]], np.int64)
+            inside[sel] = _winding_pairs(stack, rows, x[sel], y[sel])
+        merged = merged[inside]
+        if merged.empty:
+            return empty
+        # last-part-wins per (event, feature)
+        o = np.lexsort((merged["part_idx"].to_numpy(), merged["poly_id"].to_numpy(),
+                        merged["event_id"].to_numpy()))
+        merged = merged.iloc[o]
+        ev = merged["event_id"].to_numpy()
+        fid = merged["poly_id"].to_numpy()
+        last = np.ones(len(merged), bool)
+        last[:-1] = (ev[1:] != ev[:-1]) | (fid[1:] != fid[:-1])
+        keep = last & ~merged["is_hole"].to_numpy()
+        return pd.DataFrame({"event_id": ev[keep].astype(np.int64),
+                             "poly_id": fid[keep].astype(np.int64)})
+
+    both = parts_ds.union(pts_ds)
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
