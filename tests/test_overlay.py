@@ -45,3 +45,53 @@ def test_pentagon_clip_area_via_sampling():
     cell_a = (xs[1] - xs[0]) * (ys[1] - ys[0])
     approx = (inside_p & inside_c).sum() * cell_a
     assert abs(area - approx) / area < 0.02
+
+
+def test_greiner_hormann_dense_sampling():
+    """Overlay region == pointwise region algebra on dense random samples,
+    for all four ops over 60 star pairs (non-convex, crossing/contained/
+    disjoint mixes)."""
+    import numpy as np
+
+    from whitebox_tools_ray.geometry import point_in_poly
+    from whitebox_tools_ray.pipelines.queries_overlay import star_rings
+    from whitebox_tools_ray.stages.overlay import greiner_hormann, region_inside
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(60, dtype=np.int64)
+    A, B = star_rings(ids)
+    for i in range(len(ids)):
+        allv = np.concatenate([A[i, :-1], B[i, :-1]])
+        px = rng.uniform(allv[:, 0].min() - 0.5, allv[:, 0].max() + 0.5, 600)
+        py = rng.uniform(allv[:, 1].min() - 0.5, allv[:, 1].max() + 0.5, 600)
+        in_a = point_in_poly(px, py, A[i])
+        in_b = point_in_poly(px, py, B[i])
+        for op, want in [("intersect", in_a & in_b), ("union", in_a | in_b),
+                         ("difference", in_a & ~in_b), ("symdiff", in_a ^ in_b)]:
+            got = region_inside(greiner_hormann(A[i], B[i], op), px, py)
+            assert (got == want).all(), (i, op, int((got != want).sum()))
+
+
+def test_greiner_hormann_containment_cases():
+    """No-crossing branches: disjoint, A inside B, B inside A."""
+    import numpy as np
+
+    from whitebox_tools_ray.stages.overlay import greiner_hormann, region_inside
+
+    sq = np.array([[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])
+    inner = np.array([[1., 1.], [3., 1.], [3., 3.], [1., 3.], [1., 1.]])
+    far = inner + 10.0
+    px = np.array([2.0, 0.5, 12.0, -5.0])
+    py = np.array([2.0, 0.5, 12.0, -5.0])
+    # A=sq, B=inner (B inside A)
+    assert (region_inside(greiner_hormann(sq, inner, "intersect"), px, py)
+            == [True, False, False, False]).all()
+    assert (region_inside(greiner_hormann(sq, inner, "union"), px, py)
+            == [True, True, False, False]).all()
+    # difference sq - inner: ring with hole
+    assert (region_inside(greiner_hormann(sq, inner, "difference"), px, py)
+            == [False, True, False, False]).all()
+    # disjoint
+    assert greiner_hormann(sq, far, "intersect") == []
+    assert (region_inside(greiner_hormann(sq, far, "union"), px, py)
+            == [True, True, True, False]).all()
