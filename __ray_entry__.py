@@ -54,11 +54,14 @@ def _driver_priority_order(names: list[str], oracle: dict[str, str]) -> list[str
                 green.add(name)
 
     def tier(n: str) -> int:
-        if n not in seen:
+        # 0: previously no_oracle/failed entries that NOW carry SQL — each
+        #    check upgrades a known-weak signal to hash-green (highest value)
+        # 1: never seen in any round   2: seen rows-only   3: already green
+        if n in seen and n not in green and n in oracle:
             return 0
-        if n in green:
-            return 3
-        return 1 if n in oracle else 2
+        if n not in seen:
+            return 1
+        return 3 if n in green else 2
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

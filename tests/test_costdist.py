@@ -46,3 +46,50 @@ def test_cost_distance_matches_dijkstra():
     np.testing.assert_array_equal(got, want)
     assert (got[sources] == 0).all()
     assert got.max() < np.iinfo(np.int64).max  # fully connected grid
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cost_distance_pregel_matches_dijkstra():
+    """The shard-actor cost distance must equal a global single-heap
+    Dijkstra exactly (integer weights)."""
+    import heapq
+
+    import ray.data  # noqa: F401
+
+    from whitebox_tools_ray.stages.pregel import cost_distance_pregel
+
+    G2 = GridSpec(west=0.0, north=20.0, res_x=1.0, res_y=1.0, rows=40, cols=50)
+    n = G2.rows * G2.cols
+    cells = np.arange(n, dtype=np.int64)
+    cost = (1 + (cells * 13) % 5).astype(np.int64)
+    sources = cells[(cells * 37) % 101 == 0]
+
+    def cost_fn(cids):
+        return (1 + (cids.astype(np.int64) * 13) % 5).astype(np.int64)
+
+    got = cost_distance_pregel(cost_fn, sources, G2, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+
+    INF = 1 << 62
+    best = np.full(n, INF, np.int64)
+    heap = []
+    for s in sources:
+        best[s] = 0
+        heapq.heappush(heap, (0, int(s)))
+    while heap:
+        d, v = heapq.heappop(heap)
+        if d > best[v]:
+            continue
+        r, c = v // G2.cols, v % G2.cols
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if not (0 <= nr < G2.rows and 0 <= nc < G2.cols):
+                continue
+            u = nr * G2.cols + nc
+            nd = d + int(cost[v]) + int(cost[u])
+            if nd < best[u]:
+                best[u] = nd
+                heapq.heappush(heap, (nd, u))
+    ok = best < INF
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells[ok])
+    np.testing.assert_array_equal(got["cost_dist2"].to_numpy(), best[ok])

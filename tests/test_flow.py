@@ -77,16 +77,48 @@ def brute_strahler(down):
     return order
 
 
+def _down_ds(down):
+    import ray.data
+
+    from whitebox_tools_ray.stages.flow import tile_of_expr
+
+    cells = np.arange(len(down), dtype=np.int64)
+    return ray.data.from_pandas(pd.DataFrame({
+        "cell_id": cells, "down_id": down,
+        "tile": tile_of_expr(cells, G, 8)})).repartition(4)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_flow_accumulation_matches_bruteforce():
-    from whitebox_tools_ray.stages.flow import flow_accumulation
+    from whitebox_tools_ray.stages.pregel import flow_accumulation_pregel
 
     down = random_forest()
-    got = flow_accumulation(down, G, tile=8)
+    got = flow_accumulation_pregel(_down_ds(down), G, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
     want = brute_acc(down)
     np.testing.assert_array_equal(got["acc"].to_numpy(), want)
     np.testing.assert_array_equal(got["cell_id"].to_numpy(),
                                   np.arange(len(down), dtype=np.int64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basins_pregel_matches_bruteforce():
+    from whitebox_tools_ray.stages.pregel import basins_pregel
+
+    down = random_forest(7)
+    got = basins_pregel(_down_ds(down), G, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+    np.testing.assert_array_equal(got["basin"].to_numpy(), brute_basin(down))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strahler_pregel_matches_bruteforce():
+    from whitebox_tools_ray.stages.pregel import strahler_pregel
+
+    down = random_forest(11)
+    got = strahler_pregel(_down_ds(down), G, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+    np.testing.assert_array_equal(got["strahler"].to_numpy(), brute_strahler(down))
 
 
 def test_basins_matches_bruteforce():

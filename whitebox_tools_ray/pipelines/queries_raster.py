@@ -15,15 +15,7 @@ from ..layers import GRID1
 from .queries import query
 
 
-def _value_fn(cells: np.ndarray) -> np.ndarray:
-    return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
-
-
-_CELLS_CTE = (
-    f"cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id, "
-    f"CAST(t.i // {GRID1.cols} AS BIGINT) AS r, CAST(t.i % {GRID1.cols} AS BIGINT) AS c, "
-    f"((t.i * 1000003) % 1000) AS v FROM range({GRID1.rows * GRID1.cols}) t(i))"
-)
+from ..rasterdefs import _CELLS_CTE, _value_fn  # noqa: E402 (shared, cycle-free)
 
 # one equi-join per 3x3 offset (a cross-join with arithmetic conditions
 # defeats DuckDB's hash-join planner: 50s vs <1s)
@@ -522,15 +514,14 @@ def flow_accumulation_q(sf_dir: str):
     """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:483-560): number
     of cells draining through each cell (incl. itself). The reference's
     whole-raster sequential drain becomes Pregel-style tile sweeps: per-tile
-    internal drains + cross-border mass packets per round (stages/flow)."""
-    import ray.data
+    internal drains + cross-border mass packets per round, with the pointer
+    table AND packet frontier living in Datasets between rounds — no dense
+    per-cell array ever touches the driver (stages/flow)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
 
-    from ..stages.flow import d8_down_ids, flow_accumulation
-
-    d8 = d8_pointer(sf_dir).to_pandas()
-    down = d8_down_ids(d8, GRID1)
-    acc = flow_accumulation(down, GRID1)
-    return ray.data.from_pandas(acc)
+    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1)
+    return flow_accumulation_pregel(dds, GRID1)
 
 
 @query(
@@ -551,16 +542,12 @@ def flow_accumulation_q(sf_dir: str):
 def watershed_basins(sf_dir: str):
     """Watershed / Basins (hydro_analysis/{watershed,basins}.rs): label each
     cell with the outlet its D8 path reaches, via pointer doubling —
-    O(log path) rounds of next := next(next)."""
-    import ray.data
+    O(log path) rounds of next := next(next), each round a dataset
+    SELF-JOIN (no driver arrays)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import basins_pregel
 
-    from ..stages.flow import basins_pointer_doubling, d8_down_ids
-
-    d8 = d8_pointer(sf_dir).to_pandas()
-    down = d8_down_ids(d8, GRID1)
-    basin = basins_pointer_doubling(down)
-    return ray.data.from_pandas(pd.DataFrame({
-        "cell_id": np.arange(len(basin), dtype=np.int64), "basin": basin}))
+    return basins_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
 @query(
@@ -576,18 +563,11 @@ def watershed_basins(sf_dir: str):
 )
 def num_inflowing_neighbours(sf_dir: str):
     """NumInflowingNeighbours (hydro_analysis/num_inflowing_neighbours.rs):
-    in-degree of the D8 graph — one grouped count on the down pointer."""
-    import ray.data
+    in-degree of the D8 graph — a distributed partial count on the down
+    pointer + left-outer join for the zero-in-degree cells."""
+    from ..stages.flow import down_ds_from_pointer, num_inflowing_ds
 
-    from ..relational import partial_agg
-    from ..stages.flow import d8_down_ids
-
-    d8 = d8_pointer(sf_dir).to_pandas()
-    down = d8_down_ids(d8, GRID1)
-    counts = np.bincount(down[down >= 0], minlength=len(down))
-    return ray.data.from_pandas(pd.DataFrame({
-        "cell_id": np.arange(len(down), dtype=np.int64),
-        "n_inflow": counts.astype(np.int64)}))
+    return num_inflowing_ds(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
 @query("strahler_order")
@@ -597,17 +577,12 @@ def strahler_order(sf_dir: str):
     +1 when two or more children attain that max. Computed in topological
     waves (cells whose children are all resolved) — bounded by the longest
     path, same Pregel shape as flow accumulation. Rows-only; brute-force
-    oracle in tests/test_flow.py."""
-    import ray.data
+    oracle in tests/test_flow.py. Unresolved per-cell state travels as
+    shard actors; rounds ~ shard-graph diameter (stages/pregel.strahler_pregel)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import strahler_pregel
 
-    from ..stages.flow import d8_down_ids, strahler
-
-    d8 = d8_pointer(sf_dir).to_pandas()
-    down = d8_down_ids(d8, GRID1)
-    order = strahler(down)
-    return ray.data.from_pandas(pd.DataFrame({
-        "cell_id": np.arange(len(down), dtype=np.int64),
-        "strahler": order}))
+    return strahler_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
 @query("cost_distance")
@@ -615,19 +590,18 @@ def cost_distance_q(sf_dir: str):
     """CostDistance (gis_analysis/cost_distance.rs): accumulated least cost
     from sparse source cells over a synthetic cost surface — tile-sweep
     Dijkstra with halo relaxation rounds, exact int64 (4-neighbour variant).
-    Rows-only; global-Dijkstra oracle in tests/test_costdist.py."""
-    import ray.data
-
-    from ..stages.costdist import INF, cost_distance
+    Rows-only; global-Dijkstra oracle in tests/test_costdist.py. Best-so-far
+    state lives in shard actors between rounds (stages/pregel.cost_distance_pregel)."""
+    from ..stages.pregel import cost_distance_pregel
 
     n = GRID1.rows * GRID1.cols
     cells = np.arange(n, dtype=np.int64)
-    cost = (1 + (cells * 31) % 7).astype(np.int64)
     sources = cells[(cells * 7919) % 509 == 0]
-    dist = cost_distance(cost, sources, GRID1)
-    ok = dist < INF
-    return ray.data.from_pandas(pd.DataFrame({
-        "cell_id": cells[ok], "cost_dist2": dist[ok]}))
+
+    def cost_fn(cids: np.ndarray) -> np.ndarray:
+        return (1 + (cids.astype(np.int64) * 31) % 7).astype(np.int64)
+
+    return cost_distance_pregel(cost_fn, sources, GRID1)
 
 
 BUFFER_R2 = 25  # cells within 5 cell-widths of a target

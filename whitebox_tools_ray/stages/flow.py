@@ -1,24 +1,16 @@
-"""Iterative D8 flow algorithms (G family): flow accumulation + basins.
+"""D8 flow building blocks (G family): pointer tables + in-degree.
 
 Reference: hydro_analysis/d8_flow_accum.rs:483-560 — a parallel
 num-inflowing count then a strictly SEQUENTIAL stack-driven topological
 drain over the whole raster. That cannot distribute; the Ray plan follows
 SURVEY.md section 2.4 "G": Pregel-style tile sweeps.
 
-Flow accumulation (every cell injects mass 1; acc[v] = mass passing through
-v incl. its own):
-  round r: packets (cell, mass) are grouped by TILE and drained internally —
-  a per-tile sequential walk (the reference's drain, but per shard) that
-  adds the mass to every visited cell and forwards whatever exits the tile
-  as a packet into the neighbouring tile. Only cross-border mass survives a
-  round, so rounds ~ max tile-crossings of any flow path.
-
-Basins: label[v] = the outlet cell its path reaches — computed by pointer
-doubling (next := next(next)) in O(log path) rounds of self-joins.
-
-The D8 graph is cycle-free by construction (strictly decreasing elevation).
-The down-pointer array is broadcast here (0.5 MB at the test grid); at
-extreme scale it is co-partitioned with the packets by tile instead.
+Round-2 redesign (round 1 kept every per-cell array on the driver): the
+iterative rounds live in tile-sharded Pregel ACTORS (stages/pregel.py) whose
+state never touches the driver; this module keeps the distributed one-pass
+pieces — pointer-table derivation (down_ds_from_pointer), the join-free
+in-degree pass (_indeg_state / num_inflowing_ds) — plus dense numpy
+reference oracles for pytest.
 """
 
 from __future__ import annotations
@@ -32,7 +24,8 @@ from ..grid import GridSpec
 
 
 def d8_down_ids(d8_cells: pd.DataFrame, grid: GridSpec) -> np.ndarray:
-    """(cell_id, d8 code) -> dense down_id array (-1 = outlet)."""
+    """(cell_id, d8 code) -> dense down_id array (-1 = outlet). Reference
+    numpy oracle used by tests; the engine path is down_ds_from_pointer."""
     from ..pipelines.queries_raster import _D8_DX, _D8_DY
 
     down = np.full(grid.rows * grid.cols, -1, np.int64)
@@ -52,71 +45,93 @@ def d8_down_ids(d8_cells: pd.DataFrame, grid: GridSpec) -> np.ndarray:
     return down
 
 
-def flow_accumulation(down: np.ndarray, grid: GridSpec, *, tile: int = 64,
-                      max_rounds: int = 64) -> pd.DataFrame:
-    """Returns DataFrame (cell_id, acc). Distributed tile-sweep rounds."""
+def tile_of_expr(cell: np.ndarray, grid: GridSpec, tile: int) -> np.ndarray:
     tcols = -(-grid.cols // tile)
-    down_ref = ray.put(down)
+    return (cell // grid.cols // tile) * tcols + (cell % grid.cols // tile)
 
-    n = grid.rows * grid.cols
-    cells = np.arange(n, dtype=np.int64)
-    packets = pd.DataFrame({"cell": cells, "mass": np.ones(n, np.int64)})
-    acc_frames: list[pd.DataFrame] = []
 
-    def drain(g: pd.DataFrame) -> pd.DataFrame:
-        from .spatial_join import _cached_get
+def down_ds_from_pointer(d8_ds: ray.data.Dataset, grid: GridSpec,
+                         *, tile: int = 64) -> ray.data.Dataset:
+    """D8 pointer Dataset (cell_id, d8) -> (cell_id, down_id, tile), fully
+    distributed (bounds-checked vectorized arithmetic per batch)."""
+    from ..pipelines.queries_raster import _D8_DX, _D8_DY
 
-        dn = _cached_get(down_ref)
-        tid = int(g["tile"].iloc[0])
-        tr, tc = tid // tcols, tid % tcols
+    dx = np.asarray(_D8_DX, np.int64)
+    dy = np.asarray(_D8_DY, np.int64)
 
-        def tile_of(cid: int) -> int:
-            return (cid // grid.cols // tile) * tcols + (cid % grid.cols // tile)
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        code = df["d8"].to_numpy(np.int64)
+        r, c = cid // grid.cols, cid % grid.cols
+        down = np.full(len(cid), -1, np.int64)
+        for i in range(8):
+            m = code == (1 << i)
+            if not m.any():
+                continue
+            nr, nc = r[m] + dy[i], c[m] + dx[i]
+            ok = (nr >= 0) & (nr < grid.rows) & (nc >= 0) & (nc < grid.cols)
+            down[m] = np.where(ok, nr * grid.cols + nc, -1)
+        return pd.DataFrame({"cell_id": cid, "down_id": down,
+                             "tile": tile_of_expr(cid, grid, tile)})
 
-        local_acc: dict[int, int] = {}
-        out_pkts: dict[int, int] = {}
-        # combine packets per cell first
-        combined = g.groupby("cell", sort=False)["mass"].sum()
-        for cell, mass in combined.items():
-            cur = int(cell)
-            m = int(mass)
-            while True:
-                local_acc[cur] = local_acc.get(cur, 0) + m
-                nxt = int(dn[cur])
-                if nxt < 0:
-                    break
-                if tile_of(nxt) != tid:
-                    out_pkts[nxt] = out_pkts.get(nxt, 0) + m
-                    break
-                cur = nxt
-        rows = [(k, v, 0) for k, v in local_acc.items()] + \
-               [(k, v, 1) for k, v in out_pkts.items()]
-        return pd.DataFrame(rows, columns=["cell", "mass", "is_packet"])
+    return d8_ds.map_batches(enc, batch_format="pandas")
 
-    for _ in range(max_rounds):
-        if packets.empty:
-            break
-        packets = packets.copy()
-        packets["tile"] = (packets["cell"] // grid.cols // tile) * tcols \
-            + (packets["cell"] % grid.cols // tile)
-        ds = ray.data.from_pandas(packets)
-        out = ds.groupby("tile").map_groups(drain, batch_format="pandas").to_pandas()
-        acc_frames.append(out[out["is_packet"] == 0][["cell", "mass"]])
-        packets = out[out["is_packet"] == 1][["cell", "mass"]].reset_index(drop=True)
-    if not packets.empty:
-        # checked after the loop (not for/else) so a run that drains its last
-        # packets exactly on round max_rounds still counts as converged
-        raise RuntimeError("flow accumulation did not converge (cycle?)")
 
-    acc = pd.concat(acc_frames).groupby("cell", sort=False)["mass"].sum().reset_index()
-    acc.columns = ["cell_id", "acc"]
-    return acc.sort_values("cell_id").reset_index(drop=True)
+def _down_map(rows: pd.DataFrame) -> dict[int, int]:
+    return dict(zip(rows["cell_id"].to_numpy(np.int64),
+                    rows["down_id"].to_numpy(np.int64)))
 
+
+def _indeg_state(down_ds: ray.data.Dataset, grid: GridSpec, tile: int
+                 ) -> ray.data.Dataset:
+    """(cell_id, tile, down_id, n_inflow) via ONE tile-groupby: down rows
+    and in-degree increment rows (routed to the TARGET cell's tile) co-group
+    and merge vectorized. No hash join — Ray's join operator pins aggregator
+    actors per instance, and two live joins on a small cluster deadlock
+    (observed; same reason the MinHash verify dropped its join plan)."""
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        t = df["tile"].to_numpy(np.int64)
+        base = pd.DataFrame({"cell_id": cid, "tile": t, "down_id": down,
+                             "kind": np.int64(0)})
+        m = down >= 0
+        incr = pd.DataFrame({"cell_id": down[m],
+                             "tile": tile_of_expr(down[m], grid, tile),
+                             "down_id": np.int64(-2), "kind": np.int64(1)})
+        return pd.concat([base, incr], ignore_index=True)
+
+    both = down_ds.map_batches(emit, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0]
+        counts = g[g["kind"] == 1].groupby("cell_id").size()
+        n = base["cell_id"].map(counts).fillna(0).astype(np.int64)
+        return pd.DataFrame({"cell_id": base["cell_id"].to_numpy(np.int64),
+                             "tile": base["tile"].to_numpy(np.int64),
+                             "down_id": base["down_id"].to_numpy(np.int64),
+                             "n_inflow": n.to_numpy()})
+
+    return both.groupby("tile").map_groups(merge, batch_format="pandas")
+
+
+def num_inflowing_ds(down_ds: ray.data.Dataset, grid: GridSpec | None = None,
+                     *, tile: int = 64) -> ray.data.Dataset:
+    """Dataset (cell_id, n_inflow): in-degree of the D8 graph — one
+    co-grouped tile pass (see _indeg_state)."""
+    if grid is None:
+        from ..layers import GRID1 as grid  # noqa: N813
+    return _indeg_state(down_ds, grid, tile).map_batches(
+        lambda df: df[["cell_id", "n_inflow"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# numpy reference implementations (pytest brute-force oracles ONLY — the
+# engine paths above keep state in datasets)
+# ---------------------------------------------------------------------------
 
 def strahler(down: np.ndarray, *, max_rounds: int = 100_000) -> np.ndarray:
-    """Strahler order over the D8 forest, topological-wave iteration:
-    resolve cells whose inflowing children are all resolved; order = max
-    child order, +1 when >= 2 children attain the max; leaves = 1."""
+    """Reference oracle: topological-wave Strahler on a dense array."""
     n = len(down)
     indeg = np.bincount(down[down >= 0], minlength=n)
     order = np.zeros(n, np.int64)
@@ -130,7 +145,6 @@ def strahler(down: np.ndarray, *, max_rounds: int = 100_000) -> np.ndarray:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError("strahler did not converge (cycle?)")
-        # push resolved orders downstream (vectorized per wave)
         d = down[frontier]
         ok = d >= 0
         for cell, o in zip(d[ok], order[frontier[ok]]):
@@ -148,16 +162,11 @@ def strahler(down: np.ndarray, *, max_rounds: int = 100_000) -> np.ndarray:
 
 
 def basins_pointer_doubling(down: np.ndarray, *, max_rounds: int = 40) -> np.ndarray:
-    """label[v] = outlet cell id of v's flow path, via pointer doubling.
-
-    Expressed densely here (the down array is the broadcast state); the
-    distributed rendering of one round is a self-join of the (cell, next)
-    table on next = cell — O(log path-length) such joins total.
-    """
+    """Reference oracle: dense pointer doubling."""
     n = len(down)
     nxt = np.where(down < 0, np.arange(n, dtype=np.int64), down)
     for _ in range(max_rounds):
-        new = nxt[nxt]  # the pointer-doubling self-join
+        new = nxt[nxt]
         if (new == nxt).all():
             return nxt
         nxt = new

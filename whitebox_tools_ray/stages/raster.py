@@ -50,10 +50,12 @@ def synth_raster_tiles(grid: GridSpec, value_fn, *, tile: int = 64) -> ray.data.
     return ids.map_batches(gen, batch_format="numpy")
 
 
-def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile: int = 64):
-    """Apply a 3x3-neighbourhood kernel over the raster with halo exchange.
+def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
+              tile: int = 64, k: int = 1):
+    """Apply a (2k+1)x(2k+1)-neighbourhood kernel over the raster with a
+    k-cell halo exchange.
 
-    cell_kernel(padded, nr, nc) receives a (nr+2, nc+2) float64 array (NaN
+    cell_kernel(padded, nr, nc) receives a (nr+2k, nc+2k) float64 array (NaN
     outside the raster / missing halo) and returns a dict of per-cell result
     arrays of shape (nr, nc). Output: one row per cell with cell_id + results.
     """
@@ -72,8 +74,10 @@ def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile
                     if not (0 <= ntr < trows and 0 <= ntc < tcols):
                         continue
                     # the strip of THIS tile that neighbour (ntr,ntc) needs
-                    rs = slice(0, nr) if dr == 0 else (slice(nr - 1, nr) if dr == 1 else slice(0, 1))
-                    cs = slice(0, nc) if dc == 0 else (slice(nc - 1, nc) if dc == 1 else slice(0, 1))
+                    rs = slice(0, nr) if dr == 0 else \
+                        (slice(max(nr - k, 0), nr) if dr == 1 else slice(0, min(k, nr)))
+                    cs = slice(0, nc) if dc == 0 else \
+                        (slice(max(nc - k, 0), nc) if dc == 1 else slice(0, min(k, nc)))
                     frag = arr[rs, cs]
                     rows.append({
                         "tile_id": ntr * tcols + ntc,
@@ -92,23 +96,28 @@ def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile
         r0, c0 = tr * tile, tc * tile
         nr = min(tile, grid.rows - r0)
         nc = min(tile, grid.cols - c0)
-        padded = np.full((nr + 2, nc + 2), np.nan)
+        padded = np.full((nr + 2 * k, nc + 2 * k), np.nan)
         for _, f in g.iterrows():
             frag = np.asarray(f["frag"], np.float64).reshape(int(f["fr"]), int(f["fc"]))
             # absolute raster coords of the fragment origin
             ar = int(f["src_trow"]) * tile + int(f["r_off"])
             ac = int(f["src_tcol"]) * tile + int(f["c_off"])
-            pr = ar - r0 + 1
-            pc = ac - c0 + 1
+            pr = ar - r0 + k
+            pc = ac - c0 + k
             padded[pr:pr + frag.shape[0], pc:pc + frag.shape[1]] = frag
         res = cell_kernel(padded, nr, nc)
         rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
         out = {"cell_id": (rr.astype(np.int64) * grid.cols + cc.astype(np.int64)).ravel()}
-        for k, v in res.items():
-            out[k] = np.asarray(v).ravel()
+        for key, v in res.items():
+            out[key] = np.asarray(v).ravel()
         return pd.DataFrame(out)
 
     return frags.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+
+
+def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile: int = 64):
+    """3x3 special case of stencil_k (1-cell apron)."""
+    return stencil_k(tiles_ds, grid, cell_kernel, tile=tile, k=1)
 
 
 def mean3x3_kernel(padded: np.ndarray, nr: int, nc: int) -> dict:
