@@ -135,3 +135,61 @@ def test_strahler_matches_bruteforce():
     # single chain stays order 1
     d3 = np.array([-1, 0, 1], np.int64)
     np.testing.assert_array_equal(strahler(d3), [1, 1, 1])
+
+
+def brute_priority_flood(z, rows, cols):
+    """Global single-heap priority-flood (Barnes et al. 2014), D8."""
+    import heapq
+
+    INF = 1 << 62
+    fill = np.full(rows * cols, INF, np.int64)
+    heap = []
+    for r in range(rows):
+        for c in range(cols):
+            if r in (0, rows - 1) or c in (0, cols - 1):
+                v = r * cols + c
+                fill[v] = z[v]
+                heapq.heappush(heap, (int(z[v]), v))
+    while heap:
+        w, v = heapq.heappop(heap)
+        if w > fill[v]:
+            continue
+        r, c = v // cols, v % cols
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if not (0 <= nr < rows and 0 <= nc < cols):
+                    continue
+                u = nr * cols + nc
+                nw = max(w, int(z[u]))
+                if nw < fill[u]:
+                    fill[u] = nw
+                    heapq.heappush(heap, (nw, u))
+    return fill
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fill_depressions_pregel_matches_priority_flood():
+    """Planted-pit DEM: the sharded flood must equal the global
+    priority-flood exactly, and must actually RAISE the planted pits."""
+    from whitebox_tools_ray.stages.pregel import fill_depressions_pregel
+
+    G2 = GridSpec(west=0.0, north=30.0, res_x=1.0, res_y=1.0, rows=30, cols=40)
+    n = G2.rows * G2.cols
+    cells = np.arange(n, dtype=np.int64)
+    z = (100 + (cells * 31) % 50).astype(np.int64)
+    # plant two deep pits away from the border
+    z[5 * G2.cols + 7] = 1
+    z[20 * G2.cols + 25] = 3
+
+    def z_fn(cids):
+        return z[np.asarray(cids, np.int64)]
+
+    got = fill_depressions_pregel(z_fn, G2, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+    want = brute_priority_flood(z, G2.rows, G2.cols)
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
+    np.testing.assert_array_equal(got["fill"].to_numpy(), want)
+    assert want[5 * G2.cols + 7] > 1 and want[20 * G2.cols + 25] > 3

@@ -925,3 +925,26 @@ def raster_summary_stats(sf_dir: str):
         ("n", "sum", "n"), ("vsum", "sum", "vsum"),
         ("vmin", "min", "vmin"), ("vmax", "max", "vmax")])
     return agg.drop_columns(["k"])
+
+
+@query("fill_depressions")
+def fill_depressions(sf_dir: str):
+    """FillDepressions (hydro_analysis/fill_depressions.rs): raise every
+    cell to its spill elevation via parallel priority-flood — sharded
+    label-correcting sweep in the (min, max) semiring with raster-border
+    seeds (stages/pregel.fill_depressions_pregel, Barnes et al. 2014
+    priority-flood semantics, D8 connectivity). Planted pits guarantee a
+    non-trivial fill. Rows-only; exact global priority-flood oracle in
+    tests/test_flow.py. Output: (cell_id, fill) int64."""
+    from ..stages.pregel import fill_depressions_pregel
+
+    def z_fn(cids: np.ndarray) -> np.ndarray:
+        cids = np.asarray(cids, np.int64)
+        z = 100 + (cids * 7919) % 400
+        # two planted basins (low plateaus away from the border)
+        r, c = cids // GRID1.cols, cids % GRID1.cols
+        pit1 = (r > 40) & (r < 50) & (c > 60) & (c < 75)
+        pit2 = (r > 100) & (r < 115) & (c > 200) & (c < 220)
+        return np.where(pit1 | pit2, 5, z).astype(np.int64)
+
+    return fill_depressions_pregel(z_fn, GRID1)

@@ -222,6 +222,84 @@ class FlowShard:
         return pd.DataFrame({"cell_id": np.fromiter(self.best.keys(), np.int64),
                              "cost_dist2": np.fromiter(self.best.values(), np.int64)})
 
+    # ---- priority-flood depression filling -------------------------------
+    # Same label-correcting shard sweep as cost distance, in the (min, max)
+    # semiring: fill(c) = min over paths to the raster border of
+    # max(z along path) — relax nw = max(w_v, z_u) instead of d + cost.
+    def fl_load(self, z_fn) -> int:
+        self.z_fn = z_fn
+        self.fill: dict[int, int] = {}
+        self.cells = set(self.down)
+        return len(self.cells)
+
+    def fl_seed(self):
+        seeds = {}
+        for c in self.cells:
+            r, cc = c // self.cols, c % self.cols
+            if r == 0 or r == self.rows - 1 or cc == 0 or cc == self.cols - 1:
+                seeds[c] = int(self.z_fn(np.array([c], np.int64))[0])
+        return self._fl_relax(seeds)
+
+    def fl_round(self, msgs: list[np.ndarray]):
+        cand: dict[int, int] = {}
+        for arr in msgs:
+            for cell, w in arr.reshape(-1, 2):
+                cell, w = int(cell), int(w)
+                if w < cand.get(cell, 1 << 62):
+                    cand[cell] = w
+        return self._fl_relax(cand)
+
+    def _fl_relax(self, cand: dict[int, int]):
+        import heapq
+
+        heap = []
+        for cell, w in cand.items():
+            if w < self.fill.get(cell, 1 << 62):
+                self.fill[cell] = w
+                heapq.heappush(heap, (w, cell))
+        if not heap:
+            return {}
+        zs: dict[int, int] = {}
+
+        def z(cid: int) -> int:
+            v = zs.get(cid)
+            if v is None:
+                v = int(self.z_fn(np.array([cid], np.int64))[0])
+                zs[cid] = v
+            return v
+
+        out: dict[int, dict[int, int]] = {}
+        while heap:
+            w, v = heapq.heappop(heap)
+            if w > self.fill.get(v, 1 << 62):
+                continue
+            r, c = v // self.cols, v % self.cols
+            # D8 neighbourhood (fill_depressions.rs floods all 8 directions)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nr, nc = r + dr, c + dc
+                    if not (0 <= nr < self.rows and 0 <= nc < self.cols):
+                        continue
+                    u = nr * self.cols + nc
+                    nw = max(w, z(u))
+                    if u in self.cells:
+                        if nw < self.fill.get(u, 1 << 62):
+                            self.fill[u] = nw
+                            heapq.heappush(heap, (nw, u))
+                    else:
+                        s = self._shard(u)
+                        dd = out.setdefault(s, {})
+                        if nw < dd.get(u, 1 << 62):
+                            dd[u] = nw
+        return {s: np.array([[c, m] for c, m in d.items()], np.int64)
+                for s, d in out.items()}
+
+    def fl_result(self) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": np.fromiter(self.fill.keys(), np.int64),
+                             "fill": np.fromiter(self.fill.values(), np.int64)})
+
     # ---- strahler --------------------------------------------------------
     def str_init_load(self, indeg_df: pd.DataFrame) -> int:
         if not hasattr(self, "pending"):
@@ -429,5 +507,34 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
             outs = ray.get([s.cd_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("cost distance did not converge")
+    finally:
+        _teardown(shards)
+
+
+def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
+                            n_shards: int = 8,
+                            max_rounds: int = 256) -> ray.data.Dataset:
+    """Dataset (cell_id, fill): parallel priority-flood depression filling
+    (hydro_analysis/fill_depressions.rs semantics — every cell raised to its
+    spill elevation; D8 connectivity). Sharded label-correcting sweep in the
+    (min, max) semiring: raster-border cells seed at their own elevation,
+    floods cross shard borders as (cell, candidate fill) messages. Same
+    convergence argument as cost distance (monotone decreasing labels)."""
+    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
+                            "tile": _tile_of(cells, grid, tile)})
+    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.fl_load.remote(z_fn) for s in shards])
+        outs = ray.get([s.fl_seed.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.fl_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize()
+            outs = ray.get([s.fl_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("depression filling did not converge")
     finally:
         _teardown(shards)
