@@ -1,0 +1,101 @@
+"""GeoTIFF round trip + a real stencil query over an imported raster."""
+
+import numpy as np
+import pytest
+
+
+def _synthetic_dem(rows=100, cols=130):
+    cells = np.arange(rows * cols, dtype=np.int64)
+    return (100.0 + (cells * 31) % 57).astype(np.float64).reshape(rows, cols)
+
+
+def test_write_read_info(tmp_path):
+    from whitebox_tools_ray.sources.geotiff import read_info, write_geotiff
+
+    dem = _synthetic_dem()
+    p = str(tmp_path / "dem.tif")
+    write_geotiff(p, dem, west=-10.0, north=50.0, res=0.5, nodata=-9999.0)
+    info = read_info(p)
+    assert (info.width, info.height) == (130, 100)
+    assert info.west == -10.0 and info.north == 50.0 and info.res_x == 0.5
+    assert info.nodata == -9999.0
+    assert info.dtype == np.dtype("<f8")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_tiles_roundtrip(tmp_path):
+    from whitebox_tools_ray.sources.geotiff import geotiff_to_tiles, write_geotiff
+
+    dem = _synthetic_dem()
+    dem[3, 4] = -9999.0  # nodata hole
+    p = str(tmp_path / "dem.tif")
+    write_geotiff(p, dem, nodata=-9999.0)
+    tiles = geotiff_to_tiles(p, tile=32).to_pandas()
+    # reassemble and compare
+    out = np.full(dem.shape, np.nan)
+    for t in tiles.itertuples():
+        arr = np.asarray(t.data, np.float64).reshape(t.nrows, t.ncols)
+        out[t.trow * 32:t.trow * 32 + t.nrows,
+            t.tcol * 32:t.tcol * 32 + t.ncols] = arr
+    want = np.where(dem == -9999.0, np.nan, dem)
+    np.testing.assert_array_equal(np.isnan(out), np.isnan(want))
+    np.testing.assert_array_equal(out[~np.isnan(want)], want[~np.isnan(want)])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_int32_deflate(tmp_path):
+    """Deflate-compressed int raster read path (write raw, recompress)."""
+    import struct
+    import zlib
+
+    from whitebox_tools_ray.sources.geotiff import (geotiff_to_tiles, read_info,
+                                                    write_geotiff)
+
+    dem = ((np.arange(40 * 50) * 7) % 1000).astype(np.int32).reshape(40, 50)
+    p = str(tmp_path / "int.tif")
+    write_geotiff(p, dem)
+    info = read_info(p)
+    assert info.dtype == np.dtype("<i4")
+    # recompress the strip in place as deflate to exercise that path
+    raw = open(p, "rb").read()
+    strip = raw[info.offsets[0]:info.offsets[0] + info.byte_counts[0]]
+    comp = zlib.compress(strip)
+    # easiest: append compressed strip, patch offset/bytecount/compression
+    # by rewriting a fresh file through the writer is simpler — here just
+    # verify decompress path via _decode_chunk on a crafted info
+    from whitebox_tools_ray.sources import geotiff as G
+
+    p2 = str(tmp_path / "int_defl.tif")
+    with open(p2, "wb") as f:
+        f.write(raw[:info.offsets[0]])
+        f.write(comp)
+    info2 = read_info(p2)
+    object.__setattr__(info2, "compression", 8) if hasattr(info2, "__dataclass_fields__") else None
+    info2.compression = 8
+    info2.byte_counts = [len(comp)]
+    got = G._decode_chunk(p2, info2, 0)
+    np.testing.assert_array_equal(got, dem)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_slope_query(tmp_path):
+    """An imported GeoTIFF drives the existing stencil machinery end-to-end."""
+    from whitebox_tools_ray.grid import GridSpec
+    from whitebox_tools_ray.sources.geotiff import geotiff_to_tiles, write_geotiff
+    from whitebox_tools_ray.stages.raster import stencil_3x3, slope_kernel_factory
+
+    dem = _synthetic_dem(64, 64)
+    p = str(tmp_path / "dem.tif")
+    write_geotiff(p, dem, west=0.0, north=64.0, res=1.0)
+    g = GridSpec(west=0.0, north=64.0, res_x=1.0, res_y=1.0, rows=64, cols=64)
+    tiles = geotiff_to_tiles(p, tile=32)
+    out = stencil_3x3(tiles, g, slope_kernel_factory(1.0, 1.0), tile=32).to_pandas()
+    assert len(out) == 64 * 64
+    # spot-check one interior cell against the direct Horn formula
+    r, c = 10, 10
+    z = dem
+    dzdx = ((z[r-1,c+1] + 2*z[r,c+1] + z[r+1,c+1]) - (z[r-1,c-1] + 2*z[r,c-1] + z[r+1,c-1])) / 8.0
+    dzdy = ((z[r+1,c-1] + 2*z[r+1,c] + z[r+1,c+1]) - (z[r-1,c-1] + 2*z[r-1,c] + z[r-1,c+1])) / 8.0
+    want = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+    got = out.loc[out["cell_id"] == r * 64 + c, "slope_deg"].iloc[0]
+    assert abs(got - want) < 1e-9

@@ -412,3 +412,156 @@ def props_extract_stats(sf_dir: str):
 
     return partial_agg(ds.map_batches(ext, batch_format="pyarrow"), ["event_type"], [
         ("k_sum", "sum", "k_sum"), ("k_min", "min", "k_min"), ("k_max", "max", "k_max")])
+
+
+# --------------------------------------------------------------------------
+# Round-2 quick-coverage sweep: block gridding, extreme points, centroids,
+# rotated minimum bounding boxes (lidar_analysis + gis_analysis families)
+# --------------------------------------------------------------------------
+
+from .queries_spatial import PTS_CTE, _cid1  # noqa: E402 (complete by now)
+
+@query(
+    "block_min_max_gridding",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {_cid1} AS cell_id,
+           CAST(MIN(ROUND(value * 100)) AS BIGINT) AS zmin_cents,
+           CAST(MAX(ROUND(value * 100)) AS BIGINT) AS zmax_cents,
+           COUNT(*) AS n
+    FROM pts GROUP BY cell_id
+    """,
+)
+def block_min_max_gridding(sf_dir: str):
+    """LidarBlockMinimum + LidarBlockMaximum (lidar_analysis/
+    block_minimum.rs:22, block_maximum.rs): per grid cell the min/max point
+    value — one vectorized encode + partial min/max merge, cents-exact."""
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"cell_id": GRID1.cell_id_from_xy(x, y),
+                         "zmin_cents": v, "zmax_cents": v,
+                         "n": np.ones(len(v), np.int64)})
+
+    return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["cell_id"],
+                       [("zmin_cents", "min", "zmin_cents"),
+                        ("zmax_cents", "max", "zmax_cents"), ("n", "sum", "n")])
+
+
+@query(
+    "lowest_highest_points",
+    f"""
+    WITH {PTS_CTE},
+    q AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM pts)
+    SELECT * FROM (
+      SELECT 'lowest' AS which, CAST(MIN(event_id) AS BIGINT) AS event_id
+      FROM q WHERE cents = (SELECT MIN(cents) FROM q)
+      UNION ALL
+      SELECT 'highest', CAST(MIN(event_id) AS BIGINT)
+      FROM q WHERE cents = (SELECT MAX(cents) FROM q)
+    )
+    """,
+)
+def lowest_highest_points(sf_dir: str):
+    """FindLowestOrHighestPoints (gis_analysis/find_lowest_or_highest_
+    points.rs): global extreme-value points; ties resolve to the lowest
+    event id (deterministic record order). Tree-combined arg-extreme."""
+    from ..relational import tree_reduce
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir)
+
+    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        ids = df["event_id"].to_numpy(np.int64)
+        out = []
+        for which, sel in (("lowest", cents == cents.min()),
+                           ("highest", cents == cents.max())):
+            cand = ids[sel]
+            out.append((which, int(cand.min()), int(cents[sel][0])))
+        return pd.DataFrame(out, columns=["which", "event_id", "cents"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        lo = df[df["which"] == "lowest"]
+        if len(lo):
+            m = lo["cents"].min()
+            rows.append(("lowest", int(lo.loc[lo["cents"] == m, "event_id"].min()), int(m)))
+        hi = df[df["which"] == "highest"]
+        if len(hi):
+            m = hi["cents"].max()
+            rows.append(("highest", int(hi.loc[hi["cents"] == m, "event_id"].min()), int(m)))
+        # tree_reduce repartition can hand this merge an EMPTY block
+        return pd.DataFrame(rows, columns=["which", "event_id", "cents"]) \
+            .astype({"event_id": np.int64, "cents": np.int64}) if rows else \
+            pd.DataFrame({"which": pd.Series([], dtype=object),
+                          "event_id": pd.Series([], dtype=np.int64),
+                          "cents": pd.Series([], dtype=np.int64)})
+
+    first = ds.map_batches(reduce_batch, batch_format="pandas")
+    return tree_reduce(first, merge, batch_format="pandas").map_batches(
+        lambda df: df[["which", "event_id"]], batch_format="pandas")
+
+
+@query(
+    "centroid_by_type",
+    f"""
+    WITH {PTS_CTE},
+    e AS (SELECT event_id, x, y FROM pts),
+    t AS (SELECT event_id, event_type FROM events)
+    SELECT t.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.x * 1048576) AS BIGINT)) AS BIGINT) AS sx_q,
+           CAST(SUM(CAST(ROUND(e.y * 1048576) AS BIGINT)) AS BIGINT) AS sy_q
+    FROM e JOIN t USING (event_id)
+    GROUP BY t.event_type
+    """,
+)
+def centroid_by_type(sf_dir: str):
+    """CentroidVector (gis_analysis/centroid_vector.rs) over point groups:
+    exact dyadically-quantized coordinate sums per type (centroid =
+    sx_q/n/2^20 left to the consumer — float division is the only inexact
+    step and stays out of the contract)."""
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir, extra_cols=("event_type",))
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": np.ones(len(df), np.int64),
+            "sx_q": np.rint(df["x"].to_numpy(np.float64) * 1048576.0).astype(np.int64),
+            "sy_q": np.rint(df["y"].to_numpy(np.float64) * 1048576.0).astype(np.int64),
+        })
+
+    return partial_agg(ds.map_batches(enc, batch_format="pandas"), ["event_type"],
+                       [("n", "sum", "n"), ("sx_q", "sum", "sx_q"),
+                        ("sy_q", "sum", "sy_q")])
+
+
+@query("mbb_by_type")
+def mbb_by_type(sf_dir: str):
+    """MinimumBoundingBox (whitebox-common/src/algorithms/
+    minimum_bounding_box.rs, MinimizationCriterion::Area) per event type:
+    short/long axes of the minimum-area rotated box over each type's points.
+    Rows-only (rotating-calipers trig is float); brute-force rotation-scan
+    oracle in tests/test_geometry.py guards the kernel."""
+    from ..geometry import min_area_bbox_axes
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir, extra_cols=("event_type",))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        pts = np.column_stack([g["x"].to_numpy(np.float64),
+                               g["y"].to_numpy(np.float64)])
+        s, l = min_area_bbox_axes(pts)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "short_axis": [s], "long_axis": [l],
+                             "n": [np.int64(len(g))]})
+
+    # 5 types -> tiny groupby; the hull reduces each group to O(hull) points
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")

@@ -948,3 +948,49 @@ def fill_depressions(sf_dir: str):
         return np.where(pit1 | pit2, 5, z).astype(np.int64)
 
     return fill_depressions_pregel(z_fn, GRID1)
+
+
+GEOTIFF_ROWS, GEOTIFF_COLS = 160, 200
+
+
+@query(
+    "geotiff_tile_stats",
+    f"""
+    WITH cells AS (SELECT CAST(t.i AS BIGINT) AS i,
+                          CAST(t.i // {GEOTIFF_COLS} AS BIGINT) AS r,
+                          CAST(t.i % {GEOTIFF_COLS} AS BIGINT) AS c,
+                          (100 + (t.i * 31) % 57) AS v
+                   FROM range({GEOTIFF_ROWS * GEOTIFF_COLS}) t(i))
+    SELECT (r // 64) * {-(-GEOTIFF_COLS // 64)} + (c // 64) AS tile_id,
+           CAST(SUM(v) AS BIGINT) AS vsum, COUNT(*) AS n
+    FROM cells GROUP BY tile_id
+    """,
+)
+def geotiff_tile_stats(sf_dir: str):
+    """GeoTIFF ingestion end-to-end (whitebox-raster/src/geotiff/mod.rs
+    analog, sources/geotiff.py): a deterministic DEM is written ONCE as a
+    real on-disk GeoTIFF, re-imported as the tile Dataset (workers decode
+    their own strip byte ranges), and reduced to per-tile integer stats that
+    the oracle recomputes from the generating formula — proving the format
+    round trip, not just the arithmetic."""
+    import os
+
+    from ..sources.geotiff import geotiff_to_tiles, write_geotiff
+
+    path = "/tmp/wbt_geotiff_fixture.tif"
+    if not os.path.exists(path):
+        cells = np.arange(GEOTIFF_ROWS * GEOTIFF_COLS, dtype=np.int64)
+        dem = (100.0 + (cells * 31) % 57).reshape(GEOTIFF_ROWS, GEOTIFF_COLS)
+        write_geotiff(path + ".tmp", dem, west=-180.0, north=85.0, res=1.0)
+        os.rename(path + ".tmp", path)
+
+    tiles = geotiff_to_tiles(path, tile=64)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df.itertuples():
+            arr = np.asarray(t.data, np.float64)
+            out.append((int(t.tile_id), int(np.rint(arr.sum())), len(arr)))
+        return pd.DataFrame(out, columns=["tile_id", "vsum", "n"]).astype(np.int64)
+
+    return tiles.map_batches(stats, batch_format="pandas")
