@@ -16,9 +16,17 @@ _MASK61 = np.uint64((1 << 61) - 1)
 
 
 def _hash_family(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MASK61, num, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, _MASK61, num, dtype=np.uint64)
+    """Universal-hash family derived from splitmix64 (NOT np.random: the
+    derivation must be reproducible inside the DuckDB oracle, which
+    regenerates a_i/b_i with the same mixing — pipelines/sqlgen.sm64)."""
+    from ..sources.synthetic import splitmix64
+
+    i = np.arange(num, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        base = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        a = (splitmix64(i * np.uint64(2) + base) % (_MASK61 - np.uint64(1))
+             + np.uint64(1)) | np.uint64(1)
+        b = splitmix64(i * np.uint64(2) + np.uint64(1) + base) % _MASK61
     return a, b
 
 

@@ -419,7 +419,7 @@ def props_extract_stats(sf_dir: str):
 # rotated minimum bounding boxes (lidar_analysis + gis_analysis families)
 # --------------------------------------------------------------------------
 
-from .queries_spatial import PTS_CTE, _cid1  # noqa: E402 (complete by now)
+from ..pointdefs import PTS_CTE, _cid1  # noqa: E402 (cycle-free)
 
 @query(
     "block_min_max_gridding",

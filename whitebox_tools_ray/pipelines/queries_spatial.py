@@ -39,13 +39,7 @@ IDW_RADIUS = 6.0
 DEDUP_EPS = 0.5
 HEX_WIDTH = 12.0
 
-PTS_CTE = f"pts AS (SELECT event_id, value, {X_SQL} AS x, {Y_SQL} AS y FROM events)"
-
-
-def _cell_sql(g: GridSpec, x: str = "x", y: str = "y") -> tuple[str, str, str]:
-    col = f"CAST(FLOOR(({x} - ({g.west!r})) / {g.res_x!r}) AS BIGINT)"
-    row = f"CAST(FLOOR((({g.north!r}) - {y}) / {g.res_y!r}) AS BIGINT)"
-    return col, row, f"({row} * {g.cols} + {col})"
+from ..pointdefs import PTS_CTE, _cell_sql  # noqa: E402 (shared, cycle-free)
 
 
 def _cells_cte(g: GridSpec) -> str:
@@ -65,7 +59,7 @@ def _cells_cte(g: GridSpec) -> str:
 # Cell / tile assignment (section 2.3g tiling; the partitioner primitive)
 # --------------------------------------------------------------------------
 
-_c1, _r1, _cid1 = _cell_sql(GRID1)
+from ..pointdefs import _c1, _r1, _cid1  # noqa: E402
 
 
 @query(

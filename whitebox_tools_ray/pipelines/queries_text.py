@@ -243,7 +243,83 @@ def doc_lang_id(sf_dir: str):
     return ds.map_batches(lang_id, batch_format="pandas")
 
 
-@query("minhash_near_dup")
+def _minhash_sql(num_perm: int = 128, bands: int = 32) -> str:
+    """Full SQL recomputation of the MinHash+LSH pipeline: FNV token hashes
+    -> word-3-gram polynomial shingles -> 128 splitmix64-derived universal
+    hashes -> per-band FNV bucket keys -> bucket self-join candidates ->
+    exact integer Jaccard >= 1/2 verify. Every mixing step reproduced
+    bit-for-bit (sqlgen), so the DuckDB result must match the Ray pipeline
+    exactly. Assumes every document has >= 3 tokens (corpus invariant; the
+    Python path pads shorter docs)."""
+    from .sqlgen import add64, fnv_tokens_cte, mul64, sm64
+
+    rows = num_perm // bands
+    m61 = (1 << 61) - 1
+    base = str((42 * 0x9E3779B97F4A7C15) % (1 << 64))
+    a_expr = (f"(({sm64(add64('CAST(p.i * 2 AS UBIGINT)', base))}"
+              f" % {m61 - 1} + 1) | 1)")
+    b_expr = f"({sm64(add64('CAST(p.i * 2 + 1 AS UBIGINT)', base))} % {m61})"
+    shingle = mul64(add64(mul64(add64(mul64("f0.h", "1099511628211"), "f1.h"),
+                                "1099511628211"), "f2.h"), "1")
+    # fold FNV over the band's `rows` sigs (unrolled)
+    fold = "CAST(14695981039346656037 AS UBIGINT)"
+    for j in range(rows):
+        fold = mul64(f"xor({fold}, s{j})", "1099511628211")
+    s_cols = ",\n             ".join(
+        f"MAX(CASE WHEN perm % {rows} = {j} THEN sig END) AS s{j}"
+        for j in range(rows))
+    return f"""
+    WITH RECURSIVE {fnv_tokens_cte()},
+    sh_rows AS (
+      SELECT t0.doc_id, {shingle} AS s
+      FROM tok_rows t0
+      JOIN tok_rows t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      JOIN tok_rows t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+      JOIN tok_fnv f0 ON f0.tok = t0.tok
+      JOIN tok_fnv f1 ON f1.tok = t1.tok
+      JOIN tok_fnv f2 ON f2.tok = t2.tok
+    ),
+    shingles AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh_rows),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    perms AS MATERIALIZED (
+      SELECT CAST(p.i AS BIGINT) AS perm, {a_expr} AS a, {b_expr} AS b
+      FROM range({num_perm}) p(i)
+    ),
+    sigs AS MATERIALIZED (
+      SELECT s.doc_id, p.perm,
+             MIN({add64(mul64('p.a', 's.s'), 'p.b')} & {m61}) AS sig
+      FROM shingles s, perms p GROUP BY s.doc_id, p.perm
+    ),
+    band_sigs AS (
+      SELECT doc_id, perm // {rows} AS band,
+             {s_cols}
+      FROM sigs GROUP BY doc_id, band
+    ),
+    bh AS MATERIALIZED (
+      SELECT doc_id, band, {fold} AS h FROM band_sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bh a JOIN bh b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS num
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.num AS jacc_num,
+           na.n + nb.n - i.num AS jacc_den
+    FROM inter i
+    JOIN nsh na ON na.doc_id = i.doc_a
+    JOIN nsh nb ON nb.doc_id = i.doc_b
+    WHERE 2 * i.num >= na.n + nb.n - i.num
+    """
+
+
+@query("minhash_near_dup", _minhash_sql())
 def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128,
                      bands: int = 32):
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only; pytest
@@ -395,7 +471,45 @@ def ngram_jaccard_by_source(sf_dir: str, *, threshold_num: int = 1, threshold_de
     return ds.groupby("source").map_groups(pairs, batch_format="pandas")
 
 
-@query("simhash_hamming_pairs")
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """Full SQL recomputation of the SimHash pipeline: FNV-1a token hashes
+    (sqlgen.fnv_tokens_cte, bit-exact), 64-bit majority vote, 16-bit chunk
+    blocking, popcount verify — independent of every Python code path."""
+    from .sqlgen import fnv_tokens_cte
+
+    return f"""
+    WITH RECURSIVE {fnv_tokens_cte()},
+    doc_tok AS (SELECT t.doc_id, f.h FROM tok_rows t JOIN tok_fnv f USING (tok)),
+    votes AS (
+      SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM doc_tok, range(64) b(i)
+      GROUP BY doc_id, b.i
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT)
+                  ELSE 0 END) AS UBIGINT) AS h
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, h, c.i AS chunk,
+             CAST((h >> CAST(16 * c.i AS INT)) & 65535 AS BIGINT) AS chunk_val
+      FROM sh, range(4) c(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, b.doc_id AS doc_b, b.h AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@query("simhash_hamming_pairs", _simhash_sql())
 def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
     """SimHash near-dup: 64-bit simhash per doc, candidate pairs from shared
     16-bit chunks (4 chunks -> any pair within hamming<=... shares a chunk
@@ -421,8 +535,11 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 8):
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
         ia, ib = np.triu_indices(len(ids), k=1)
-        ha = (hs[ia].astype(np.int64) + (1 << 63)).astype(np.uint64)
-        hb = (hs[ib].astype(np.int64) + (1 << 63)).astype(np.uint64)
+        # exact un-signing: +2^63 on int64 silently upcasts through float64
+        # and destroys the low ~10 bits (found by the SQL oracle); the stored
+        # signed value's bit pattern is h XOR 2^63, so flip the top bit back
+        ha = hs[ia].view(np.uint64) ^ np.uint64(1 << 63)
+        hb = hs[ib].view(np.uint64) ^ np.uint64(1 << 63)
         d = hamming64(ha, hb)
         keep = d <= max_hamming
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],

@@ -75,3 +75,32 @@ def synth_segments_cte(n: int, seed: int = 42) -> str:
                    u2 * 170.0 - 85.0 + (u4 - 0.5) * 6.0 AS y1
             FROM seg_u)
     """
+
+
+def fnv_tokens_cte(source_cte: str = "documents") -> str:
+    """CTEs computing FNV-1a 64-bit hashes of every whitespace token of
+    ``documents.text`` — bit-exact vs functions/dedup.hash_token (ASCII
+    corpus: ord(char) == utf-8 byte).
+
+    Emits: tok_rows(doc_id, pos, tok) with multiplicity, and
+    tok_fnv(tok, h UBIGINT) for distinct tokens.
+    """
+    step_h = mul64(xor64("h", "CAST(ord(substr(t.tok, f.i + 1, 1)) AS UBIGINT)"),
+                   "1099511628211")
+    return f"""
+    tok_rows AS MATERIALIZED (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos, ts[CAST(r.i AS INT)] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {source_cte}),
+           UNNEST(range(1, len(ts) + 1)) r(i)
+    ),
+    toks AS (SELECT DISTINCT tok FROM tok_rows),
+    fnv_iter(tok, i, h) AS (
+      SELECT tok, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
+      UNION ALL
+      SELECT f.tok, f.i + 1, {step_h.replace('t.tok', 'f.tok')}
+      FROM fnv_iter f WHERE f.i < length(f.tok)
+    ),
+    tok_fnv AS MATERIALIZED (
+      SELECT tok, h FROM fnv_iter WHERE i = length(tok)
+    )
+    """

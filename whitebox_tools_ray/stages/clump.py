@@ -88,45 +88,40 @@ def clump(tiles_ds, grid: GridSpec, *, tile: int = 64, nodata: float = -32768.0)
     """
     tcols = -(-grid.cols // tile)
 
-    def label_and_borders(df: pd.DataFrame):
-        cells, borders = [], []
+    def label_all(df: pd.DataFrame) -> pd.DataFrame:
+        """ONE labeling pass per tile; border membership travels as a flag
+        column (the round-1 version ran the labeler twice — once for cells,
+        once for borders)."""
+        out = []
         for _, t in df.iterrows():
             nr, nc = int(t["nrows"]), int(t["ncols"])
             r0, c0 = int(t["trow"]) * tile, int(t["tcol"]) * tile
             arr = np.asarray(t["data"], np.float64).reshape(nr, nc)
             labels, valid, gid = _label_tile(arr, r0, c0, grid, nodata)
-            sel = valid.ravel()
-            cells.append(pd.DataFrame({
-                "cell_id": gid.ravel()[sel], "value": arr.ravel()[sel],
-                "local_label": labels.ravel()[sel],
-            }))
-            # border strips: outermost ring of the tile
             ring = np.zeros((nr, nc), bool)
             ring[0, :] = ring[-1, :] = True
             ring[:, 0] = ring[:, -1] = True
-            bsel = (ring & valid).ravel()
-            if bsel.any():
-                borders.append(pd.DataFrame({
-                    "cell_id": gid.ravel()[bsel], "value": arr.ravel()[bsel],
-                    "local_label": labels.ravel()[bsel],
-                }))
-        cdf = pd.concat(cells) if cells else pd.DataFrame(
-            columns=["cell_id", "value", "local_label"])
-        bdf = pd.concat(borders) if borders else pd.DataFrame(
-            columns=["cell_id", "value", "local_label"])
-        return cdf, bdf
+            sel = valid.ravel()
+            out.append(pd.DataFrame({
+                "cell_id": gid.ravel()[sel], "value": arr.ravel()[sel],
+                "local_label": labels.ravel()[sel],
+                "is_border": ring.ravel()[sel],
+            }))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"cell_id": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64),
+             "local_label": pd.Series([], dtype=np.int64),
+             "is_border": pd.Series([], dtype=bool)})
 
-    # run once, materialize both outputs
-    labeled = tiles_ds.map_batches(lambda df: label_and_borders(df)[0],
-                                   batch_format="pandas").materialize()
-    border = tiles_ds.map_batches(lambda df: label_and_borders(df)[1],
-                                  batch_format="pandas")
+    labeled = tiles_ds.map_batches(label_all, batch_format="pandas").materialize()
 
     # step 2: equivalence edges across tile borders. The border set is
     # O(perimeter) — tiny relative to the raster — so collect it and match
     # vectorized on the driver (at extreme scale this becomes one more
     # groupby round over (neighbour_cell -> label) probe rows).
-    bdf = border.to_pandas()
+    bdf = labeled.map_batches(lambda df: df[df["is_border"]]
+                              .drop(columns=["is_border"]),
+                              batch_format="pandas").to_pandas()
     cid = bdf["cell_id"].to_numpy(np.int64)
     r, c = cid // grid.cols, cid % grid.cols
     probes = []
@@ -159,9 +154,10 @@ def clump(tiles_ds, grid: GridSpec, *, tile: int = 64, nodata: float = -32768.0)
         from .spatial_join import _cached_get
 
         m = _cached_get(ref)
-        lab = df["local_label"].to_numpy(np.int64)
+        lab = df["local_label"]
         df = df.copy()
-        df["clump_id"] = np.array([m.get(int(x), int(x)) for x in lab], np.int64)
+        # vectorized C-path map (Series.map), identity for unmapped labels
+        df["clump_id"] = lab.map(m).fillna(lab).astype(np.int64)
         return df[["cell_id", "value", "clump_id"]]
 
     return labeled.map_batches(apply_relabel, batch_format="pandas")
