@@ -204,21 +204,62 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
     Output: cell_id, n_neighbors, idw (float64).
     """
 
-    def make_cand(r: float, keep_cells=None):
+    TILE = 16  # coarse prefilter granularity for refinement rounds
+
+    def make_cand(r: float, keep_ref=None, mask_ref=None):
+        """keep_ref: ray.put(SORTED unsat cell ids) — broadcast once per
+        round, fetched once per worker (round 1 shipped the array inside
+        every task closure). mask_ref: ray.put integral image of the unsat
+        TILE mask — points whose radius window contains no unsat tile are
+        dropped BEFORE candidate expansion, so refinement rounds only
+        re-expand points near still-unsatisfied cells instead of the whole
+        dataset."""
         def cand(t: pa.Table) -> pa.Table:
+            from .spatial_join import _cached_get
+
             x = t[x_col].to_numpy(zero_copy_only=False)
             y = t[y_col].to_numpy(zero_copy_only=False)
-            extra = {
-                "seq": t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64),
-                "value": t[value_col].to_numpy(zero_copy_only=False),
-            }
-            out = _candidate_cells_centres(x, y, extra, grid, r)
-            if keep_cells is not None:
-                mask = np.isin(out["cell_id"], keep_cells)
+            seq = t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            val = t[value_col].to_numpy(zero_copy_only=False)
+            if mask_ref is not None:
+                ii = _cached_get(mask_ref)  # (trows+1, tcols+1) integral image
+                trows, tcols = ii.shape[0] - 1, ii.shape[1] - 1
+                tw = int(np.ceil(r / (grid.res_x * TILE))) + 1
+                th = int(np.ceil(r / (grid.res_y * TILE))) + 1
+                tc = np.clip(grid.col_from_x(x) // TILE, 0, tcols - 1)
+                tr = np.clip(grid.row_from_y(y) // TILE, 0, trows - 1)
+                r0 = np.clip(tr - th, 0, trows); r1 = np.clip(tr + th + 1, 0, trows)
+                c0 = np.clip(tc - tw, 0, tcols); c1 = np.clip(tc + tw + 1, 0, tcols)
+                windowed = ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0]
+                near = windowed > 0
+                x, y, seq, val = x[near], y[near], seq[near], val[near]
+            out = _candidate_cells_centres(x, y, {"seq": seq, "value": val}, grid, r)
+            if keep_ref is not None:
+                keep = _cached_get(keep_ref)  # sorted unsat cell ids
+                if len(keep):
+                    pos = np.minimum(np.searchsorted(keep, out["cell_id"]),
+                                     len(keep) - 1)
+                    mask = keep[pos] == out["cell_id"]
+                else:
+                    mask = np.zeros(len(out["cell_id"]), bool)
                 out = {k: v[mask] for k, v in out.items()}
             return pa.table(out)
 
         return cand
+
+    def _unsat_refs(unsat: np.ndarray):
+        """Broadcast the sorted unsat set + the integral image of its coarse
+        tile occupancy mask."""
+        srt = np.sort(unsat)
+        trows = -(-grid.rows // TILE)
+        tcols = -(-grid.cols // TILE)
+        mask = np.zeros((trows, tcols), np.int64)
+        tr = (srt // grid.cols) // TILE
+        tc = (srt % grid.cols) // TILE
+        mask[tr, tc] = 1
+        ii = np.zeros((trows + 1, tcols + 1), np.int64)
+        ii[1:, 1:] = mask.cumsum(axis=0).cumsum(axis=1)
+        return ray.put(srt), ray.put(ii)
 
     def reduce_cell(df: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
@@ -254,7 +295,9 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
         if len(unsat) == 0:
             break
         r *= 2.0
-        cand_r = points_ds.map_batches(make_cand(r, unsat), batch_format="pyarrow").materialize()
+        keep_ref, mask_ref = _unsat_refs(unsat)
+        cand_r = points_ds.map_batches(make_cand(r, keep_ref, mask_ref),
+                                       batch_format="pyarrow").materialize()
         cnt = partial_agg(cand_r, ["cell_id"], [("seq", "count", "n")]).to_pandas()
         ok_cells = cnt[cnt["n"] >= min_points]["cell_id"].to_numpy()
         if len(ok_cells):
