@@ -1,0 +1,56 @@
+"""10x-grid hydro scale check: 1700x3600 = 6.12M cells, driver RSS tracked."""
+import ray, sys, time, os, resource
+ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+import numpy as np, pandas as pd, ray.data
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from whitebox_tools_ray.grid import GridSpec
+from whitebox_tools_ray.stages.pregel import flow_accumulation_pregel, basins_pregel
+from whitebox_tools_ray.stages.flow import tile_of_expr
+
+def rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+G = GridSpec(west=-180.0, north=85.0, res_x=0.1, res_y=0.1, rows=1700, cols=3600)
+n = G.rows * G.cols
+print("cells:", n, "driver RSS before:", rss_mb(), "MB", flush=True)
+
+# deterministic D8 pointers, generated DISTRIBUTED (never a driver array):
+# strictly-decreasing surface z = (cell*2654435761)%1e9 with down = lowest
+# of 8 neighbors if lower else outlet — computed per batch.
+def gen(batch):
+    cid = batch["id"].astype(np.int64)
+    r, c = cid // G.cols, cid % G.cols
+    def z(i):
+        return (i * 2654435761) % 1000000007
+    best = np.full(len(cid), -1, np.int64)
+    bz = z(cid)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0: continue
+            nr, nc = r + dr, c + dc
+            ok = (nr >= 0) & (nr < G.rows) & (nc >= 0) & (nc < G.cols)
+            u = np.where(ok, nr * G.cols + nc, 0)
+            uz = np.where(ok, z(u), np.iinfo(np.int64).max)
+            m = uz < bz
+            best = np.where(m, u, best)
+            bz = np.where(m, uz, bz)
+    return pd.DataFrame({"cell_id": cid, "down_id": best,
+                         "tile": tile_of_expr(cid, G, 64)})
+
+dds = ray.data.range(n, override_num_blocks=64).map_batches(gen, batch_format="numpy")
+t0 = time.time()
+acc = flow_accumulation_pregel(dds, G, tile=64, n_shards=16)
+n_out = acc.count()
+s = acc.map_batches(lambda df: pd.DataFrame({"s": [int(df["acc"].sum())]}), batch_format="pandas").sum("s")
+print("flow_acc rows", n_out, "sum", s, "wall", round(time.time()-t0,1), "s; RSS", rss_mb(), "MB", flush=True)
+# invariant: sum of acc = sum over cells of path length = total visits; every cell visited >= 1 -> rows == n
+assert n_out == n
+t0 = time.time()
+bas = basins_pregel(dds, G, tile=64, n_shards=16)
+nb = bas.count()
+print("basins rows", nb, "wall", round(time.time()-t0,1), "s; RSS", rss_mb(), "MB", flush=True)
+assert nb == n
+print("DONE 10x grid; final driver RSS", rss_mb(), "MB", flush=True)
+ray.shutdown()
