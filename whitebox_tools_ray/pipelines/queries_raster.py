@@ -994,3 +994,39 @@ def geotiff_tile_stats(sf_dir: str):
         return pd.DataFrame(out, columns=["tile_id", "vsum", "n"]).astype(np.int64)
 
     return tiles.map_batches(stats, batch_format="pandas")
+
+
+@query(
+    "shreve_magnitude",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    indeg AS (
+      SELECT g.cell_id, COUNT(p.cell_id) AS n
+      FROM graph g LEFT JOIN graph p ON p.down_id = g.cell_id
+      GROUP BY g.cell_id
+    ),
+    leaves AS (SELECT cell_id FROM indeg WHERE n = 0),
+    walk(start, cur) AS (
+      SELECT l.cell_id, g.down_id FROM leaves l
+      JOIN graph g ON g.cell_id = l.cell_id WHERE g.down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT g.cell_id,
+           CAST((CASE WHEN i.n = 0 THEN 1 ELSE 0 END) + COALESCE(p.m, 0) AS BIGINT)
+             AS shreve
+    FROM graph g
+    JOIN indeg i ON i.cell_id = g.cell_id
+    LEFT JOIN (SELECT cur, COUNT(*) AS m FROM walk GROUP BY cur) p
+      ON p.cur = g.cell_id
+    """,
+)
+def shreve_magnitude(sf_dir: str):
+    """ShreveStreamMagnitude (stream_network_analysis/shreve_magnitude.rs):
+    number of upstream sources per cell — the flow-accumulation shard drain
+    with mass injected only at in-degree-0 cells (stages/pregel.shreve_pregel)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import shreve_pregel
+
+    return shreve_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)

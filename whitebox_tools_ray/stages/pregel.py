@@ -61,9 +61,19 @@ class FlowShard:
         return len(df)
 
     # ---- flow accumulation ----------------------------------------------
+    def acc_load_masses(self, df: pd.DataFrame) -> int:
+        """Custom initial masses (e.g. Shreve: 1 at in-degree-0 cells)."""
+        if not hasattr(self, "init_mass"):
+            self.init_mass: dict[int, int] = {}
+        self.init_mass.update(zip(df["cell_id"].astype(int),
+                                  df["mass"].astype(int)))
+        return len(df)
+
     def acc_init(self):
         self.acc: dict[int, int] = {}
-        # every local cell injects mass 1; drain immediately
+        if hasattr(self, "init_mass"):
+            return self._acc_drain({c: m for c, m in self.init_mass.items() if m})
+        # default: every local cell injects mass 1; drain immediately
         return self._acc_drain({c: 1 for c in self.down})
 
     def acc_round(self, msgs: list[np.ndarray]):
@@ -536,5 +546,46 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
             outs = ray.get([s.fl_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("depression filling did not converge")
+    finally:
+        _teardown(shards)
+
+
+def shreve_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                  tile: int = 64, n_shards: int = 8,
+                  max_rounds: int = 256) -> ray.data.Dataset:
+    """Dataset (cell_id, shreve): Shreve stream magnitude = number of
+    upstream sources (in-degree-0 cells), sources count 1
+    (stream_network_analysis/shreve_magnitude.rs semantics). Exactly the
+    flow-accumulation semiring with mass injected ONLY at sources — the
+    same shard drain runs with custom initial masses."""
+    from .flow import _indeg_state
+
+    shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        masses = _indeg_state(down_ds, grid, tile).map_batches(
+            lambda df: pd.DataFrame({
+                "cell_id": df["cell_id"].to_numpy(np.int64),
+                "mass": (df["n_inflow"].to_numpy(np.int64) == 0).astype(np.int64),
+                "shard": df["tile"].to_numpy(np.int64) % n_shards}),
+            batch_format="pandas")
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            sid = int(g["shard"].iloc[0])
+            actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
+            ray.get(actor.acc_load_masses.remote(g[["cell_id", "mass"]]))
+            return pd.DataFrame({"n": [len(g)]})
+
+        masses.groupby("shard").map_groups(push, batch_format="pandas").count()
+        outs = ray.get([s.acc_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.acc_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize().map_batches(
+                    lambda df: df.rename(columns={"acc": "shreve"}),
+                    batch_format="pandas")
+            outs = ray.get([s.acc_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("shreve did not converge (cycle?)")
     finally:
         _teardown(shards)
