@@ -193,3 +193,73 @@ def test_fill_depressions_pregel_matches_priority_flood():
     np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
     np.testing.assert_array_equal(got["fill"].to_numpy(), want)
     assert want[5 * G2.cols + 7] > 1 and want[20 * G2.cols + 25] > 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fd8_accumulation_matches_bruteforce():
+    """FD8 dispersal vs a dense topological brute force with IDENTICAL
+    fixed-point arithmetic; also conservation: total units == n * 2^20
+    (every cell's mass ends in some accumulation count exactly once per
+    downstream hop... total acc = sum over cells of mass passing through)."""
+    from whitebox_tools_ray.stages.pregel import fd8_accumulation_pregel
+
+    G2 = GridSpec(west=0.0, north=25.0, res_x=1.0, res_y=1.0, rows=25, cols=30)
+    n = G2.rows * G2.cols
+    cells = np.arange(n, dtype=np.int64)
+    z = ((cells * 2654435761) % 1000003).astype(np.int64)
+
+    def z_fn(cids):
+        return z[np.asarray(cids, np.int64)]
+
+    got = fd8_accumulation_pregel(z_fn, G2, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+
+    # dense brute force, same arithmetic
+    ONE = 1 << 20
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    downs = {}
+    indeg = np.zeros(n, np.int64)
+    for c in range(n):
+        r, cc = c // G2.cols, c % G2.cols
+        ds_, sl = [], []
+        for dr, dc in offs:
+            nr, nc = r + dr, cc + dc
+            if not (0 <= nr < G2.rows and 0 <= nc < G2.cols):
+                continue
+            u = nr * G2.cols + nc
+            dist = 1.4142135623730951 if dr and dc else 1.0
+            if z[u] < z[c]:
+                ds_.append(u)
+                sl.append(((int(z[c]) - int(z[u])) / dist) ** 1.1)
+            elif z[u] > z[c]:
+                indeg[c] += 1
+        if ds_:
+            tot = sum(sl)
+            ws = [int(np.floor(s / tot * ONE + 0.5)) for s in sl[:-1]]
+            ws.append(ONE - sum(ws))
+            downs[c] = list(zip(ds_, ws))
+    mass = np.full(n, ONE, object)
+    acc = np.zeros(n, object)
+    from collections import deque
+    q = deque(np.flatnonzero(indeg == 0).tolist())
+    done = np.zeros(n, bool)
+    while q:
+        c = q.popleft()
+        if done[c]:
+            continue
+        done[c] = True
+        m = int(mass[c])
+        acc[c] = m
+        outs = downs.get(c, [])
+        shares = [m * w // ONE for _, w in outs]
+        if shares:
+            shares[-1] = m - sum(shares[:-1])
+        for (u, _w), units in zip(outs, shares):
+            mass[u] += units
+            indeg[u] -= 1
+            if indeg[u] == 0:
+                q.append(u)
+    assert done.all()
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
+    np.testing.assert_array_equal(got["acc_units"].to_numpy(),
+                                  np.array([int(x) for x in acc], np.int64))

@@ -1030,3 +1030,20 @@ def shreve_magnitude(sf_dir: str):
     from ..stages.pregel import shreve_pregel
 
     return shreve_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
+
+
+@query("fd8_flow_accumulation")
+def fd8_flow_accumulation(sf_dir: str):
+    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs, exponent 1.1):
+    dispersive multiple-flow-direction accumulation over the synthetic
+    surface — fixed-point (2^20 units/cell) topological wave on shard
+    actors; exact int64 at any parallelism. Rows-only; dense brute-force
+    oracle with identical arithmetic in tests/test_flow.py. Output:
+    (cell_id, acc_units)."""
+    from ..stages.pregel import fd8_accumulation_pregel
+
+    def z_fn(cids: np.ndarray) -> np.ndarray:
+        cids = np.asarray(cids, np.int64)
+        return ((cids * 2654435761) % 1000003).astype(np.int64)
+
+    return fd8_accumulation_pregel(z_fn, GRID1)

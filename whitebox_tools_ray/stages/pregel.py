@@ -104,6 +104,98 @@ class FlowShard:
         return pd.DataFrame({"cell_id": np.fromiter(self.acc.keys(), np.int64),
                              "acc": np.fromiter(self.acc.values(), np.int64)})
 
+    # ---- FD8 multiple-flow-direction accumulation ------------------------
+    # hydro_analysis/fd8_flow_accum.rs: flow disperses to EVERY downslope
+    # neighbour proportionally to slope^exponent. Mass is fixed-point
+    # (FD8_ONE units per cell) with the remainder assigned to the last
+    # neighbour in D8 scan order — exactly conserving and order-independent.
+    FD8_ONE = 1 << 20
+
+    def fd8_load(self, z_fn, exponent: float) -> int:
+        self.fd8_out: dict[int, list] = {}
+        self.fd8_pending: dict[int, int] = {}
+        self.fd8_mass: dict[int, int] = {}
+        self.fd8_acc: dict[int, int] = {}
+        zs: dict[int, int] = {}
+
+        def z(cid: int) -> int:
+            v = zs.get(cid)
+            if v is None:
+                v = int(z_fn(np.array([cid], np.int64))[0])
+                zs[cid] = v
+            return v
+
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+        for c in self.cells_list():
+            r, cc = c // self.cols, c % self.cols
+            zc = z(c)
+            downs, slopes = [], []
+            pending = 0
+            for dr, dc in offs:
+                nr, nc = r + dr, cc + dc
+                if not (0 <= nr < self.rows and 0 <= nc < self.cols):
+                    continue
+                u = nr * self.cols + nc
+                zu = z(u)
+                dist = 1.4142135623730951 if dr and dc else 1.0
+                if zu < zc:
+                    downs.append(u)
+                    slopes.append(((zc - zu) / dist) ** exponent)
+                elif zu > zc:
+                    pending += 1
+            if downs:
+                tot = sum(slopes)
+                ws = [int(np.floor(s / tot * self.FD8_ONE + 0.5)) for s in slopes[:-1]]
+                ws.append(self.FD8_ONE - sum(ws))
+                self.fd8_out[c] = list(zip(downs, ws))
+            self.fd8_pending[c] = pending
+            self.fd8_mass[c] = self.FD8_ONE  # own injection
+        return len(self.fd8_pending)
+
+    def cells_list(self):
+        return list(self.down)
+
+    def fd8_round(self, msgs: list[np.ndarray]):
+        for arr in msgs:
+            for cell, units, dec in arr.reshape(-1, 3):
+                cell = int(cell)
+                self.fd8_mass[cell] = self.fd8_mass.get(cell, 0) + int(units)
+                self.fd8_pending[cell] -= int(dec)
+        queue = [c for c, p in self.fd8_pending.items() if p == 0]
+        out: dict[int, dict[int, list]] = {}
+        while queue:
+            cell = queue.pop()
+            if cell in self.fd8_acc:
+                continue
+            m = self.fd8_mass.pop(cell, 0)
+            self.fd8_acc[cell] = m
+            del self.fd8_pending[cell]
+            outs = self.fd8_out.pop(cell, ())
+            # exact conservation: last target takes the division remainder
+            shares = [m * w // self.FD8_ONE for _, w in outs]
+            if shares:
+                shares[-1] = m - sum(shares[:-1])
+            for (tgt, _w), units in zip(outs, shares):
+                if tgt in self.fd8_pending:
+                    self.fd8_mass[tgt] = self.fd8_mass.get(tgt, 0) + units
+                    self.fd8_pending[tgt] -= 1
+                    if self.fd8_pending[tgt] == 0:
+                        queue.append(tgt)
+                else:
+                    d = out.setdefault(self._shard(tgt), {})
+                    rec = d.setdefault(tgt, [0, 0])
+                    rec[0] += units
+                    rec[1] += 1
+        return {s: np.array([[c, u, n] for c, (u, n) in d.items()], np.int64)
+                for s, d in out.items()}
+
+    def fd8_result(self) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": np.fromiter(self.fd8_acc.keys(), np.int64),
+                             "acc_units": np.fromiter(self.fd8_acc.values(), np.int64)})
+
+    def fd8_unresolved(self) -> int:
+        return len(self.fd8_pending)
+
     # ---- basins (outlet labelling) --------------------------------------
     def bas_init(self):
         self.basin: dict[int, int] = {}
@@ -587,5 +679,42 @@ def shreve_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
             outs = ray.get([s.acc_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("shreve did not converge (cycle?)")
+    finally:
+        _teardown(shards)
+
+
+def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
+                            tile: int = 64, n_shards: int = 8,
+                            max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, acc_units): FD8 multiple-flow-direction
+    accumulation (hydro_analysis/fd8_flow_accum.rs) — flow disperses to all
+    downslope neighbours proportional to slope^exponent. Fixed-point mass
+    (2^20 units per cell) with deterministic remainder assignment makes the
+    result exact int64 and parallelism-invariant. Topological wave over
+    shard actors: a cell fires when all its upslope neighbours resolved;
+    in-degree is computed locally (the surface is a pure function of cell
+    id, so neighbour elevations need no exchange). acc_units / 2^20 is the
+    upslope-area measure in cells."""
+    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
+                            "tile": _tile_of(cells, grid, tile)})
+    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.fd8_load.remote(z_fn, exponent) for s in shards])
+        outs = ray.get([s.fd8_round.remote([]) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.fd8_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("fd8 did not converge")
+        left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
+        if left:
+            raise RuntimeError(f"fd8 left {left} unresolved cells (flat ties?)")
+        refs = [s.fd8_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
     finally:
         _teardown(shards)
