@@ -70,3 +70,49 @@ def test_idw_faithful_matches_bruteforce():
     # the planted exact hit short-circuits to the point value
     cell = 2 * GRID.cols + 3
     assert got.loc[got.cell_id == cell, "idw"].iloc[0] == pv[7]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rbf_grid_matches_bruteforce():
+    """RBF thin-plate solve vs a dense per-cell brute force (same k-nearest
+    selection rule, same system) at sf0.001."""
+    import numpy as np
+
+    from whitebox_tools_ray.pipelines.queries_spatial import GRID_IDW
+    from whitebox_tools_ray.sources.tables import read_points
+    from whitebox_tools_ray.stages.gridding import rbf_grid
+
+    sf = "/root/testdata/sf0.001"
+    got = rbf_grid(read_points(sf), GRID_IDW, k=8, radius=12.0) \
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+
+    pts = read_points(sf).to_pandas()
+    x = pts["x"].to_numpy()
+    y = pts["y"].to_numpy()
+    v = pts["value"].to_numpy()
+    seq = pts["event_id"].to_numpy(np.int64)
+
+    def phi(r2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(r2 > 0, 0.5 * r2 * np.log(r2), 0.0)
+
+    rows = []
+    g = GRID_IDW
+    for cell in got["cell_id"].to_numpy():  # verify every produced cell
+        r, c = cell // g.cols, cell % g.cols
+        cx = g.west + (c + 0.5) * g.res_x
+        cy = g.north - (r + 0.5) * g.res_y
+        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        m = d2 <= 12.0 * 12.0
+        idx = np.flatnonzero(m)
+        order = np.lexsort((seq[idx], d2[idx]))[:8]
+        sel = idx[order]
+        assert len(sel) == 8
+        dxm = x[sel][:, None] - x[sel][None, :]
+        dym = y[sel][:, None] - y[sel][None, :]
+        A = phi(dxm * dxm + dym * dym)
+        w = np.linalg.solve(A, v[sel])
+        rows.append(float(np.sum(w * phi(d2[sel]))))
+    np.testing.assert_allclose(got["rbf"].to_numpy(), np.array(rows),
+                               rtol=1e-9, atol=1e-9)
+    assert len(got) > 100

@@ -961,3 +961,14 @@ def pip_pairs_10k_shuffle(sf_dir: str):
 
     both = parts_ds.union(pts_ds)
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+@query("rbf_gridding")
+def rbf_gridding(sf_dir: str):
+    """RBF interpolation (radial_basis_function_interpolation.rs, thin-plate
+    basis): per GRID_IDW cell, exact k-nearest-in-radius system solve —
+    batched np.linalg.solve over all cells at once (stages/gridding.rbf_grid).
+    Rows-only; dense brute-force oracle in tests/test_idw_faithful.py."""
+    from ..stages.gridding import rbf_grid
+
+    return rbf_grid(read_points(sf_dir), GRID_IDW, k=8, radius=12.0)

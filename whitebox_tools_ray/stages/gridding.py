@@ -345,3 +345,73 @@ def _candidate_cells_centres(x, y, extra, grid: GridSpec, radius: float):
     for name, arr in extra.items():
         out[name] = arr[keep_idx]
     return out
+
+
+def rbf_grid(points_ds, grid: GridSpec, *, k: int = 8, radius: float = 12.0,
+             x_col="x", y_col="y", value_col="value", seq_col="event_id"):
+    """RBF interpolation (gis_analysis/radial_basis_function_interpolation.rs
+    semantics, thin-plate-spline basis phi(r) = r^2 ln r): per grid cell the
+    k nearest points (exact among radius candidates, ties by (d2, seq)) form
+    the k x k system A w = v; the prediction is sum w_i phi(|p_i - c|).
+
+    Distribution: the IDW candidate machinery emits (cell, point) pairs, a
+    tree-combined per-cell top-k keeps k rows per cell, and ONE whole-block
+    pass runs a BATCHED np.linalg.solve over (n_cells, k, k) — no per-cell
+    task granularity. Cells with fewer than k candidates in the radius are
+    omitted (nodata). Output: cell_id, rbf (float64), deterministic at any
+    parallelism (candidate order fixed before the solve).
+    """
+    from ..relational import tree_reduce
+
+    def cand(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        extra = {
+            "seq": t[seq_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "value": t[value_col].to_numpy(zero_copy_only=False),
+            "px": x, "py": y,
+        }
+        return pa.table(_candidate_cells_centres(x, y, extra, grid, radius))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
+        df = df.iloc[order]
+        return df.groupby("cell_id", sort=False).head(k)
+
+    cands = points_ds.map_batches(cand, batch_format="pyarrow")
+    pruned = tree_reduce(cands.map_batches(topk, batch_format="pandas"),
+                         topk, batch_format="pandas")
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy(),
+                            df["cell_id"].to_numpy()))
+        df = df.iloc[order]
+        counts = df.groupby("cell_id", sort=False).size()
+        full = counts[counts == k].index.to_numpy(np.int64)
+        df = df[df["cell_id"].isin(full)]
+        if df.empty:
+            return pd.DataFrame({"cell_id": pd.Series([], dtype=np.int64),
+                                 "rbf": pd.Series([], dtype=np.float64)})
+        n = len(df) // k
+        px = df["px"].to_numpy().reshape(n, k)
+        py = df["py"].to_numpy().reshape(n, k)
+        v = df["value"].to_numpy().reshape(n, k)
+        d2c = df["d2"].to_numpy().reshape(n, k)
+        cells = df["cell_id"].to_numpy(np.int64).reshape(n, k)[:, 0]
+
+        def phi(r2):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.where(r2 > 0, 0.5 * r2 * np.log(r2), 0.0)
+
+        dx = px[:, :, None] - px[:, None, :]
+        dy = py[:, :, None] - py[:, None, :]
+        A = phi(dx * dx + dy * dy)  # (n, k, k)
+        try:
+            w = np.linalg.solve(A, v[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            return pd.DataFrame({"cell_id": pd.Series([], dtype=np.int64),
+                                 "rbf": pd.Series([], dtype=np.float64)})
+        pred = np.sum(w * phi(d2c), axis=1)
+        return pd.DataFrame({"cell_id": cells, "rbf": pred})
+
+    return pruned.map_batches(solve, batch_format="pandas", batch_size=None)
