@@ -335,3 +335,39 @@ def raster_curvatures(sf_dir: str):
         lambda df: df.loc[np.isfinite(df["profile_curv"]), :].assign(
             cell_id=lambda d: d["cell_id"].astype(np.int64)),
         batch_format="pandas")
+
+
+@query(
+    "elev_percentile",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union(_ALL9)})
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN v < cv THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           COUNT(*) AS n9
+    FROM nb GROUP BY cell_id
+    """,
+)
+def elev_percentile(sf_dir: str):
+    """ElevPercentile (terrain_analysis/elev_percentile.rs): rank of the
+    centre among its 3x3 neighbourhood — integer contract (n_below, n9);
+    the percentile n_below/n9*100 is left to consumers."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        centre = padded[1:nr + 1, 1:nc + 1]
+        below = np.zeros((nr, nc), np.int64)
+        n = np.zeros((nr, nc), np.int64)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                w = padded[dr:dr + nr, dc:dc + nc]
+                ok = ~np.isnan(w)
+                below += (ok & (w < centre)).astype(np.int64)
+                n += ok.astype(np.int64)
+        return {"n_below": below, "n9": n}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "n_below": df["n_below"].astype(np.int64),
+                                 "n9": df["n9"].astype(np.int64)}),
+        batch_format="pandas")

@@ -972,3 +972,83 @@ def rbf_gridding(sf_dir: str):
     from ..stages.gridding import rbf_grid
 
     return rbf_grid(read_points(sf_dir), GRID_IDW, k=8, radius=12.0)
+
+
+HAG_GROUND_CENTS = 500  # ground threshold: within 5.00 of the cell minimum
+
+
+@query(
+    "lidar_ground_classify",
+    f"""
+    WITH {PTS_CTE},
+    enc AS (SELECT event_id, {_cid1} AS cell_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents FROM pts),
+    floor_z AS (SELECT cell_id, MIN(cents) AS zmin FROM enc GROUP BY cell_id)
+    SELECT e.event_id,
+           CAST(CASE WHEN e.cents - f.zmin <= {HAG_GROUND_CENTS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_ground
+    FROM enc e JOIN floor_z f USING (cell_id)
+    """,
+)
+def lidar_ground_classify(sf_dir: str):
+    """LidarGroundPointFilter (lidar_analysis/lidar_ground_point_filter.rs,
+    block-minimum variant): a point is ground iff its value is within a
+    threshold of its cell's minimum — per-cell min via partial_agg broadcast
+    back over the points (cents-exact)."""
+    from ..stages.spatial_join import _cached_get
+
+    ds = read_points(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                         "cell_id": GRID1.cell_id_from_xy(x, y),
+                         "cents": cents})
+
+    encoded = ds.map_batches(enc, batch_format="pyarrow").materialize()
+    mins = partial_agg(
+        encoded.map_batches(lambda t: pa.table({"cell_id": t["cell_id"],
+                                                "zmin": t["cents"]}),
+                            batch_format="pyarrow"),
+        ["cell_id"], [("zmin", "min", "zmin")]).to_pandas()
+    # per-cell minima: one small row per OCCUPIED cell — the broadcast side
+    ref = ray.put(dict(zip(mins["cell_id"].astype(int), mins["zmin"].astype(int))))
+
+    def classify(t: pa.Table) -> pa.Table:
+        lut = _cached_get(ref)
+        cells = t["cell_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        zmin = np.array([lut[int(c)] for c in cells], np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "is_ground": (cents - zmin <= HAG_GROUND_CENTS).astype(np.int64)})
+
+    return encoded.map_batches(classify, batch_format="pyarrow")
+
+
+@query(
+    "lidar_thin_grid",
+    f"""
+    WITH {PTS_CTE},
+    enc AS (SELECT event_id, {_cid1} AS cell_id FROM pts)
+    SELECT cell_id, CAST(MIN(event_id) AS BIGINT) AS keep_id, COUNT(*) AS n
+    FROM enc GROUP BY cell_id
+    """,
+)
+def lidar_thin_grid(sf_dir: str):
+    """LidarThin (lidar_analysis/lidar_thin.rs, first-return variant): keep
+    one point per grid cell — the lowest record id (the reference keeps the
+    first encountered; seq order made explicit)."""
+    ds = read_points(sf_dir, extra_cols=())
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell_id": GRID1.cell_id_from_xy(x, y),
+                         "keep_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                         "n": np.ones(len(x), np.int64)})
+
+    return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["cell_id"],
+                       [("keep_id", "min", "keep_id"), ("n", "sum", "n")])
