@@ -263,3 +263,39 @@ def test_fd8_accumulation_matches_bruteforce():
     np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
     np.testing.assert_array_equal(got["acc_units"].to_numpy(),
                                   np.array([int(x) for x in acc], np.int64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wetness_index_composition():
+    """TWI query == dense recomputation of ln(acc / tan(slope)) from the
+    same D8 pointers and Horn slope at sf0.001."""
+    from whitebox_tools_ray.layers import GRID1
+    from whitebox_tools_ray.pipelines.queries_raster import d8_pointer, wetness_index
+    from whitebox_tools_ray.stages.flow import d8_down_ids
+
+    sf = "/root/testdata/sf0.001"
+    got = wetness_index(sf).to_pandas().sort_values("cell_id").reset_index(drop=True)
+
+    d8 = d8_pointer(sf).to_pandas()
+    down = d8_down_ids(d8, GRID1)
+    acc = brute_acc(down).astype(np.float64)
+    # dense Horn slope over the same surface
+    n = GRID1.rows * GRID1.cols
+    z = ((np.arange(n) * 1000003) % 1000).astype(np.float64) \
+        .reshape(GRID1.rows, GRID1.cols)
+    zp = np.full((GRID1.rows + 2, GRID1.cols + 2), np.nan)
+    zp[1:-1, 1:-1] = z
+    a = zp[0:-2, 0:-2]; b = zp[0:-2, 1:-1]; c = zp[0:-2, 2:]
+    d = zp[1:-1, 0:-2]; f = zp[1:-1, 2:]
+    g = zp[2:, 0:-2]; h = zp[2:, 1:-1]; i = zp[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / 8.0
+    slope = np.degrees(np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2))).ravel()
+    tan_s = np.tan(np.radians(slope))
+    ok = np.isfinite(tan_s) & (tan_s > 0)
+    want = {int(cid): float(np.log(acc[cid] / tan_s[cid]))
+            for cid in np.flatnonzero(ok)}
+    got_map = dict(zip(got["cell_id"].astype(int), got["twi"]))
+    assert set(got_map) == set(want)
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-9

@@ -1047,3 +1047,31 @@ def fd8_flow_accumulation(sf_dir: str):
         return ((cids * 2654435761) % 1000003).astype(np.int64)
 
     return fd8_accumulation_pregel(z_fn, GRID1)
+
+
+@query("wetness_index")
+def wetness_index(sf_dir: str):
+    """WetnessIndex (terrain_analysis/wetness_index.rs): TWI =
+    ln(As / tan(slope)) composing two existing engine stages — D8 flow
+    accumulation (Pregel shard actors) as the specific catchment area and
+    the Horn slope stencil — joined per cell (single Ray hash join; slope 0
+    or missing -> omitted, the reference's nodata). Rows-only; composition
+    oracle in tests/test_flow.py recomputes both stages densely."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
+
+    acc = flow_accumulation_pregel(
+        down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
+    slope = raster_slope(sf_dir)  # (cell_id, slope_deg)
+
+    j = acc.join(slope, join_type="inner", num_partitions=8, on=("cell_id",))
+
+    def twi(df: pd.DataFrame) -> pd.DataFrame:
+        tan_s = np.tan(np.radians(df["slope_deg"].to_numpy(np.float64)))
+        ok = np.isfinite(tan_s) & (tan_s > 0)
+        a = df["acc"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[ok],
+            "twi": np.log(a[ok] / tan_s[ok])})
+
+    return j.map_batches(twi, batch_format="pandas")
