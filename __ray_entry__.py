@@ -63,7 +63,10 @@ def _driver_priority_order(names: list[str], oracle: dict[str, str]) -> list[str
             return 1
         return 3 if n in green else 2
 
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+    # within a tier, SQL-backed entries first: a hash-green row is strictly
+    # stronger evidence than a rows-only record
+    return sorted(names, key=lambda n: (tier(n), 0 if n in oracle else 1,
+                                        names.index(n)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
