@@ -299,3 +299,55 @@ def test_wetness_index_composition():
     assert set(got_map) == set(want)
     for k in want:
         assert abs(got_map[k] - want[k]) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dinf_accumulation_matches_bruteforce():
+    """D-infinity wave vs a dense topological brute force using the SAME
+    facet/weight function (FlowShard.dinf_targets)."""
+    from collections import deque
+
+    from whitebox_tools_ray.stages.pregel import FlowShard, dinf_accumulation_pregel
+
+    G2 = GridSpec(west=0.0, north=20.0, res_x=1.0, res_y=1.0, rows=20, cols=25)
+    n = G2.rows * G2.cols
+    zarr = ((np.arange(n) * 48271) % 99991).astype(np.int64)
+
+    def z_fn(cids):
+        return zarr[np.asarray(cids, np.int64)]
+
+    got = dinf_accumulation_pregel(z_fn, G2, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+
+    ONE = 1 << 20
+    z = lambda c: int(zarr[c])  # noqa: E731
+    targets = {c: FlowShard.dinf_targets(z, G2.rows, G2.cols, c) for c in range(n)}
+    indeg = np.zeros(n, np.int64)
+    for c, outs in targets.items():
+        for t, _ in outs:
+            indeg[t] += 1
+    mass = np.full(n, ONE, object)
+    acc = np.zeros(n, object)
+    q = deque(np.flatnonzero(indeg == 0).tolist())
+    done = np.zeros(n, bool)
+    while q:
+        c = q.popleft()
+        if done[c]:
+            continue
+        done[c] = True
+        m = int(mass[c])
+        acc[c] = m
+        outs = targets[c]
+        shares = [m * w // ONE for _, w in outs]
+        if shares:
+            shares[-1] = m - sum(shares[:-1])
+        for (t, _w), units in zip(outs, shares):
+            mass[t] += units
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                q.append(t)
+    assert done.all()
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(),
+                                  np.arange(n, dtype=np.int64))
+    np.testing.assert_array_equal(got["acc_units"].to_numpy(),
+                                  np.array([int(x) for x in acc], np.int64))

@@ -1075,3 +1075,18 @@ def wetness_index(sf_dir: str):
             "twi": np.log(a[ok] / tan_s[ok])})
 
     return j.map_batches(twi, batch_format="pandas")
+
+
+@query("dinf_flow_accumulation")
+def dinf_flow_accumulation(sf_dir: str):
+    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs): Tarboton
+    D-infinity — steepest triangular facet, flow split between its two
+    neighbours by angle, fixed-point mass wave on shard actors. Rows-only;
+    dense brute-force oracle with identical arithmetic in tests."""
+    from ..stages.pregel import dinf_accumulation_pregel
+
+    def z_fn(cids: np.ndarray) -> np.ndarray:
+        cids = np.asarray(cids, np.int64)
+        return ((cids * 2654435761) % 1000003).astype(np.int64)
+
+    return dinf_accumulation_pregel(z_fn, GRID1)

@@ -155,6 +155,99 @@ class FlowShard:
     def cells_list(self):
         return list(self.down)
 
+    # ---- D-infinity (Tarboton) accumulation ------------------------------
+    # hydro_analysis/dinf_flow_accum.rs: the steepest of 8 triangular facets
+    # picks at most TWO receiving neighbours; flow splits by the angular
+    # position within the facet. Same fixed-point wave state as FD8.
+    @staticmethod
+    def dinf_targets(z, rows, cols, c):
+        """[(target_cell, fixed_weight)] for cell c (weights sum to FD8_ONE;
+        zero-weight targets dropped). Pure function of the surface — used
+        identically for out-edges and for in-degree counting."""
+        ONE = 1 << 20
+        r, cc = c // cols, c % cols
+
+        def zat(rr, ccc):
+            if 0 <= rr < rows and 0 <= ccc < cols:
+                return z(rr * cols + ccc)
+            return None
+
+        z0 = z(c)
+        # facets as (cardinal offset, diagonal offset)
+        facets = [((0, 1), (-1, 1)), ((-1, 0), (-1, 1)), ((-1, 0), (-1, -1)),
+                  ((0, -1), (-1, -1)), ((0, -1), (1, -1)), ((1, 0), (1, -1)),
+                  ((1, 0), (1, 1)), ((0, 1), (1, 1))]
+        best = None  # (s, e1_cell, e2_cell, rang)
+        quarter = np.pi / 4.0
+        for (d1r, d1c), (d2r, d2c) in facets:
+            z1 = zat(r + d1r, cc + d1c)
+            z2 = zat(r + d2r, cc + d2c)
+            if z1 is None or z2 is None:
+                continue
+            s1 = float(z0 - z1)
+            s2 = float(z1 - z2)
+            rang = np.arctan2(s2, s1)
+            if rang < 0.0:
+                rang = 0.0
+                s = s1
+            elif rang > quarter:
+                rang = quarter
+                s = float(z0 - z2) / 1.4142135623730951
+            else:
+                s = float(np.sqrt(s1 * s1 + s2 * s2))
+            if s > 0 and (best is None or s > best[0]):
+                best = (s, (r + d1r) * cols + (cc + d1c),
+                        (r + d2r) * cols + (cc + d2c), rang)
+        if best is None:
+            return []
+        _, e1, e2, rang = best
+        w2 = int(np.floor(rang / quarter * ONE + 0.5))
+        w1 = ONE - w2
+        out = []
+        if w1 > 0:
+            out.append((e1, w1))
+        if w2 > 0:
+            out.append((e2, w2))
+        return out
+
+    def dinf_load(self, z_fn) -> int:
+        """Populates the SAME wave state as fd8_load; the rounds reuse
+        fd8_round/fd8_result unchanged."""
+        self.fd8_out = {}
+        self.fd8_pending = {}
+        self.fd8_mass = {}
+        self.fd8_acc = {}
+        zs: dict[int, int] = {}
+
+        def z(cid: int) -> int:
+            v = zs.get(cid)
+            if v is None:
+                v = int(z_fn(np.array([cid], np.int64))[0])
+                zs[cid] = v
+            return v
+
+        for c in self.cells_list():
+            outs = self.dinf_targets(z, self.rows, self.cols, c)
+            if outs:
+                self.fd8_out[c] = outs
+            # in-degree: which neighbours send positive flow to c
+            r, cc = c // self.cols, c % self.cols
+            pending = 0
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nr, nc = r + dr, cc + dc
+                    if not (0 <= nr < self.rows and 0 <= nc < self.cols):
+                        continue
+                    u = nr * self.cols + nc
+                    if any(t == c for t, _ in
+                           self.dinf_targets(z, self.rows, self.cols, u)):
+                        pending += 1
+            self.fd8_pending[c] = pending
+            self.fd8_mass[c] = self.FD8_ONE
+        return len(self.fd8_pending)
+
     def fd8_round(self, msgs: list[np.ndarray]):
         for arr in msgs:
             for cell, units, dec in arr.reshape(-1, 3):
@@ -714,6 +807,38 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
         left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
         if left:
             raise RuntimeError(f"fd8 left {left} unresolved cells (flat ties?)")
+        refs = [s.fd8_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
+    finally:
+        _teardown(shards)
+
+
+def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
+                             n_shards: int = 8,
+                             max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, acc_units): D-infinity flow accumulation
+    (hydro_analysis/dinf_flow_accum.rs, Tarboton facets) — at most two
+    receivers per cell, angular flow split, fixed-point mass; same
+    topological shard wave as FD8."""
+    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
+                            "tile": _tile_of(cells, grid, tile)})
+    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.dinf_load.remote(z_fn) for s in shards])
+        outs = ray.get([s.fd8_round.remote([]) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.fd8_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("dinf did not converge")
+        left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
+        if left:
+            raise RuntimeError(f"dinf left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
     finally:
