@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..relational import partial_agg
 from ..stages.raster import mean3x3_kernel, slope_kernel_factory, stencil_3x3, synth_raster_tiles
@@ -1090,3 +1091,134 @@ def dinf_flow_accumulation(sf_dir: str):
         return ((cids * 2654435761) % 1000003).astype(np.int64)
 
     return dinf_accumulation_pregel(z_fn, GRID1)
+
+
+STREAM_ACC_T = 5  # stream cells: D8 accumulation >= threshold
+
+
+@query(
+    "stream_link_id",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    stream AS MATERIALIZED (SELECT cell_id FROM acc WHERE acc >= {STREAM_ACC_T}),
+    sgraph AS MATERIALIZED (
+      SELECT g.cell_id, g.down_id FROM graph g
+      JOIN stream s ON s.cell_id = g.cell_id
+    ),
+    s_indeg AS MATERIALIZED (
+      SELECT s.cell_id, COUNT(p.cell_id) AS n
+      FROM stream s LEFT JOIN sgraph p
+        ON p.down_id = s.cell_id
+      GROUP BY s.cell_id
+    ),
+    -- link pointer: follow down while the TARGET is a non-junction stream cell
+    lgraph AS MATERIALIZED (
+      SELECT sg.cell_id,
+             CASE WHEN t.cell_id IS NOT NULL AND ti.n < 2 THEN sg.down_id
+                  ELSE -1 END AS nxt
+      FROM sgraph sg
+      LEFT JOIN stream t ON t.cell_id = sg.down_id
+      LEFT JOIN s_indeg ti ON ti.cell_id = sg.down_id
+    ),
+    chase(start, cur) AS (
+      SELECT cell_id, cell_id FROM lgraph
+      UNION ALL
+      SELECT c.start, l.nxt FROM chase c
+      JOIN lgraph l ON l.cell_id = c.cur WHERE l.nxt >= 0
+    )
+    SELECT c.start AS cell_id, CAST(c.cur AS BIGINT) AS link_id
+    FROM chase c JOIN lgraph l ON l.cell_id = c.cur
+    WHERE l.nxt < 0
+    """,
+)
+def stream_link_id(sf_dir: str):
+    """StreamLinkIdentifier (stream_network_analysis/stream_link_identifier
+    .rs): label every stream cell (D8 accumulation >= threshold) with its
+    link — the maximal stream segment between junctions — identified by the
+    link's terminal cell. Pure composition of existing shard machinery:
+    Pregel accumulation -> stream mask + junction in-degrees (join-free
+    co-grouped pass) -> modified pointer table (stop at junctions/outlets)
+    -> Pregel chain walk (basins)."""
+    from ..relational import partial_agg
+    from ..stages.flow import down_ds_from_pointer, tile_of_expr
+    from ..stages.pregel import basins_pregel, flow_accumulation_pregel
+
+    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1).materialize()
+    acc = flow_accumulation_pregel(dds, GRID1)
+
+    # stream mask + per-cell stream in-degree, all via ONE co-grouped pass:
+    # rows kind 0 = (cell, down) for stream cells; kind 1 = in-degree
+    # increments routed to the TARGET's tile (stream->stream edges only)
+    stream_cells = acc.map_batches(
+        lambda df: pd.DataFrame({
+            "cell_id": df.loc[df["acc"] >= STREAM_ACC_T, "cell_id"]
+            .to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = dds.join(stream_cells, join_type="inner", num_partitions=8,
+                 on=("cell_id",)).materialize()  # stream rows of the pointer table
+
+    sset = j.map_batches(lambda df: pd.DataFrame({
+        "k": df["cell_id"].to_numpy(np.int64)}), batch_format="pandas").to_pandas()
+    stream_set = np.sort(sset["k"].to_numpy(np.int64))  # stream ids (small side)
+    sref = ray.put(stream_set)
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ss = _cached_get(sref)
+
+        def member(a):
+            if not len(ss):
+                return np.zeros(len(a), bool)
+            pos = np.minimum(np.searchsorted(ss, a), len(ss) - 1)
+            return ss[pos] == a
+
+        down = df["down_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "down_id": np.where((down >= 0) & member(down), down, -1),
+            "tile": df["tile"].to_numpy(np.int64)})
+
+    sgraph = j.map_batches(narrow, batch_format="pandas")
+
+    # stream in-degree, then cut links AT junction targets
+    from ..stages.flow import _indeg_state
+
+    st = _indeg_state(sgraph, GRID1, 64)
+    junctions = st.map_batches(
+        lambda df: pd.DataFrame({"k": df.loc[df["n_inflow"] >= 2, "cell_id"]
+                                 .to_numpy(np.int64)}),
+        batch_format="pandas").to_pandas()
+    jset = np.sort(junctions["k"].to_numpy(np.int64))
+    jref = ray.put(jset)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        js = _cached_get(jref)
+        down = df["down_id"].to_numpy(np.int64)
+        if len(js):
+            pos = np.minimum(np.searchsorted(js, down), len(js) - 1)
+            is_j = js[pos] == down
+        else:
+            is_j = np.zeros(len(down), bool)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "down_id": np.where(is_j, -1, down),
+            "tile": df["tile"].to_numpy(np.int64)})
+
+    lgraph = sgraph.map_batches(cut, batch_format="pandas")
+    out = basins_pregel(lgraph, GRID1)
+    return out.map_batches(lambda df: df.rename(columns={"basin": "link_id"}),
+                           batch_format="pandas")
