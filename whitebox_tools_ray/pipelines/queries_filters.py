@@ -371,3 +371,57 @@ def elev_percentile(sf_dir: str):
                                  "n_below": df["n_below"].astype(np.int64),
                                  "n9": df["n9"].astype(np.int64)}),
         batch_format="pandas")
+
+
+_W11 = 5  # 11x11 window half-width
+_M11_UNION = " UNION ALL ".join(
+    f"SELECT a.cell_id, b.v FROM cells a JOIN cells b "
+    f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+    for dr in range(-_W11, _W11 + 1) for dc in range(-_W11, _W11 + 1)
+)
+
+
+@query(
+    "raster_mean11x11_fast",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_M11_UNION})
+    SELECT cell_id, CAST(SUM(v) AS BIGINT) AS sum121, COUNT(*) AS n121
+    FROM nb GROUP BY cell_id
+    """,
+)
+def raster_mean11x11_fast(sf_dir: str):
+    """FastAlmostGaussianFilter-style LARGE-window mean (image_analysis/
+    fast_almost_gaussian_filter.rs uses repeated box blurs whose cost must
+    not grow with window size): the 11x11 neighbourhood sum via a per-tile
+    INTEGRAL IMAGE over the 5-cell halo — O(1) work per cell regardless of
+    window, vs O(w^2) for the naive stencil. Integer-exact (NaN halo
+    contributes zero; count tracked the same way)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        w = _W11
+        vals = np.nan_to_num(padded, nan=0.0)
+        cnts = (~np.isnan(padded)).astype(np.float64)
+        # integral images with a zero top/left border
+        iv = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1))
+        ic = np.zeros_like(iv)
+        iv[1:, 1:] = vals.cumsum(axis=0).cumsum(axis=1)
+        ic[1:, 1:] = cnts.cumsum(axis=0).cumsum(axis=1)
+
+        def window(ii):
+            # cell (r, c) of the tile sits at padded[r+w, c+w]; its window
+            # spans padded rows [r, r+2w] inclusive
+            a = ii[2 * w + 1:2 * w + 1 + nr, 2 * w + 1:2 * w + 1 + nc]
+            b = ii[0:nr, 2 * w + 1:2 * w + 1 + nc]
+            c = ii[2 * w + 1:2 * w + 1 + nr, 0:nc]
+            d = ii[0:nr, 0:nc]
+            return a - b - c + d
+
+        return {"sum121": window(iv), "n121": window(ic)}
+
+    return stencil_k(tiles, GRID1, kern, k=_W11).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "sum121": np.rint(df["sum121"]).astype(np.int64),
+                                 "n121": np.rint(df["n121"]).astype(np.int64)}),
+        batch_format="pandas")

@@ -565,3 +565,18 @@ def mbb_by_type(sf_dir: str):
 
     # 5 types -> tiny groupby; the hull reduces each group to O(hull) points
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+@query("quantile_sketch_value")
+def quantile_sketch_value(sf_dir: str):
+    """Approximate quantiles of events.value via the mergeable compressed-CDF
+    sketch (functions/sketch.py) — the streaming SCALE path next to the
+    exact global-sort quantile operators; rank error bounded by
+    merge-levels/K (< 0.6% here). Rows-only; the error bound is asserted
+    against the exact sort in tests/test_sketch.py."""
+    import ray.data
+
+    from ..functions.sketch import sketch_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    return ray.data.from_pandas(sketch_quantiles(ds, "value"))
