@@ -1222,3 +1222,92 @@ def stream_link_id(sf_dir: str):
     out = basins_pregel(lgraph, GRID1)
     return out.map_batches(lambda df: df.rename(columns={"basin": "link_id"}),
                            batch_format="pandas")
+
+
+@query(
+    "euclidean_allocation",
+    f"""
+    WITH {_CELLS_CTE},
+    targets AS MATERIALIZED (
+      SELECT cell_id AS tid, r, c FROM cells WHERE (cell_id * 7919) % 509 = 0),
+    d AS (
+      SELECT a.cell_id, t.tid,
+             (a.r - t.r) * (a.r - t.r) + (a.c - t.c) * (a.c - t.c) AS d2
+      FROM cells a, targets t
+    )
+    SELECT cell_id, CAST(tid AS BIGINT) AS alloc
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY d2 ASC, tid ASC) = 1
+    """,
+)
+def euclidean_allocation(sf_dir: str):
+    """EuclideanAllocation (gis_analysis/euclidean_allocation.rs): every
+    cell labelled with its NEAREST target's id (squared cell distance,
+    ties -> lowest target id — deterministic). Same broadcast-targets tile
+    kernel as euclidean_distance, argmin instead of min."""
+    import ray as _ray
+
+    from ..stages.raster import synth_raster_tiles
+    from ..stages.spatial_join import _cached_get
+
+    all_cells = np.arange(GRID1.rows * GRID1.cols, dtype=np.int64)
+    tmask = (all_cells * 7919) % 509 == 0
+    tids = all_cells[tmask]
+    tr = (tids // GRID1.cols).astype(np.int64)
+    tc = (tids % GRID1.cols).astype(np.int64)
+    ref = _ray.put((tids, tr, tc))
+
+    def vfn(cells: np.ndarray) -> np.ndarray:
+        return ((cells.astype(np.int64) * 1000003) % 1000).astype(np.float64)
+
+    tiles = synth_raster_tiles(GRID1, vfn)
+
+    def alloc_tile(df: pd.DataFrame) -> pd.DataFrame:
+        tids_, trr, tcc = _cached_get(ref)
+        frames = []
+        for _, t in df.iterrows():
+            nr, nc = int(t["nrows"]), int(t["ncols"])
+            r0, c0 = int(t["trow"]) * 64, int(t["tcol"]) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64), indexing="ij")
+            dr = rr.ravel()[:, None] - trr[None, :]
+            dc = cc.ravel()[:, None] - tcc[None, :]
+            d2 = dr * dr + dc * dc
+            # argmin with ties -> lowest target id: targets are sorted by id,
+            # and np.argmin returns the FIRST minimum
+            best = np.argmin(d2, axis=1)
+            frames.append(pd.DataFrame({
+                "cell_id": rr.ravel() * GRID1.cols + cc.ravel(),
+                "alloc": tids_[best]}))
+        return pd.concat(frames)
+
+    return tiles.map_batches(alloc_tile, batch_format="pandas")
+
+
+@query(
+    "extract_streams",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT g.cell_id, CAST(1 + COALESCE(p.n, 0) AS BIGINT) AS acc
+    FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+      ON p.cur = g.cell_id
+    WHERE 1 + COALESCE(p.n, 0) >= {STREAM_ACC_T}
+    """,
+)
+def extract_streams(sf_dir: str):
+    """ExtractStreams (stream_network_analysis/extract_streams.rs): the
+    stream mask — cells whose D8 accumulation meets the channelization
+    threshold, with their accumulation value."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
+
+    acc = flow_accumulation_pregel(
+        down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
+    return acc.map_batches(
+        lambda df: df[df["acc"] >= STREAM_ACC_T], batch_format="pandas")
