@@ -351,3 +351,56 @@ def test_dinf_accumulation_matches_bruteforce():
                                   np.arange(n, dtype=np.int64))
     np.testing.assert_array_equal(got["acc_units"].to_numpy(),
                                   np.array([int(x) for x in acc], np.int64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flowpath_length_matches_bruteforce():
+    """Downslope flowpath length vs a dense per-cell walk with the same
+    fixed-point hop units (uses the spatially-LOCAL D8 surface so diagonal
+    hops actually occur)."""
+    from whitebox_tools_ray.stages.pregel import (_HOP_DIAG, _HOP_STRAIGHT,
+                                                  flowpath_length_pregel)
+
+    G2 = GridSpec(west=0.0, north=20.0, res_x=1.0, res_y=1.0, rows=20, cols=25)
+    n = G2.rows * G2.cols
+    z = ((np.arange(n) * 48271) % 99991).astype(np.int64)
+    # steepest-descent D8 pointers from the surface
+    down = np.full(n, -1, np.int64)
+    for c in range(n):
+        r, cc = c // G2.cols, c % G2.cols
+        best, bz = -1, z[c]
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, cc + dc
+                if 0 <= nr < G2.rows and 0 <= nc < G2.cols:
+                    u = nr * G2.cols + nc
+                    if z[u] < bz:
+                        best, bz = u, z[u]
+        down[c] = best
+
+    import ray.data
+
+    from whitebox_tools_ray.stages.flow import tile_of_expr
+
+    cells = np.arange(n, dtype=np.int64)
+    dds = ray.data.from_pandas(pd.DataFrame({
+        "cell_id": cells, "down_id": down,
+        "tile": tile_of_expr(cells, G2, 8)})).repartition(4)
+    got = flowpath_length_pregel(dds, G2, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
+
+    want = np.zeros(n, np.int64)
+    for v in range(n):
+        cur, acc = v, 0
+        while down[cur] >= 0:
+            nxt = down[cur]
+            ra, ca = cur // G2.cols, cur % G2.cols
+            rb, cb = nxt // G2.cols, nxt % G2.cols
+            acc += _HOP_DIAG if (ra != rb and ca != cb) else _HOP_STRAIGHT
+            cur = nxt
+        want[v] = acc
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(),
+                                  np.arange(n, dtype=np.int64))
+    np.testing.assert_array_equal(got["len_units"].to_numpy(), want)

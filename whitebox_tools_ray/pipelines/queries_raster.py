@@ -1311,3 +1311,17 @@ def extract_streams(sf_dir: str):
         down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
     return acc.map_batches(
         lambda df: df[df["acc"] >= STREAM_ACC_T], batch_format="pandas")
+
+
+@query("downslope_flowpath_length")
+def downslope_flowpath_length(sf_dir: str):
+    """DownslopeFlowpathLength (hydro_analysis/downslope_flowpath_length.rs):
+    D8 path distance from every cell to its outlet, fixed-point units
+    (2^20 per cell, diagonals sqrt 2) — memoized chain walks on shard actors
+    (stages/pregel.flowpath_length_pregel). Rows-only; dense walk oracle in
+    tests. Output: (cell_id, len_units)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flowpath_length_pregel
+
+    return flowpath_length_pregel(
+        down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)

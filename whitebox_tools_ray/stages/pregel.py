@@ -289,6 +289,79 @@ class FlowShard:
     def fd8_unresolved(self) -> int:
         return len(self.fd8_pending)
 
+    # ---- downslope flowpath length ---------------------------------------
+    # downslope_flowpath_length.rs: distance along the D8 path to the outlet.
+    # Chain walk with per-cell memoized (remaining fixed-point distance,
+    # exit cell) — dist(v) = dist within shard + dist(exit); probes carry
+    # (origin, accumulated units).
+    def fl_len_init(self):
+        self.fplen: dict[int, int] = {}
+        self.fl_memo: dict[int, tuple[int, int, bool]] = {}  # cell -> (units_to_dest, dest, resolved)
+        return self._fl_len_walk([(c, c, 0) for c in self.down])
+
+    def fl_len_round(self, msgs: list[np.ndarray]):
+        probes = []
+        for arr in msgs:
+            probes.extend((int(a), int(b), int(u)) for a, b, u in arr.reshape(-1, 3))
+        return self._fl_len_walk(probes)
+
+    def _fl_len_walk(self, probes):
+        from .pregel import _hop_units
+
+        out: dict[int, list] = {}
+        for cur, origin, acc_units in probes:
+            path = []      # cells along the walk
+            hops = []      # cumulative units BEFORE each path cell
+            walked = 0
+            while True:
+                if cur in self.fl_memo:
+                    rem, dest, ok = self.fl_memo[cur]
+                    break
+                path.append(cur)
+                hops.append(walked)
+                nxt = self.down.get(cur, -1)
+                if nxt < 0:
+                    rem, dest, ok = 0, cur, True
+                    break
+                h = _hop_units(cur, nxt, self.cols)
+                walked += h
+                if self._shard(nxt) != self._shard(cur) or nxt not in self.down:
+                    rem, dest, ok = 0, nxt, False
+                    break
+                cur = nxt
+            for cell, pre in zip(path, hops):
+                # units from this cell to the dest boundary: remaining walk
+                # within this visit plus whatever the memo hit already knew
+                self.fl_memo[cell] = ((walked - pre) + rem, dest, ok)
+            first_rem = self.fl_memo[path[0]][0] if path else rem
+            if ok:
+                self.fplen[origin] = acc_units + first_rem
+            else:
+                out.setdefault(self._shard(dest), []).append(
+                    (dest, origin, acc_units + first_rem))
+        return {s: np.asarray(v, np.int64).reshape(-1, 3)
+                for s, v in out.items()}
+
+    def fl_len_resolve(self, msgs: list[np.ndarray]) -> int:
+        n = 0
+        for arr in msgs:
+            for origin, units in arr.reshape(-1, 2):
+                self.fplen[int(origin)] = int(units)
+                n += 1
+        return n
+
+    def fl_len_homeless(self):
+        out: dict[int, list] = {}
+        for origin, units in list(self.fplen.items()):
+            if origin not in self.down:
+                out.setdefault(self._shard(origin), []).append((origin, units))
+                del self.fplen[origin]
+        return {s: np.asarray(v, np.int64) for s, v in out.items()}
+
+    def fl_len_result(self) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": np.fromiter(self.fplen.keys(), np.int64),
+                             "len_units": np.fromiter(self.fplen.values(), np.int64)})
+
     # ---- basins (outlet labelling) --------------------------------------
     def bas_init(self):
         self.basin: dict[int, int] = {}
@@ -574,12 +647,19 @@ def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
 
     def push(g: pd.DataFrame) -> pd.DataFrame:
         sid = int(g["shard"].iloc[0])
+        # guard a silent footgun: a tile column computed against a
+        # DIFFERENT GridSpec mis-routes cells to shards the actors will not
+        # look in, truncating walks without any error
+        want = _tile_of(g["cell_id"].to_numpy(np.int64), grid, tile)
+        assert ((want % int(g["n_shards_const"].iloc[0])) == sid).all(), \
+            "down_ds tile column disagrees with the Pregel grid/tile spec"
         actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
         ray.get(actor.load.remote(g[["cell_id", "down_id"]]))
         return pd.DataFrame({"n": [len(g)]})
 
     tagged = down_ds.map_batches(
-        lambda df: df.assign(shard=(df["tile"].to_numpy(np.int64) % n_shards)),
+        lambda df: df.assign(shard=(df["tile"].to_numpy(np.int64) % n_shards),
+                             n_shards_const=np.int64(n_shards)),
         batch_format="pandas")
     tagged.groupby("shard").map_groups(push, batch_format="pandas").count()
     return shards, prefix
@@ -840,6 +920,45 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
         if left:
             raise RuntimeError(f"dinf left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
+    finally:
+        _teardown(shards)
+
+
+# D8 hop length in 2^20 fixed-point units (diagonals = sqrt(2))
+_HOP_STRAIGHT = 1 << 20
+_HOP_DIAG = int(np.floor(1.4142135623730951 * (1 << 20) + 0.5))
+
+
+def _hop_units(a: int, b: int, cols: int) -> int:
+    ra, ca = a // cols, a % cols
+    rb, cb = b // cols, b % cols
+    return _HOP_DIAG if (ra != rb and ca != cb) else _HOP_STRAIGHT
+
+
+def flowpath_length_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                           tile: int = 64, n_shards: int = 8,
+                           max_rounds: int = 256) -> ray.data.Dataset:
+    """Dataset (cell_id, len_units): downslope flowpath length
+    (hydro_analysis/downslope_flowpath_length.rs) — fixed-point D8 path
+    distance (2^20 units per cell, diagonals sqrt 2) from every cell to its
+    outlet. Memoized chain walks like basins, probes carry accumulated
+    distance."""
+    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        outs = ray.get([s.fl_len_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.fl_len_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("flowpath length did not converge")
+        homeless = ray.get([s.fl_len_homeless.remote() for s in shards])
+        inboxes = _route(homeless, n_shards)
+        ray.get([s.fl_len_resolve.remote(inboxes[i]) for i, s in enumerate(shards)])
+        refs = [s.fl_len_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
     finally:
         _teardown(shards)
