@@ -485,11 +485,11 @@ _D8_CASE = "CASE b.code " + " ".join(
 _GRAPH_CTES = f"""
     {_CELLS_CTE},
     slopes AS ({_D8_SLOPES}),
-    best AS (
+    best AS MATERIALIZED (
       SELECT cell_id, code FROM slopes WHERE slope > 0
       QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY slope DESC, i ASC) = 1
     ),
-    graph AS (
+    graph AS MATERIALIZED (
       SELECT c.cell_id, CAST({_D8_CASE} AS BIGINT) AS down_id
       FROM cells c LEFT JOIN best b ON b.cell_id = c.cell_id
     )
