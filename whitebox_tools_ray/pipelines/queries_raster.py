@@ -78,9 +78,9 @@ def raster_minmax3x3(sf_dir: str):
 
     return stencil_3x3(tiles, GRID1, kern).map_batches(
         lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
-                                 "vmin9": df["vmin9"].astype(np.float64),
-                                 "vmax9": df["vmax9"].astype(np.float64),
-                                 "vrange9": df["vrange9"].astype(np.float64)}),
+                                 "vmin9": df["vmin9"].astype(np.int64),
+                                 "vmax9": df["vmax9"].astype(np.int64),
+                                 "vrange9": df["vrange9"].astype(np.int64)}),
         batch_format="pandas")
 
 
@@ -157,7 +157,7 @@ def raster_median3x3(sf_dir: str):
 
     return stencil_3x3(tiles, GRID1, kern).map_batches(
         lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
-                                 "vmed9": df["vmed9"].astype(np.float64),
+                                 "vmed9": df["vmed9"].astype(np.int64),
                                  "n9": df["n9"].astype(np.int64)}),
         batch_format="pandas")
 

@@ -871,11 +871,18 @@ def pip_pairs_10k_shuffle(sf_dir: str):
 
     parts = parts_table()
     # explode parts to covered cells (driver prep over 12k rows)
-    gx0 = np.floor((parts["xmin"].to_numpy() + 180.0) / PIP10K_CELL).astype(np.int64)
-    gx1 = np.floor((parts["xmax"].to_numpy() + 180.0) / PIP10K_CELL).astype(np.int64)
-    gy0 = np.floor((parts["ymin"].to_numpy() + 85.0) / PIP10K_CELL).astype(np.int64)
-    gy1 = np.floor((parts["ymax"].to_numpy() + 85.0) / PIP10K_CELL).astype(np.int64)
     ncx = int(np.ceil(360.0 / PIP10K_CELL))
+    ncy = int(np.ceil(170.0 / PIP10K_CELL))
+    # clip bbox cells into the grid so part bboxes past x=+-180 / y=+-85
+    # can't alias into a neighbouring row's cell id (round-2 ADVICE)
+    gx0 = np.clip(np.floor((parts["xmin"].to_numpy() + 180.0) / PIP10K_CELL),
+                  0, ncx - 1).astype(np.int64)
+    gx1 = np.clip(np.floor((parts["xmax"].to_numpy() + 180.0) / PIP10K_CELL),
+                  0, ncx - 1).astype(np.int64)
+    gy0 = np.clip(np.floor((parts["ymin"].to_numpy() + 85.0) / PIP10K_CELL),
+                  0, ncy - 1).astype(np.int64)
+    gy1 = np.clip(np.floor((parts["ymax"].to_numpy() + 85.0) / PIP10K_CELL),
+                  0, ncy - 1).astype(np.int64)
     reps = []
     for r, (a, b, c, d) in enumerate(zip(gx0, gx1, gy0, gy1)):
         for yy in range(c, d + 1):

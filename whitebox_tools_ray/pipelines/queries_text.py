@@ -409,9 +409,12 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     return cand.map_batches(verify, batch_format="pandas")
 
 
-_NGRAM_JACCARD_SQL = """
+_NGRAM_JACCARD_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+  -- any-whitespace split, empties dropped: matches Python str.split()
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+  FROM documents
 ),
 padded AS (
   SELECT doc_id, source,

@@ -87,11 +87,17 @@ def fnv_tokens_cte(source_cte: str = "documents") -> str:
     """
     step_h = mul64(xor64("h", "CAST(ord(substr(t.tok, f.i + 1, 1)) AS UBIGINT)"),
                    "1099511628211")
-    return f"""
+    # any-whitespace split with empty-token filtering + renumbering, matching
+    # Python str.split() exactly (string_split(text, ' ') would keep empty
+    # tokens on consecutive spaces and miss tabs/newlines — round-2 ADVICE)
+    return rf"""
     tok_rows AS MATERIALIZED (
-      SELECT doc_id, CAST(r.i AS BIGINT) AS pos, ts[CAST(r.i AS INT)] AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {source_cte}),
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY r.i) AS BIGINT) AS pos,
+             ts[CAST(r.i AS INT)] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM {source_cte}),
            UNNEST(range(1, len(ts) + 1)) r(i)
+      WHERE ts[CAST(r.i AS INT)] <> ''
     ),
     toks AS (SELECT DISTINCT tok FROM tok_rows),
     fnv_iter(tok, i, h) AS (
