@@ -373,3 +373,4 @@ from . import queries_more  # noqa: E402,F401
 from . import queries_overlay  # noqa: E402,F401
 from . import queries_filters  # noqa: E402,F401
 from . import queries_filters2  # noqa: E402,F401
+from . import queries_hydro2  # noqa: E402,F401

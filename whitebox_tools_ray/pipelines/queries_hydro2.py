@@ -1,0 +1,198 @@
+"""Round-3 hydro/stream additions composing the Pregel shard machinery:
+MaxUpslopeFlowpath, DownslopeDistanceToStream, ElevationAboveStream,
+stream link length. All integer-exact (fixed-point hop units, integer
+synthetic surface) with recursive-CTE walk oracles sharing the D8 graph
+CTEs of queries_raster."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..hydrodefs import STREAM_ACC_T, _GRAPH_CTES, _WALK_UNITS_CTE
+from ..layers import GRID1
+from ..rasterdefs import _value_fn
+from .queries import query
+
+
+def _d8_pointer(sf_dir: str):
+    # lazy: queries_raster must not be imported at module scope (cycle via
+    # pipelines.queries when a worker deserializes a closure from here)
+    from .queries_raster import d8_pointer
+
+    return d8_pointer(sf_dir)
+
+# acc + stream mask CTEs (shared by the to-stream family; same construction
+# as the stream_link_id oracle)
+_STREAM_CTES = f"""
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    stream AS MATERIALIZED (SELECT cell_id FROM acc WHERE acc >= {STREAM_ACC_T}),
+    -- pointer table CUT at stream cells, exactly like the Python side; a
+    -- NOT EXISTS inside the recursive term is unreliable in DuckDB 1.0 (the
+    -- stop condition silently drops under some outer-query plans)
+    graph2 AS MATERIALIZED (
+      SELECT g.cell_id, CASE WHEN s.cell_id IS NOT NULL THEN CAST(-1 AS BIGINT)
+                             ELSE g.down_id END AS down_id
+      FROM graph g LEFT JOIN stream s ON s.cell_id = g.cell_id
+    ),
+    walk2(start, cur, units) AS (
+      SELECT cell_id, cell_id, CAST(0 AS BIGINT) FROM graph2
+      UNION ALL
+      SELECT w.start, g.down_id,
+             w.units + CASE WHEN (w.cur // {GRID1.cols}) <> (g.down_id // {GRID1.cols})
+                    AND (w.cur % {GRID1.cols}) <> (g.down_id % {GRID1.cols})
+                    THEN {int(np.floor(1.4142135623730951 * (1 << 20) + 0.5))}
+                    ELSE {1 << 20} END
+      FROM walk2 w JOIN graph2 g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    )
+"""
+
+
+@query(
+    "max_upslope_flowpath",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_WALK_UNITS_CTE}
+    SELECT cur AS cell_id, MAX(units) AS muf_units
+    FROM walku GROUP BY cur
+    """,
+)
+def max_upslope_flowpath(sf_dir: str):
+    """MaxUpslopeFlowpathLength (hydro_analysis/max_upslope_flowpath.rs):
+    longest D8 flowpath draining through each cell, fixed-point units —
+    the Strahler-style in-degree topological wave in the (max, +) semiring
+    (stages/pregel.max_upslope_pregel); sources report 0."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import max_upslope_pregel
+
+    return max_upslope_pregel(down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
+
+
+def _stream_cut_graphs(sf_dir: str):
+    """(modified down_ds, stream ids ref): the D8 pointer table with stream
+    cells (accumulation >= STREAM_ACC_T) converted to terminals — the shared
+    prep for the to-stream distance/elevation family."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
+
+    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).materialize()
+    acc = flow_accumulation_pregel(dds, GRID1)
+    scells = acc.map_batches(
+        lambda df: pd.DataFrame({"k": df.loc[df["acc"] >= STREAM_ACC_T, "cell_id"]
+                                 .to_numpy(np.int64)}),
+        batch_format="pandas").to_pandas()
+    stream_set = np.sort(scells["k"].to_numpy(np.int64))
+    sref = ray.put(stream_set)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ss = _cached_get(sref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        if len(ss):
+            pos = np.minimum(np.searchsorted(ss, cid), len(ss) - 1)
+            is_stream = ss[pos] == cid
+        else:
+            is_stream = np.zeros(len(cid), bool)
+        return pd.DataFrame({
+            "cell_id": cid,
+            "down_id": np.where(is_stream, np.int64(-1),
+                                df["down_id"].to_numpy(np.int64)),
+            "tile": df["tile"].to_numpy(np.int64)})
+
+    return dds.map_batches(cut, batch_format="pandas"), sref
+
+
+def _dest_in_stream(cut_ds, sref):
+    """basins over the cut graph -> (cell_id, dest) rows whose chain ends at
+    a stream cell (others drain to a plain outlet -> reference nodata)."""
+    from ..stages.pregel import basins_pregel
+
+    dest = basins_pregel(cut_ds, GRID1)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ss = _cached_get(sref)
+        d = df["basin"].to_numpy(np.int64)
+        if len(ss):
+            pos = np.minimum(np.searchsorted(ss, d), len(ss) - 1)
+            ok = ss[pos] == d
+        else:
+            ok = np.zeros(len(d), bool)
+        return pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64)[ok],
+                             "dest": d[ok]})
+
+    return dest.map_batches(keep, batch_format="pandas")
+
+
+@query(
+    "downslope_distance_to_stream",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES}
+    SELECT w.start AS cell_id, CAST(w.units AS BIGINT) AS dist_units
+    FROM walk2 w JOIN stream s ON s.cell_id = w.cur
+    """,
+)
+def downslope_distance_to_stream(sf_dir: str):
+    """DownslopeDistanceToStream (hydro_analysis/downslope_distance_to_stream
+    .rs): D8 path distance to the first stream cell (accumulation >=
+    STREAM_ACC_T) downstream; stream cells report 0; cells draining to a
+    non-stream outlet are nodata (absent). Composition: accumulation Pregel
+    -> cut pointer table at stream cells -> flowpath-length + basins Pregel
+    -> keep chains whose terminal is a stream cell."""
+    from ..stages.pregel import flowpath_length_pregel
+
+    cut_ds, sref = _stream_cut_graphs(sf_dir)
+    cut_ds = cut_ds.materialize()
+    lens = flowpath_length_pregel(cut_ds, GRID1)
+    keep = _dest_in_stream(cut_ds, sref)
+    j = lens.join(keep, join_type="inner", num_partitions=8, on=("cell_id",))
+    return j.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "dist_units": df["len_units"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "elevation_above_stream",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES}
+    SELECT w.start AS cell_id, CAST(cz.v - sz.v AS BIGINT) AS ediff
+    FROM walk2 w JOIN stream s ON s.cell_id = w.cur
+    JOIN cells cz ON cz.cell_id = w.start
+    JOIN cells sz ON sz.cell_id = w.cur
+    """,
+)
+def elevation_above_stream(sf_dir: str):
+    """ElevationAboveStream (hydro_analysis/elevation_above_stream.rs):
+    elevation difference to the stream cell each cell drains to (integer
+    surface, exact); stream cells report 0, chains ending at non-stream
+    outlets are nodata (absent). Shares the cut-graph prep with
+    downslope_distance_to_stream."""
+    cut_ds, sref = _stream_cut_graphs(sf_dir)
+    keep = _dest_in_stream(cut_ds.materialize(), sref)
+
+    def ediff(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        dest = df["dest"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": cid,
+            "ediff": _value_fn(cid).astype(np.int64)
+            - _value_fn(dest).astype(np.int64)})
+
+    return keep.map_batches(ediff, batch_format="pandas")

@@ -415,21 +415,17 @@ def euclidean_distance(sf_dir: str):
     return tiles.map_batches(dist_tile, batch_format="pandas")
 
 
-# D8 neighbour order (d8_pointer.rs:252-253): NE,E,SE,S,SW,W,NW,N
-_D8_DX = (1, 1, 1, 0, -1, -1, -1, 0)
-_D8_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
-
-
-def _d8_len(i: int) -> float:
-    diag = float(np.sqrt(GRID1.res_x * GRID1.res_x + GRID1.res_y * GRID1.res_y))
-    return [diag, GRID1.res_x, diag, GRID1.res_y, diag, GRID1.res_x, diag, GRID1.res_y][i]
-
-
-_D8_SLOPES = " UNION ALL ".join(
-    f"SELECT a.cell_id, {i} AS i, CAST({1 << i} AS BIGINT) AS code, "
-    f"(a.v - b.v) / {_d8_len(i)!r} AS slope "
-    f"FROM cells a JOIN cells b ON b.r = a.r + ({_D8_DY[i]}) AND b.c = a.c + ({_D8_DX[i]})"
-    for i in range(8)
+# D8 graph SQL fragments shared with queries_hydro2 (cycle-free module)
+from ..hydrodefs import (  # noqa: E402
+    _D8_CASE,
+    _D8_DX,
+    _D8_DY,
+    _D8_SLOPES,
+    _GRAPH_CTES,
+    _WALK_UNITS_CTE,
+    _d8_len,
+    _hop_sql,
+    STREAM_ACC_T,
 )
 
 
@@ -473,27 +469,6 @@ def d8_pointer(sf_dir: str):
         lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
                                  "d8": df["d8"].astype(np.int64)}),
         batch_format="pandas")
-
-
-# D8 code -> down-cell offset, rendered into SQL (graph CTE shared by the
-# iterative flow oracles)
-_D8_CASE = "CASE b.code " + " ".join(
-    f"WHEN {1 << i} THEN c.cell_id + ({_D8_DY[i] * GRID1.cols + _D8_DX[i]})"
-    for i in range(8)
-) + " ELSE -1 END"
-
-_GRAPH_CTES = f"""
-    {_CELLS_CTE},
-    slopes AS ({_D8_SLOPES}),
-    best AS MATERIALIZED (
-      SELECT cell_id, code FROM slopes WHERE slope > 0
-      QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY slope DESC, i ASC) = 1
-    ),
-    graph AS MATERIALIZED (
-      SELECT c.cell_id, CAST({_D8_CASE} AS BIGINT) AS down_id
-      FROM cells c LEFT JOIN best b ON b.cell_id = c.cell_id
-    )
-"""
 
 
 @query(
@@ -1093,9 +1068,6 @@ def dinf_flow_accumulation(sf_dir: str):
     return dinf_accumulation_pregel(z_fn, GRID1)
 
 
-STREAM_ACC_T = 5  # stream cells: D8 accumulation >= threshold
-
-
 @query(
     "stream_link_id",
     f"""
@@ -1313,13 +1285,21 @@ def extract_streams(sf_dir: str):
         lambda df: df[df["acc"] >= STREAM_ACC_T], batch_format="pandas")
 
 
-@query("downslope_flowpath_length")
+@query(
+    "downslope_flowpath_length",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_WALK_UNITS_CTE}
+    SELECT start AS cell_id, MAX(units) AS len_units
+    FROM walku GROUP BY start
+    """,
+)
 def downslope_flowpath_length(sf_dir: str):
     """DownslopeFlowpathLength (hydro_analysis/downslope_flowpath_length.rs):
     D8 path distance from every cell to its outlet, fixed-point units
     (2^20 per cell, diagonals sqrt 2) — memoized chain walks on shard actors
-    (stages/pregel.flowpath_length_pregel). Rows-only; dense walk oracle in
-    tests. Output: (cell_id, len_units)."""
+    (stages/pregel.flowpath_length_pregel). Output: (cell_id, len_units);
+    SQL oracle walks every chain with identical integer hop units."""
     from ..stages.flow import down_ds_from_pointer
     from ..stages.pregel import flowpath_length_pregel
 

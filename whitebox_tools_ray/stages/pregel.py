@@ -626,6 +626,63 @@ class FlowShard:
     def str_unresolved(self) -> int:
         return len(self.pending)
 
+    # ---- max upslope flowpath length ------------------------------------
+    # hydro_analysis/max_upslope_flowpath.rs: muf(v) = max over inflowing
+    # neighbours u of muf(u) + hop(u, v); 0 at sources. Same in-degree
+    # topological wave as Strahler, (max, +) semiring, fixed-point units.
+    def muf_init_load(self, indeg_df: pd.DataFrame) -> int:
+        if not hasattr(self, "muf_pending"):
+            self.muf_pending: dict[int, int] = {}
+            self.muf_best: dict[int, int] = {}
+            self.muf: dict[int, int] = {}
+        for c, n in zip(indeg_df["cell_id"].astype(int),
+                        indeg_df["n_inflow"].astype(int)):
+            self.muf_pending[c] = n
+            self.muf_best[c] = 0
+        return len(indeg_df)
+
+    def muf_round(self, msgs: list[np.ndarray]):
+        inbox = []
+        for arr in msgs:
+            inbox.extend((int(a), int(b)) for a, b in arr.reshape(-1, 2))
+        return self._muf_drain(inbox)
+
+    def _muf_drain(self, inbox):
+        def recv(cell, cand):
+            if cand > self.muf_best[cell]:
+                self.muf_best[cell] = cand
+            self.muf_pending[cell] -= 1
+
+        for cell, cand in inbox:
+            recv(cell, cand)
+        queue = [c for c, p in self.muf_pending.items() if p == 0]
+        out: dict[int, list] = {}
+        while queue:
+            cell = queue.pop()
+            if cell in self.muf:
+                continue
+            v = self.muf_best[cell]
+            self.muf[cell] = v
+            del self.muf_pending[cell]
+            tgt = self.down.get(cell, -1)
+            if tgt < 0:
+                continue
+            cand = v + _hop_units(cell, tgt, self.cols)
+            if self._shard(tgt) == self._shard(cell) and tgt in self.muf_pending:
+                recv(tgt, cand)
+                if self.muf_pending[tgt] == 0:
+                    queue.append(tgt)
+            else:
+                out.setdefault(self._shard(tgt), []).append((tgt, cand))
+        return {s: np.asarray(v, np.int64) for s, v in out.items()}
+
+    def muf_result(self) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": np.fromiter(self.muf.keys(), np.int64),
+                             "muf_units": np.fromiter(self.muf.values(), np.int64)})
+
+    def muf_unresolved(self) -> int:
+        return len(self.muf_pending)
+
 
 _RUN_SEQ = [0]  # unique actor-name suffix per invocation (no Date/random)
 
@@ -716,6 +773,46 @@ def basins_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
         inboxes = _route(homeless, n_shards)
         ray.get([s.bas_resolve.remote(inboxes[i]) for i, s in enumerate(shards)])
         refs = [s.bas_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
+    finally:
+        _teardown(shards)
+
+
+def max_upslope_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                       tile: int = 64, n_shards: int = 8,
+                       max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, muf_units): maximum upslope flowpath length
+    (hydro_analysis/max_upslope_flowpath.rs) — the Strahler in-degree wave in
+    the (max, +) semiring with the fixed-point D8 hop units of
+    flowpath_length_pregel."""
+    from .flow import _indeg_state
+
+    shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        indeg = _indeg_state(down_ds, grid, tile).map_batches(
+            lambda df: df.assign(shard=df["tile"].to_numpy(np.int64) % n_shards),
+            batch_format="pandas")
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            sid = int(g["shard"].iloc[0])
+            actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
+            ray.get(actor.muf_init_load.remote(g[["cell_id", "n_inflow"]]))
+            return pd.DataFrame({"n": [len(g)]})
+
+        indeg.groupby("shard").map_groups(push, batch_format="pandas").count()
+        outs = ray.get([s.muf_round.remote([]) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.muf_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("max upslope flowpath did not converge (cycle?)")
+        left = sum(ray.get([s.muf_unresolved.remote() for s in shards]))
+        if left:
+            raise RuntimeError(f"max upslope left {left} unresolved cells")
+        refs = [s.muf_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
     finally:
         _teardown(shards)
