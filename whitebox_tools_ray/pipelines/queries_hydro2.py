@@ -115,12 +115,9 @@ def _stream_cut_graphs(sf_dir: str):
     return dds.map_batches(cut, batch_format="pandas"), sref
 
 
-def _dest_in_stream(cut_ds, sref):
-    """basins over the cut graph -> (cell_id, dest) rows whose chain ends at
-    a stream cell (others drain to a plain outlet -> reference nodata)."""
-    from ..stages.pregel import basins_pregel
-
-    dest = basins_pregel(cut_ds, GRID1)
+def _dest_in_stream(dest, sref):
+    """(cell_id, dest) rows of a basins result whose chain ends at a stream
+    cell (others drain to a plain outlet -> reference nodata)."""
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
@@ -154,12 +151,13 @@ def downslope_distance_to_stream(sf_dir: str):
     non-stream outlet are nodata (absent). Composition: accumulation Pregel
     -> cut pointer table at stream cells -> flowpath-length + basins Pregel
     -> keep chains whose terminal is a stream cell."""
-    from ..stages.pregel import flowpath_length_pregel
+    from ..stages.pregel import ShardedGraph
 
     cut_ds, sref = _stream_cut_graphs(sf_dir)
-    cut_ds = cut_ds.materialize()
-    lens = flowpath_length_pregel(cut_ds, GRID1)
-    keep = _dest_in_stream(cut_ds, sref)
+    with ShardedGraph(cut_ds.materialize(), GRID1) as g:
+        # one spawn+load serves both algorithms over the cut graph
+        lens = g.flowpath_length()
+        keep = _dest_in_stream(g.basins(), sref)
     j = lens.join(keep, join_type="inner", num_partitions=8, on=("cell_id",))
     return j.map_batches(
         lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
@@ -184,8 +182,10 @@ def elevation_above_stream(sf_dir: str):
     surface, exact); stream cells report 0, chains ending at non-stream
     outlets are nodata (absent). Shares the cut-graph prep with
     downslope_distance_to_stream."""
+    from ..stages.pregel import basins_pregel
+
     cut_ds, sref = _stream_cut_graphs(sf_dir)
-    keep = _dest_in_stream(cut_ds.materialize(), sref)
+    keep = _dest_in_stream(basins_pregel(cut_ds.materialize(), GRID1), sref)
 
     def ediff(df: pd.DataFrame) -> pd.DataFrame:
         cid = df["cell_id"].to_numpy(np.int64)

@@ -40,14 +40,27 @@ def _tile_of(cid: np.ndarray, grid: GridSpec, tile: int) -> np.ndarray:
 
 @ray.remote
 class FlowShard:
-    """One shard = many tiles. Holds pointer + per-cell algorithm state."""
+    """One shard = many tiles. Holds pointer + per-cell algorithm state.
+
+    Round-3 rework: shard state is DENSE numpy (sorted cell array + aligned
+    columns) instead of dict[int, int]; drains/walks are vectorized waves /
+    one-time pointer-doubling tables instead of per-cell Python while loops
+    (round-2 VERDICT item 3 — dict walks capped throughput at ~0.7M cells/s).
+    The scalar wave algorithms (Strahler, Dijkstra, priority-flood) keep
+    their loops but read pre-batched surface arrays instead of one-element
+    z_fn calls."""
 
     def __init__(self, grid_dims: tuple[int, int], tile: int, n_shards: int):
         self.rows, self.cols = grid_dims
         self.tile = tile
         self.n_shards = n_shards
-        self.down: dict[int, int] = {}
         self.tcols = -(-self.cols // tile)
+        self._frames: list[pd.DataFrame] = []
+        self.cells_arr: np.ndarray | None = None  # sorted local cell ids
+        self.down_arr: np.ndarray | None = None   # aligned down cell ids
+        self.down_loc: np.ndarray | None = None   # -2 terminal, -1 remote, else local idx
+        self._res = None                          # (U, D, OK) doubling tables
+        self._down_dict: dict[int, int] | None = None
 
     def _tile(self, cid: int) -> int:
         return (cid // self.cols // self.tile) * self.tcols \
@@ -56,53 +69,205 @@ class FlowShard:
     def _shard(self, cid: int) -> int:
         return self._tile(cid) % self.n_shards
 
+    def _vec_shard(self, cid: np.ndarray) -> np.ndarray:
+        return ((cid // self.cols // self.tile) * self.tcols
+                + (cid % self.cols // self.tile)) % self.n_shards
+
+    def _vec_hops(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        diag = (a // self.cols != b // self.cols) & (a % self.cols != b % self.cols)
+        return np.where(diag, _HOP_DIAG, _HOP_STRAIGHT).astype(np.int64)
+
     def load(self, df: pd.DataFrame) -> int:
-        self.down.update(zip(df["cell_id"].astype(int), df["down_id"].astype(int)))
-        return len(df)
+        return self.load_arrays(df["cell_id"].to_numpy(np.int64),
+                                df["down_id"].to_numpy(np.int64))
+
+    def load_arrays(self, cells: np.ndarray, downs: np.ndarray) -> int:
+        self._frames.append(pd.DataFrame({"cell_id": cells, "down_id": downs}))
+        self.cells_arr = None  # invalidate
+        self._res = None
+        self._down_dict = None
+        self._topo = None
+        return len(cells)
+
+    def reset(self) -> bool:
+        """Return the actor to a pristine state so the shard pool can reuse
+        the process (spawning 16 actor processes costs ~1.5 s per pregel
+        run; the pool amortizes it across queries)."""
+        self._frames = []
+        self.cells_arr = None
+        self.down_arr = None
+        self.down_loc = None
+        self._res = None
+        self._down_dict = None
+        self._topo = None
+        # hasattr-guarded algorithm state must not leak across runs
+        for attr in ("_mass_frames", "pending", "maxc", "cntm", "order",
+                     "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
+                     "fpl_parts", "bas_parts", "fd8_out", "fd8_pending",
+                     "fd8_mass", "fd8_acc", "best", "cells", "fill",
+                     "cost_fn", "z_fn", "init_mass", "fplen", "fl_memo",
+                     "basin", "memo"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return True
+
+    def _ensure(self):
+        if self.cells_arr is not None:
+            return
+        if self._frames:
+            all_df = pd.concat(self._frames)
+            cid = all_df["cell_id"].to_numpy(np.int64)
+            order = np.argsort(cid, kind="stable")
+            self.cells_arr = cid[order]
+            self.down_arr = all_df["down_id"].to_numpy(np.int64)[order]
+        else:
+            self.cells_arr = np.empty(0, np.int64)
+            self.down_arr = np.empty(0, np.int64)
+        n = len(self.cells_arr)
+        loc = np.full(n, -1, np.int64)
+        term = self.down_arr < 0
+        loc[term] = -2
+        nz = ~term
+        if nz.any():
+            pos = np.searchsorted(self.cells_arr, self.down_arr[nz])
+            pos = np.clip(pos, 0, n - 1)
+            present = self.cells_arr[pos] == self.down_arr[nz]
+            sub = np.full(nz.sum(), -1, np.int64)
+            sub[present] = pos[present]
+            loc[nz] = sub
+        self.down_loc = loc
+
+    @property
+    def down(self) -> dict[int, int]:
+        """dict view for the remaining scalar wave algorithms."""
+        if self._down_dict is None:
+            self._ensure()
+            self._down_dict = dict(zip(self.cells_arr.tolist(),
+                                       self.down_arr.tolist()))
+        return self._down_dict
+
+    def _lookup(self, cur: np.ndarray):
+        """(pos, present) of probe cells in the local sorted array."""
+        self._ensure()
+        n = len(self.cells_arr)
+        if n == 0:
+            return np.zeros(len(cur), np.int64), np.zeros(len(cur), bool)
+        pos = np.clip(np.searchsorted(self.cells_arr, cur), 0, n - 1)
+        return pos, self.cells_arr[pos] == cur
+
+    @staticmethod
+    def _group_rows(shards: np.ndarray, rows: np.ndarray) -> dict[int, np.ndarray]:
+        """Split row array by shard id — vectorized routing."""
+        if not len(rows):
+            return {}
+        order = np.argsort(shards, kind="stable")
+        ss = shards[order]
+        rows = rows[order]
+        bounds = np.flatnonzero(np.diff(ss)) + 1
+        starts = np.concatenate([[0], bounds])
+        return {int(ss[st]): part
+                for st, part in zip(starts, np.split(rows, bounds))}
 
     # ---- flow accumulation ----------------------------------------------
     def acc_load_masses(self, df: pd.DataFrame) -> int:
         """Custom initial masses (e.g. Shreve: 1 at in-degree-0 cells)."""
-        if not hasattr(self, "init_mass"):
-            self.init_mass: dict[int, int] = {}
-        self.init_mass.update(zip(df["cell_id"].astype(int),
-                                  df["mass"].astype(int)))
+        if not hasattr(self, "_mass_frames"):
+            self._mass_frames: list[pd.DataFrame] = []
+        self._mass_frames.append(pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "mass": df["mass"].to_numpy(np.int64)}))
         return len(df)
 
     def acc_init(self):
-        self.acc: dict[int, int] = {}
-        if hasattr(self, "init_mass"):
-            return self._acc_drain({c: m for c, m in self.init_mass.items() if m})
-        # default: every local cell injects mass 1; drain immediately
-        return self._acc_drain({c: 1 for c in self.down})
+        self._ensure()
+        self.acc_arr = np.zeros(len(self.cells_arr), np.int64)
+        self.acc_extra: dict[int, int] = {}
+        if hasattr(self, "_mass_frames"):
+            mdf = pd.concat(self._mass_frames)
+            cells = mdf["cell_id"].to_numpy(np.int64)
+            mass = mdf["mass"].to_numpy(np.int64)
+            keep = mass != 0
+            return self._acc_apply(cells[keep], mass[keep])
+        return self._acc_apply(self.cells_arr,
+                               np.ones(len(self.cells_arr), np.int64))
 
     def acc_round(self, msgs: list[np.ndarray]):
-        inbox: dict[int, int] = {}
-        for arr in msgs:
-            for cell, mass in arr.reshape(-1, 2):
-                inbox[int(cell)] = inbox.get(int(cell), 0) + int(mass)
-        return self._acc_drain(inbox)
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 2) for a in msgs])
+        else:
+            arr = np.empty((0, 2), np.int64)
+        return self._acc_apply(arr[:, 0], arr[:, 1])
 
-    def _acc_drain(self, inbox: dict[int, int]):
-        out: dict[int, dict[int, int]] = {}
-        for cell, mass in inbox.items():
-            cur, m = cell, mass
-            while True:
-                self.acc[cur] = self.acc.get(cur, 0) + m
-                nxt = self.down.get(cur, -1)
-                if nxt < 0:
-                    break
-                if self._shard(nxt) != self._shard(cur) or nxt not in self.down:
-                    d = out.setdefault(self._shard(nxt), {})
-                    d[nxt] = d.get(nxt, 0) + m
-                    break
-                cur = nxt
-        return {s: np.array([[c, m] for c, m in d.items()], np.int64)
-                for s, d in out.items()}
+    def _ensure_levels(self):
+        """Within-shard topological level order (Kahn by waves), computed
+        once: drains then process whole levels with scatter-adds — O(n) per
+        drain, no per-hop sorting."""
+        if getattr(self, "_topo", None) is not None:
+            return
+        self._ensure()
+        n = len(self.cells_arr)
+        indeg = np.zeros(n, np.int64)
+        t = self.down_loc[self.down_loc >= 0]
+        np.add.at(indeg, t, 1)
+        frontier = np.flatnonzero(indeg == 0)
+        parts = []
+        while len(frontier):
+            parts.append(frontier)
+            t = self.down_loc[frontier]
+            t = t[t >= 0]
+            uniq, cnt = np.unique(t, return_counts=True)
+            indeg[uniq] -= cnt
+            frontier = uniq[indeg[uniq] == 0]
+        self._topo = (np.concatenate(parts) if parts else np.empty(0, np.int64),
+                      np.cumsum([0] + [len(p) for p in parts]))
+
+    def _acc_apply(self, cells: np.ndarray, mass: np.ndarray):
+        """Level-ordered mass drain: delta flows down one topological level
+        at a time via scatter-adds into a dense per-shard buffer."""
+        self._ensure_levels()
+        pos, present = self._lookup(cells)
+        for c, m in zip(cells[~present].tolist(), mass[~present].tolist()):
+            self.acc_extra[c] = self.acc_extra.get(c, 0) + m
+        n = len(self.cells_arr)
+        if n == 0:
+            return {}
+        delta = np.zeros(n, np.int64)
+        np.add.at(delta, pos[present], mass[present])
+        order, bounds = self._topo
+        out_cells: list[np.ndarray] = []
+        out_mass: list[np.ndarray] = []
+        for li in range(len(bounds) - 1):
+            lvl = order[bounds[li]:bounds[li + 1]]
+            val = delta[lvl]
+            self.acc_arr[lvl] += val
+            nxt = self.down_loc[lvl]
+            lm = nxt >= 0
+            np.add.at(delta, nxt[lm], val[lm])
+            ext = (nxt == -1) & (val > 0)
+            if ext.any():
+                out_cells.append(self.down_arr[lvl[ext]])
+                out_mass.append(val[ext])
+        if not out_cells:
+            return {}
+        oc = np.concatenate(out_cells)
+        om = np.concatenate(out_mass)
+        uniq, inv = np.unique(oc, return_inverse=True)
+        mm = np.zeros(len(uniq), np.int64)
+        np.add.at(mm, inv, om)
+        rows = np.stack([uniq, mm], axis=1)
+        return self._group_rows(self._vec_shard(uniq), rows)
 
     def acc_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": np.fromiter(self.acc.keys(), np.int64),
-                             "acc": np.fromiter(self.acc.values(), np.int64)})
+        self._ensure()
+        mask = self.acc_arr > 0
+        cells = self.cells_arr[mask]
+        acc = self.acc_arr[mask]
+        if self.acc_extra:
+            cells = np.concatenate([cells, np.fromiter(self.acc_extra.keys(),
+                                                       np.int64)])
+            acc = np.concatenate([acc, np.fromiter(self.acc_extra.values(),
+                                                   np.int64)])
+        return pd.DataFrame({"cell_id": cells, "acc": acc})
 
     # ---- FD8 multiple-flow-direction accumulation ------------------------
     # hydro_analysis/fd8_flow_accum.rs: flow disperses to EVERY downslope
@@ -153,7 +318,8 @@ class FlowShard:
         return len(self.fd8_pending)
 
     def cells_list(self):
-        return list(self.down)
+        self._ensure()
+        return self.cells_arr.tolist()
 
     # ---- D-infinity (Tarboton) accumulation ------------------------------
     # hydro_analysis/dinf_flow_accum.rs: the steepest of 8 triangular facets
@@ -291,136 +457,150 @@ class FlowShard:
 
     # ---- downslope flowpath length ---------------------------------------
     # downslope_flowpath_length.rs: distance along the D8 path to the outlet.
-    # Chain walk with per-cell memoized (remaining fixed-point distance,
-    # exit cell) — dist(v) = dist within shard + dist(exit); probes carry
-    # (origin, accumulated units).
+    # One-time pointer-doubling tables (U = units to the shard exit, D = exit
+    # cell, OK = terminal?) replace the round-2 per-probe memoized Python
+    # walks; probes resolve as pure vectorized gathers.
+    def _ensure_resolve(self):
+        if self._res is not None:
+            return
+        self._ensure()
+        n = len(self.cells_arr)
+        U = np.zeros(n, np.int64)
+        D = np.zeros(n, np.int64)
+        OK = np.zeros(n, bool)
+        J = np.full(n, -1, np.int64)
+        loc = self.down_loc
+        term = loc == -2
+        D[term] = self.cells_arr[term]
+        OK[term] = True
+        ext = loc == -1
+        D[ext] = self.down_arr[ext]
+        U[ext] = self._vec_hops(self.cells_arr[ext], self.down_arr[ext])
+        lm = loc >= 0
+        J[lm] = loc[lm]
+        U[lm] = self._vec_hops(self.cells_arr[lm], self.down_arr[lm])
+        # doubling: invariant U[i] = units from cell i to cell J[i] (or to
+        # D[i] once J[i] = -1); gathers read pre-iteration state
+        while True:
+            a = np.flatnonzero(J >= 0)
+            if not len(a):
+                break
+            t = J[a]
+            Ut, Jt, Dt, OKt = U[t], J[t], D[t], OK[t]
+            U[a] += Ut
+            done = Jt < 0
+            ad = a[done]
+            D[ad] = Dt[done]
+            OK[ad] = OKt[done]
+            J[ad] = -1
+            J[a[~done]] = Jt[~done]
+        self._res = (U, D, OK)
+
+    def _probe_resolve(self, cur: np.ndarray):
+        """(U, D, OK) for arbitrary probe cells; absent cells are terminal
+        at themselves (matches the dict walks' down.get(cur, -1))."""
+        self._ensure_resolve()
+        U, D, OK = self._res
+        if not len(self.cells_arr):
+            return (np.zeros(len(cur), np.int64), cur.copy(),
+                    np.ones(len(cur), bool))
+        pos, present = self._lookup(cur)
+        u = np.where(present, U[pos], 0)
+        d = np.where(present, D[pos], cur)
+        ok = np.where(present, OK[pos], True)
+        return u, d, ok
+
     def fl_len_init(self):
-        self.fplen: dict[int, int] = {}
-        self.fl_memo: dict[int, tuple[int, int, bool]] = {}  # cell -> (units_to_dest, dest, resolved)
-        return self._fl_len_walk([(c, c, 0) for c in self.down])
+        self._ensure()
+        self.fpl_parts: list[tuple[np.ndarray, np.ndarray]] = []
+        return self._fl_len_apply(self.cells_arr, self.cells_arr,
+                                  np.zeros(len(self.cells_arr), np.int64))
 
     def fl_len_round(self, msgs: list[np.ndarray]):
-        probes = []
-        for arr in msgs:
-            probes.extend((int(a), int(b), int(u)) for a, b, u in arr.reshape(-1, 3))
-        return self._fl_len_walk(probes)
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 3) for a in msgs])
+        else:
+            arr = np.empty((0, 3), np.int64)
+        return self._fl_len_apply(arr[:, 0], arr[:, 1], arr[:, 2])
 
-    def _fl_len_walk(self, probes):
-        from .pregel import _hop_units
-
-        out: dict[int, list] = {}
-        for cur, origin, acc_units in probes:
-            path = []      # cells along the walk
-            hops = []      # cumulative units BEFORE each path cell
-            walked = 0
-            while True:
-                if cur in self.fl_memo:
-                    rem, dest, ok = self.fl_memo[cur]
-                    break
-                path.append(cur)
-                hops.append(walked)
-                nxt = self.down.get(cur, -1)
-                if nxt < 0:
-                    rem, dest, ok = 0, cur, True
-                    break
-                h = _hop_units(cur, nxt, self.cols)
-                walked += h
-                if self._shard(nxt) != self._shard(cur) or nxt not in self.down:
-                    rem, dest, ok = 0, nxt, False
-                    break
-                cur = nxt
-            for cell, pre in zip(path, hops):
-                # units from this cell to the dest boundary: remaining walk
-                # within this visit plus whatever the memo hit already knew
-                self.fl_memo[cell] = ((walked - pre) + rem, dest, ok)
-            first_rem = self.fl_memo[path[0]][0] if path else rem
-            if ok:
-                self.fplen[origin] = acc_units + first_rem
-            else:
-                out.setdefault(self._shard(dest), []).append(
-                    (dest, origin, acc_units + first_rem))
-        return {s: np.asarray(v, np.int64).reshape(-1, 3)
-                for s, v in out.items()}
+    def _fl_len_apply(self, cur, origin, acc_units):
+        u, d, ok = self._probe_resolve(cur)
+        units = acc_units + u
+        self.fpl_parts.append((origin[ok], units[ok]))
+        rows = np.stack([d[~ok], origin[~ok], units[~ok]], axis=1)
+        return self._group_rows(self._vec_shard(d[~ok]), rows)
 
     def fl_len_resolve(self, msgs: list[np.ndarray]) -> int:
         n = 0
         for arr in msgs:
-            for origin, units in arr.reshape(-1, 2):
-                self.fplen[int(origin)] = int(units)
-                n += 1
+            arr = arr.reshape(-1, 2)
+            self.fpl_parts.append((arr[:, 0], arr[:, 1]))
+            n += len(arr)
         return n
 
     def fl_len_homeless(self):
-        out: dict[int, list] = {}
-        for origin, units in list(self.fplen.items()):
-            if origin not in self.down:
-                out.setdefault(self._shard(origin), []).append((origin, units))
-                del self.fplen[origin]
-        return {s: np.asarray(v, np.int64) for s, v in out.items()}
+        origin = np.concatenate([p[0] for p in self.fpl_parts]) \
+            if self.fpl_parts else np.empty(0, np.int64)
+        units = np.concatenate([p[1] for p in self.fpl_parts]) \
+            if self.fpl_parts else np.empty(0, np.int64)
+        _, present = self._lookup(origin)
+        self.fpl_parts = [(origin[present], units[present])]
+        rows = np.stack([origin[~present], units[~present]], axis=1)
+        return self._group_rows(self._vec_shard(origin[~present]), rows)
 
     def fl_len_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": np.fromiter(self.fplen.keys(), np.int64),
-                             "len_units": np.fromiter(self.fplen.values(), np.int64)})
+        origin = np.concatenate([p[0] for p in self.fpl_parts]) \
+            if self.fpl_parts else np.empty(0, np.int64)
+        units = np.concatenate([p[1] for p in self.fpl_parts]) \
+            if self.fpl_parts else np.empty(0, np.int64)
+        return pd.DataFrame({"cell_id": origin, "len_units": units})
 
     # ---- basins (outlet labelling) --------------------------------------
+    # Same doubling tables as flowpath length; only (D, OK) are consumed.
     def bas_init(self):
-        self.basin: dict[int, int] = {}
-        # memo: cell -> (dest, resolved?) shared across probes
-        self.memo: dict[int, tuple[int, bool]] = {}
-        return self._bas_walk([(c, c) for c in self.down])
+        self._ensure()
+        self.bas_parts: list[tuple[np.ndarray, np.ndarray]] = []
+        return self._bas_apply(self.cells_arr, self.cells_arr)
 
     def bas_round(self, msgs: list[np.ndarray]):
-        probes = []
-        for arr in msgs:
-            probes.extend((int(a), int(b)) for a, b in arr.reshape(-1, 2))
-        return self._bas_walk(probes)
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 2) for a in msgs])
+        else:
+            arr = np.empty((0, 2), np.int64)
+        return self._bas_apply(arr[:, 0], arr[:, 1])
 
-    def _bas_walk(self, probes):
-        out: dict[int, list] = {}
-        for cur, origin in probes:
-            path = []
-            while True:
-                if cur in self.memo:
-                    dest, ok = self.memo[cur]
-                    break
-                path.append(cur)
-                nxt = self.down.get(cur, -1)
-                if nxt < 0:
-                    dest, ok = cur, True
-                    break
-                if self._shard(nxt) != self._shard(cur) or nxt not in self.down:
-                    dest, ok = nxt, False
-                    break
-                cur = nxt
-            for p in path:
-                self.memo[p] = (dest, ok)
-            if ok:
-                self.basin[origin] = dest
-            else:
-                out.setdefault(self._shard(dest), []).append((dest, origin))
-        return {s: np.asarray(v, np.int64) for s, v in out.items()}
+    def _bas_apply(self, cur, origin):
+        _, d, ok = self._probe_resolve(cur)
+        self.bas_parts.append((origin[ok], d[ok]))
+        rows = np.stack([d[~ok], origin[~ok]], axis=1)
+        return self._group_rows(self._vec_shard(d[~ok]), rows)
 
     def bas_resolve(self, msgs: list[np.ndarray]) -> int:
         """Deliver resolved (origin, outlet) labels home."""
         n = 0
         for arr in msgs:
-            for origin, outlet in arr.reshape(-1, 2):
-                self.basin[int(origin)] = int(outlet)
-                n += 1
+            arr = arr.reshape(-1, 2)
+            self.bas_parts.append((arr[:, 0], arr[:, 1]))
+            n += len(arr)
         return n
 
     def bas_homeless(self):
         """(origin, outlet) rows for origins NOT local to this shard."""
-        out: dict[int, list] = {}
-        for origin, outlet in list(self.basin.items()):
-            if origin not in self.down:
-                out.setdefault(self._shard(origin), []).append((origin, outlet))
-                del self.basin[origin]
-        return {s: np.asarray(v, np.int64) for s, v in out.items()}
+        origin = np.concatenate([p[0] for p in self.bas_parts]) \
+            if self.bas_parts else np.empty(0, np.int64)
+        dest = np.concatenate([p[1] for p in self.bas_parts]) \
+            if self.bas_parts else np.empty(0, np.int64)
+        _, present = self._lookup(origin)
+        self.bas_parts = [(origin[present], dest[present])]
+        rows = np.stack([origin[~present], dest[~present]], axis=1)
+        return self._group_rows(self._vec_shard(origin[~present]), rows)
 
     def bas_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": np.fromiter(self.basin.keys(), np.int64),
-                             "basin": np.fromiter(self.basin.values(), np.int64)})
+        origin = np.concatenate([p[0] for p in self.bas_parts]) \
+            if self.bas_parts else np.empty(0, np.int64)
+        dest = np.concatenate([p[1] for p in self.bas_parts]) \
+            if self.bas_parts else np.empty(0, np.int64)
+        return pd.DataFrame({"cell_id": origin, "basin": dest})
 
     # ---- cost distance ---------------------------------------------------
     def cd_load(self, cost_fn) -> int:
@@ -685,40 +865,70 @@ class FlowShard:
 
 
 _RUN_SEQ = [0]  # unique actor-name suffix per invocation (no Date/random)
+# (grid dims, tile, n_shards) -> (actors, prefix): long-lived shard pool;
+# actors reset between runs instead of respawning (spawn = ~1.5 s / run)
+_POOL: dict[tuple, tuple[list, str]] = {}
 
 
 def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
                     n_shards: int):
-    """One-time distributed load: a single groupby(shard) pushes each
-    shard's pointer rows straight from the shuffle tasks into its actor
-    (named-actor lookup from inside map_groups) — rows never visit the
-    driver."""
+    """One-time distributed load: every read batch splits its rows by shard
+    locally and pushes the slices straight into the named shard actors
+    (named-actor lookup from inside map_batches) — rows never visit the
+    driver and there is no all-to-all shuffle."""
     import os
 
-    _RUN_SEQ[0] += 1
-    prefix = f"wbt_flow_{os.getpid()}_{_RUN_SEQ[0]}"
-    shards = [FlowShard.options(name=f"{prefix}_{i}", namespace="wbt")
-              .remote((grid.rows, grid.cols), tile, n_shards)
-              for i in range(n_shards)]
-    ray.get([s.__ray_ready__.remote() for s in shards])
+    key = (grid.rows, grid.cols, tile, n_shards)
+    shards, prefix = None, ""
+    if key in _POOL:
+        cand, prefix = _POOL.pop(key)
+        try:
+            ray.get([s.reset.remote() for s in cand], timeout=10)
+            shards = cand
+        except Exception:
+            for s in cand:
+                try:
+                    ray.kill(s)
+                except Exception:
+                    pass
+    if shards is None:
+        _RUN_SEQ[0] += 1
+        prefix = f"wbt_flow_{os.getpid()}_{_RUN_SEQ[0]}"
+        shards = [FlowShard.options(name=f"{prefix}_{i}", namespace="wbt")
+                  .remote((grid.rows, grid.cols), tile, n_shards)
+                  for i in range(n_shards)]
+        ray.get([s.__ray_ready__.remote() for s in shards])
+    _POOL_KEY[id(shards)] = (key, prefix)
 
-    def push(g: pd.DataFrame) -> pd.DataFrame:
-        sid = int(g["shard"].iloc[0])
+    def push_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # no groupby shuffle: every read batch splits its rows by shard
+        # locally and pushes the slices straight into the named actors
+        # (round-3: the all-to-all sort was 70% of pregel wall time)
+        cid = df["cell_id"].to_numpy(np.int64)
         # guard a silent footgun: a tile column computed against a
         # DIFFERENT GridSpec mis-routes cells to shards the actors will not
         # look in, truncating walks without any error
-        want = _tile_of(g["cell_id"].to_numpy(np.int64), grid, tile)
-        assert ((want % int(g["n_shards_const"].iloc[0])) == sid).all(), \
+        want = _tile_of(cid, grid, tile)
+        shard = df["tile"].to_numpy(np.int64) % n_shards
+        assert ((want % n_shards) == shard).all(), \
             "down_ds tile column disagrees with the Pregel grid/tile spec"
-        actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
-        ray.get(actor.load.remote(g[["cell_id", "down_id"]]))
-        return pd.DataFrame({"n": [len(g)]})
+        order = np.argsort(shard, kind="stable")
+        ss = shard[order]
+        cid_s = cid[order]
+        down_s = df["down_id"].to_numpy(np.int64)[order]
+        bounds = np.flatnonzero(np.diff(ss)) + 1
+        starts = np.concatenate([[0], bounds]) if len(ss) else []
+        refs = []
+        for st, part in zip(starts, np.split(np.arange(len(ss)), bounds)):
+            actor = ray.get_actor(f"{prefix}_{int(ss[st])}", namespace="wbt")
+            lo, hi = part[0], part[-1] + 1
+            refs.append(actor.load_arrays.remote(
+                np.ascontiguousarray(cid_s[lo:hi]),
+                np.ascontiguousarray(down_s[lo:hi])))
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
 
-    tagged = down_ds.map_batches(
-        lambda df: df.assign(shard=(df["tile"].to_numpy(np.int64) % n_shards),
-                             n_shards_const=np.int64(n_shards)),
-        batch_format="pandas")
-    tagged.groupby("shard").map_groups(push, batch_format="pandas").count()
+    down_ds.map_batches(push_batch, batch_format="pandas").count()
     return shards, prefix
 
 
@@ -731,37 +941,56 @@ def _route(outs: list[dict[int, np.ndarray]], n_shards: int) -> list[list[np.nda
     return inboxes
 
 
+_POOL_KEY: dict[int, tuple[tuple, str]] = {}  # id(shards) -> (pool key, prefix)
+
+
 def _teardown(shards) -> None:
-    for s in shards:
-        ray.kill(s)
+    info = _POOL_KEY.pop(id(shards), None)
+    if info is None or info[0] in _POOL:
+        for s in shards:
+            ray.kill(s)
+        return
+    _POOL[info[0]] = (shards, info[1])
 
 
-def flow_accumulation_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
-                             tile: int = 64, n_shards: int = 8,
-                             max_rounds: int = 256) -> ray.data.Dataset:
-    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
-    try:
+class ShardedGraph:
+    """A loaded D8 pointer graph on the shard-actor pool: pay
+    spawn + distributed load ONCE and run several algorithms over it
+    (accumulation, basins, flowpath length). The per-algorithm pregel
+    functions below are thin one-shot wrappers; compositions like
+    downslope-distance-to-stream use this handle directly."""
+
+    def __init__(self, down_ds: ray.data.Dataset, grid: GridSpec, *,
+                 tile: int = 64, n_shards: int = 8):
+        self.shards, self.prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+        self.n_shards = n_shards
+
+    def close(self):
+        _teardown(self.shards)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def accumulation(self, max_rounds: int = 256) -> ray.data.Dataset:
+        shards = self.shards
         outs = ray.get([s.acc_init.remote() for s in shards])
         for _ in range(max_rounds):
-            inboxes = _route(outs, n_shards)
+            inboxes = _route(outs, self.n_shards)
             if not any(inboxes):
                 refs = [s.acc_result.remote() for s in shards]
                 return ray.data.from_pandas_refs(refs).materialize()
             outs = ray.get([s.acc_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("flow accumulation did not converge (cycle?)")
-    finally:
-        _teardown(shards)
 
-
-def basins_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
-                  tile: int = 64, n_shards: int = 8,
-                  max_rounds: int = 256) -> ray.data.Dataset:
-    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
-    try:
+    def basins(self, max_rounds: int = 256) -> ray.data.Dataset:
+        shards = self.shards
         outs = ray.get([s.bas_init.remote() for s in shards])
         for _ in range(max_rounds):
-            inboxes = _route(outs, n_shards)
+            inboxes = _route(outs, self.n_shards)
             if not any(inboxes):
                 break
             outs = ray.get([s.bas_round.remote(inboxes[i])
@@ -770,12 +999,42 @@ def basins_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
             raise RuntimeError("basin labeling did not converge (cycle?)")
         # send labels resolved on foreign shards back to their origin's shard
         homeless = ray.get([s.bas_homeless.remote() for s in shards])
-        inboxes = _route(homeless, n_shards)
+        inboxes = _route(homeless, self.n_shards)
         ray.get([s.bas_resolve.remote(inboxes[i]) for i, s in enumerate(shards)])
         refs = [s.bas_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
-    finally:
-        _teardown(shards)
+
+    def flowpath_length(self, max_rounds: int = 256) -> ray.data.Dataset:
+        shards = self.shards
+        outs = ray.get([s.fl_len_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, self.n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.fl_len_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("flowpath length did not converge")
+        homeless = ray.get([s.fl_len_homeless.remote() for s in shards])
+        inboxes = _route(homeless, self.n_shards)
+        ray.get([s.fl_len_resolve.remote(inboxes[i])
+                 for i, s in enumerate(shards)])
+        refs = [s.fl_len_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
+
+
+def flow_accumulation_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                             tile: int = 64, n_shards: int = 8,
+                             max_rounds: int = 256) -> ray.data.Dataset:
+    with ShardedGraph(down_ds, grid, tile=tile, n_shards=n_shards) as g:
+        return g.accumulation(max_rounds)
+
+
+def basins_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                  tile: int = 64, n_shards: int = 8,
+                  max_rounds: int = 256) -> ray.data.Dataset:
+    with ShardedGraph(down_ds, grid, tile=tile, n_shards=n_shards) as g:
+        return g.basins(max_rounds)
 
 
 def max_upslope_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
@@ -1039,23 +1298,7 @@ def flowpath_length_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
     """Dataset (cell_id, len_units): downslope flowpath length
     (hydro_analysis/downslope_flowpath_length.rs) — fixed-point D8 path
     distance (2^20 units per cell, diagonals sqrt 2) from every cell to its
-    outlet. Memoized chain walks like basins, probes carry accumulated
-    distance."""
-    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
-    try:
-        outs = ray.get([s.fl_len_init.remote() for s in shards])
-        for _ in range(max_rounds):
-            inboxes = _route(outs, n_shards)
-            if not any(inboxes):
-                break
-            outs = ray.get([s.fl_len_round.remote(inboxes[i])
-                            for i, s in enumerate(shards)])
-        else:
-            raise RuntimeError("flowpath length did not converge")
-        homeless = ray.get([s.fl_len_homeless.remote() for s in shards])
-        inboxes = _route(homeless, n_shards)
-        ray.get([s.fl_len_resolve.remote(inboxes[i]) for i, s in enumerate(shards)])
-        refs = [s.fl_len_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
-    finally:
-        _teardown(shards)
+    outlet. Doubling-table probe resolution like basins, probes carry
+    accumulated distance."""
+    with ShardedGraph(down_ds, grid, tile=tile, n_shards=n_shards) as g:
+        return g.flowpath_length(max_rounds)
