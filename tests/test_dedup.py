@@ -149,3 +149,43 @@ def test_embedding_near_dup_planted_pair(tmp_path):
     q = np.rint(m.astype(np.float64) * 10000).astype(np.int64)
     for r in got.itertuples():
         assert int(q[r.vec_a] @ q[r.vec_b]) == r.dot >= 40_000_000
+
+
+def test_simhash_banding_recall_guarantee():
+    """Two-level (band, sub-band) keys must catch EVERY pair with hamming
+    <= 7 — including a planted hamming-7 pair whose differing bits touch all
+    four of the round-2 16-bit chunks (which that scheme provably missed)."""
+    import numpy as np
+
+    from whitebox_tools_ray.functions.dedup import (
+        SIMHASH_MAX_HAMMING,
+        hamming64,
+        simhash_bucket_keys,
+    )
+
+    h1 = np.uint64(0xDEADBEEFCAFEF00D)
+    # 7 flipped bits spread over all four 16-bit chunks (bits 0,10,20,30,40,50,60)
+    flip = np.uint64(0)
+    for b in (0, 10, 20, 30, 40, 50, 60):
+        flip |= np.uint64(1) << np.uint64(b)
+    h2 = h1 ^ flip
+    assert hamming64(np.array([h1]), np.array([h2]))[0] == 7 <= SIMHASH_MAX_HAMMING
+    # old 4x16 chunking: every chunk differs -> no shared bucket
+    for c in range(4):
+        assert (int(h1) >> (16 * c)) & 0xFFFF != (int(h2) >> (16 * c)) & 0xFFFF
+    k1, k2 = simhash_bucket_keys(np.array([h1, h2], np.uint64))
+    assert set(k1) & set(k2), "two-level banding must share a bucket at hamming 7"
+
+    # exhaustive recall property: random pairs within the bound always share
+    # a key; pairs beyond it are allowed (but not required) to collide
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 2**63, 200, dtype=np.int64).view(np.uint64)
+    for h in base:
+        nbits = rng.integers(0, SIMHASH_MAX_HAMMING + 1)
+        pos = rng.choice(64, size=nbits, replace=False)
+        f = np.uint64(0)
+        for b in pos:
+            f |= np.uint64(1) << np.uint64(b)
+        other = h ^ f
+        ka, kb = simhash_bucket_keys(np.array([h, other], np.uint64))
+        assert set(ka) & set(kb), f"missed pair at hamming {nbits}"

@@ -150,6 +150,34 @@ class SimHasher:
         return out
 
 
+SIMHASH_MAX_HAMMING = 7  # two-level banding guarantees recall at <= 7
+
+
+def simhash_bucket_keys(h: np.ndarray) -> np.ndarray:
+    """(n, 64) int64 LSH bucket keys for 64-bit simhashes: two-level banding
+    (8 bands x 8 bits; for each band, the remaining 56 bits split into 8
+    sub-bands x 7 bits). A pair within hamming <= 7 leaves >= 1 band
+    untouched, and its <= 7 differing bits (all outside that band) leave
+    >= 1 of that band's 8 sub-bands untouched — so every such pair shares at
+    least one of the 64 (band, sub-band) keys: recall is GUARANTEED at the
+    reported max_hamming, unlike the round-2 4x16-bit chunking (pigeonhole
+    only to <= 3). Expected bucket population is n/2^15 per key (15 key
+    bits), so in-bucket verification stays near-linear at corpus scale."""
+    h = np.asarray(h, np.uint64)
+    keys = np.empty((len(h), 64), np.int64)
+    col = 0
+    for i in range(8):
+        band = ((h >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64)
+        low = h & ((np.uint64(1) << np.uint64(8 * i)) - np.uint64(1))
+        high = h >> np.uint64(8 * (i + 1))
+        compact = low | (high << np.uint64(8 * i))  # the other 56 bits
+        for j in range(8):
+            sub = ((compact >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.int64)
+            keys[:, col] = ((i * 8 + j) * 256 + band) * 128 + sub
+            col += 1
+    return keys
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
     # popcount via bit tricks (vectorized)
