@@ -628,21 +628,75 @@ def ann_topk_dot(sf_dir: str):
     return partial.groupby("q_id").map_groups(topk, batch_format="pandas")
 
 
-@query("ann_ivf_topk")
-def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 4):
-    """IVF-style ANN (the scale path for ann_topk_dot): k-means coarse
-    quantizer partitions the embeddings into nlist inverted lists; each query
-    probes only its nprobe nearest lists, then scores candidates with the
-    exact integer dot. Rows-only; recall-vs-brute-force oracle in
-    tests/test_ann_ivf.py. Output: q_id, vec_id, dot, rank."""
+def ann_ivf_index_dir(sf_dir: str, nlist: int) -> tuple[str, str]:
+    """(index_dir, input_sig) for the persisted IVF index of this corpus."""
+    import hashlib
+    import os
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    input_sig = (f"ivf:{os.path.realpath(emb_path)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}:nlist={nlist}")
+    digest = hashlib.sha1(input_sig.encode()).hexdigest()[:16]
+    return f"/tmp/wbt_ray_ivf_{digest}", input_sig
+
+
+def _ann_ivf_build(sf_dir: str, nlist: int) -> tuple[str, np.ndarray, dict]:
+    """Build-or-reuse the PERSISTED IVF index: embeddings hive-partitioned
+    by assigned inverted list (write_parquet partition layout) + centroid
+    matrix + manifest with per-list lineage rows. Probe-time reads then
+    touch only nprobe/nlist of the data (round-2 VERDICT item 10 — the old
+    version re-assigned every batch on every query run)."""
+    import os
+
     import ray
 
     from ..stages.kmeans import _assign, _quantize, kmeans_fit
+    from ..stages.spatial_join import _cached_get
+    from ..state.checkpoint import checkpointed_write, is_complete, read_manifest
+
+    index_dir, input_sig = ann_ivf_index_dir(sf_dir, nlist)
+    cent_path = os.path.join(index_dir, "_centroids.npy")
+    if not (is_complete(index_dir, input_sig) and os.path.exists(cent_path)):
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        cents, _ = kmeans_fit(emb, k=nlist, iters=4)
+        cents_q = _quantize(cents)
+        cref = ray.put(cents_q)
+
+        def tag(t: pa.Table) -> pa.Table:
+            m = _quantize(np.stack(t["embedding"].to_numpy(zero_copy_only=False)))
+            return t.append_column(
+                "list_id", pa.array(_assign(m, _cached_get(cref)), pa.int64()))
+
+        checkpointed_write(emb.map_batches(tag, batch_format="pyarrow"),
+                           index_dir, stage="ann_ivf_index",
+                           input_sig=input_sig, partition_col="list_id")
+        tmp = os.path.join(index_dir, "_centroids_tmp.npy")
+        np.save(tmp, cents_q)
+        os.replace(tmp, cent_path)
+    return index_dir, np.load(cent_path), read_manifest(index_dir)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 4):
+    """IVF ANN (the scale path for ann_topk_dot): k-means coarse quantizer
+    partitions the embeddings into nlist PERSISTED inverted lists (hive
+    partition dirs, built once per corpus by _ann_ivf_build); each query
+    probes its nprobe nearest lists and only THOSE partitions are read —
+    read rows scale with nprobe/nlist (asserted against the index manifest's
+    lineage rows in tests/test_ann_ivf.py). Candidates score with the exact
+    integer dot. Rows-only; recall-vs-brute-force oracle in
+    tests/test_ann_ivf.py. Output: q_id, vec_id, dot, rank."""
+    import os
+
+    import ray
+
+    from ..stages.kmeans import _quantize
+    from ..stages.spatial_join import _cached_get
+
+    index_dir, cents_q, _manifest = _ann_ivf_build(sf_dir, nlist)
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cents, _ = kmeans_fit(emb, k=nlist, iters=4)
-    cents_q = _quantize(cents)
-
     qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], ANN_NQ)),
                       batch_format="pyarrow").to_pandas()
     qmat = _quantize(np.stack(qdf["embedding"].to_numpy()))
@@ -650,15 +704,30 @@ def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 
     # probe lists per query: nprobe highest-dot centroids
     qdots = qmat @ cents_q.T
     probes = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
-    ref = ray.put((qids, qmat, cents_q, probes))
+    ref = ray.put((qids, qmat, probes))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.spatial_join import _cached_get
+    # pruned read: ONLY the union of probed partitions leaves storage
+    covered = sorted({int(l) for l in probes.ravel()})
+    parts = []
+    for l in covered:
+        pdir = os.path.join(index_dir, f"list_id={l}")
+        if os.path.isdir(pdir):
+            # ray recovers the hive column (list_id) from the leaf dir path
+            parts.append(ray.data.read_parquet(pdir))
+    if not parts:
+        return pd.DataFrame({"q_id": pd.Series([], dtype=np.int64),
+                             "vec_id": pd.Series([], dtype=np.int64),
+                             "dot": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    pruned = parts[0]
+    for p in parts[1:]:
+        pruned = pruned.union(p)
 
-        qids_, qmat_, cq, probes_ = _cached_get(ref)
-        m = _quantize(np.stack(df["embedding"].to_numpy()))
-        ids = df["vec_id"].to_numpy().astype(np.int64)
-        clusters = _assign(m, cq)
+    def score(t: pa.Table) -> pd.DataFrame:
+        qids_, qmat_, probes_ = _cached_get(ref)
+        m = _quantize(np.stack(t["embedding"].to_numpy(zero_copy_only=False)))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clusters = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         frames = []
         for qi, qid in enumerate(qids_):
             cand = np.isin(clusters, probes_[qi]) & (ids != qid)
@@ -675,7 +744,7 @@ def ann_ivf_topk(sf_dir: str, *, k: int = ANN_K, nlist: int = 16, nprobe: int = 
                                  "dot": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
-    partial = emb.map_batches(score, batch_format="pandas", batch_size=4096)
+    partial = pruned.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((df["vec_id"].to_numpy(), -df["dot"].to_numpy()))
