@@ -196,3 +196,40 @@ def elevation_above_stream(sf_dir: str):
             - _value_fn(dest).astype(np.int64)})
 
     return keep.map_batches(ediff, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Breach depressions (least-cost) — planted-pit surface
+# --------------------------------------------------------------------------
+
+BREACH_MAX_DIST = 16
+_PIT_DEPTH = 30 * 256
+
+
+def _breach_z(cells: np.ndarray) -> np.ndarray:
+    """Planted-pit DEM, scaled-integer elevations (x256 fixed point): an L1
+    cone (minimum at the grid centre) with pits sunk on a 48-cell lattice —
+    each breachable to lower ground within BREACH_MAX_DIST — plus one pit at
+    the cone minimum itself, which has NO lower ground anywhere and must
+    take the fill fallback."""
+    cells = np.asarray(cells, np.int64)
+    r = cells // GRID1.cols
+    c = cells % GRID1.cols
+    base = 4 * (np.abs(r - GRID1.rows // 2) + np.abs(c - GRID1.cols // 2)) + 40
+    z = base * 256
+    pit = ((r % 48 == 17) & (c % 48 == 29)) | \
+          ((r == GRID1.rows // 2) & (c == GRID1.cols // 2))
+    return np.where(pit, z - _PIT_DEPTH, z).astype(np.float64)
+
+
+@query("breach_depressions")
+def breach_depressions(sf_dir: str):
+    """BreachDepressionsLeastCost (hydro_analysis/breach_depressions_least_
+    cost.rs): carve least-cost breach paths from every pit to lower ground
+    (fixed-point ramp), fill-fallback for unresolvable pits — tile-parallel
+    with a max_dist halo (stages/breach.py documents the exact contract and
+    the partitioning assumption). Rows-only; full-grid brute-force oracle +
+    drainage properties in tests/test_breach.py. Output: (cell_id, z)."""
+    from ..stages.breach import breach_depressions_ds
+
+    return breach_depressions_ds(_breach_z, GRID1, max_dist=BREACH_MAX_DIST)

@@ -50,15 +50,12 @@ def synth_raster_tiles(grid: GridSpec, value_fn, *, tile: int = 64) -> ray.data.
     return ids.map_batches(gen, batch_format="numpy")
 
 
-def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
-              tile: int = 64, k: int = 1):
-    """Apply a (2k+1)x(2k+1)-neighbourhood kernel over the raster with a
-    k-cell halo exchange.
-
-    cell_kernel(padded, nr, nc) receives a (nr+2k, nc+2k) float64 array (NaN
-    outside the raster / missing halo) and returns a dict of per-cell result
-    arrays of shape (nr, nc). Output: one row per cell with cell_id + results.
-    """
+def window_exchange(tiles_ds: ray.data.Dataset, grid: GridSpec, window_fn, *,
+                    tile: int = 64, k: int = 1):
+    """k-cell halo exchange delivering each tile's padded window to
+    ``window_fn(padded, nr, nc, r0, c0) -> pd.DataFrame`` — the general
+    primitive under stencil_k; window_fn may emit arbitrary rows (e.g.
+    breach carves that modify HALO cells of neighbouring tiles)."""
     tcols = -(-grid.cols // tile)
     trows = -(-grid.rows // tile)
 
@@ -105,6 +102,22 @@ def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
             pr = ar - r0 + k
             pc = ac - c0 + k
             padded[pr:pr + frag.shape[0], pc:pc + frag.shape[1]] = frag
+        return window_fn(padded, nr, nc, r0, c0)
+
+    return frags.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+
+
+def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
+              tile: int = 64, k: int = 1):
+    """Apply a (2k+1)x(2k+1)-neighbourhood kernel over the raster with a
+    k-cell halo exchange.
+
+    cell_kernel(padded, nr, nc) receives a (nr+2k, nc+2k) float64 array (NaN
+    outside the raster / missing halo) and returns a dict of per-cell result
+    arrays of shape (nr, nc). Output: one row per cell with cell_id + results.
+    """
+
+    def window_fn(padded: np.ndarray, nr: int, nc: int, r0: int, c0: int) -> pd.DataFrame:
         res = cell_kernel(padded, nr, nc)
         rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
         out = {"cell_id": (rr.astype(np.int64) * grid.cols + cc.astype(np.int64)).ravel()}
@@ -112,7 +125,7 @@ def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
             out[key] = np.asarray(v).ravel()
         return pd.DataFrame(out)
 
-    return frags.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+    return window_exchange(tiles_ds, grid, window_fn, tile=tile, k=k)
 
 
 def stencil_3x3(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *, tile: int = 64):
