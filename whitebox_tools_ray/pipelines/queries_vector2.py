@@ -174,3 +174,147 @@ def vector_buffer_probes(sf_dir: str):
             "inside": inside.astype(np.int64).ravel()})
 
     return ids.map_batches(per_line, batch_format="numpy")
+
+
+# --------------------------------------------------------------------------
+# ContoursFromRaster — per-tile marching squares, integer-rational contract
+# --------------------------------------------------------------------------
+
+CONTOUR_L2 = 1001  # level 500.5 as 2*L: never equals a (doubled) cell value
+
+
+def _ms_case_table() -> dict[int, list[tuple[int, int]]]:
+    """Marching-squares segment table. Case bits: TL=8 TR=4 BR=2 BL=1 for
+    v >= level; edges 0=top 1=right 2=bottom 3=left. Two-crossing cases join
+    their crossed edges; the two saddle cases use a FIXED pairing (TL-high
+    saddle: (top,right)+(bottom,left); TR-high: (top,left)+(bottom,right))
+    — the deterministic disambiguation rule shared verbatim with the SQL."""
+    table: dict[int, list[tuple[int, int]]] = {}
+    for case in range(16):
+        tl, tr = case >> 3 & 1, case >> 2 & 1
+        br, bl = case >> 1 & 1, case & 1
+        crossed = [e for e, f in zip((0, 1, 2, 3),
+                                     (tl != tr, tr != br, bl != br, tl != bl)) if f]
+        if len(crossed) == 0:
+            table[case] = []
+        elif len(crossed) == 2:
+            table[case] = [tuple(crossed)]
+        else:  # saddle: all 4 edges crossed
+            table[case] = [(0, 1), (2, 3)] if tl else [(0, 3), (1, 2)]
+    return table
+
+
+_MS_TABLE = _ms_case_table()
+
+
+@query(
+    "contours_marching_squares",
+    (lambda: f"""
+    WITH {__import__('whitebox_tools_ray.rasterdefs', fromlist=['_CELLS_CTE'])._CELLS_CTE},
+    blocks AS (
+      SELECT a.cell_id AS block_id, a.v AS vtl, b.v AS vtr, c2.v AS vbl, d.v AS vbr
+      FROM cells a
+      JOIN cells b ON b.r = a.r AND b.c = a.c + 1
+      JOIN cells c2 ON c2.r = a.r + 1 AND c2.c = a.c
+      JOIN cells d ON d.r = a.r + 1 AND d.c = a.c + 1
+    ),
+    cased AS (
+      SELECT block_id, vtl, vtr, vbl, vbr,
+             (CASE WHEN 2 * vtl >= {CONTOUR_L2} THEN 8 ELSE 0 END
+            + CASE WHEN 2 * vtr >= {CONTOUR_L2} THEN 4 ELSE 0 END
+            + CASE WHEN 2 * vbr >= {CONTOUR_L2} THEN 2 ELSE 0 END
+            + CASE WHEN 2 * vbl >= {CONTOUR_L2} THEN 1 ELSE 0 END) AS cs
+      FROM blocks
+    ),
+    segtab(cs, seg_idx, e0, e1) AS (VALUES {', '.join(
+        f'({cs}, {i}, {e0}, {e1})'
+        for cs, segs in _MS_TABLE.items() for i, (e0, e1) in enumerate(segs))})
+    SELECT c.block_id, CAST(t.seg_idx AS BIGINT) AS seg_idx,
+           CAST(t.e0 AS BIGINT) AS e0, CAST(t.e1 AS BIGINT) AS e1,
+           CAST(CASE t.e0 WHEN 0 THEN {CONTOUR_L2} - 2 * vtl
+                          WHEN 1 THEN {CONTOUR_L2} - 2 * vtr
+                          WHEN 2 THEN {CONTOUR_L2} - 2 * vbl
+                          ELSE {CONTOUR_L2} - 2 * vtl END AS BIGINT) AS n0,
+           CAST(CASE t.e0 WHEN 0 THEN 2 * (vtr - vtl)
+                          WHEN 1 THEN 2 * (vbr - vtr)
+                          WHEN 2 THEN 2 * (vbr - vbl)
+                          ELSE 2 * (vbl - vtl) END AS BIGINT) AS d0,
+           CAST(CASE t.e1 WHEN 0 THEN {CONTOUR_L2} - 2 * vtl
+                          WHEN 1 THEN {CONTOUR_L2} - 2 * vtr
+                          WHEN 2 THEN {CONTOUR_L2} - 2 * vbl
+                          ELSE {CONTOUR_L2} - 2 * vtl END AS BIGINT) AS n1,
+           CAST(CASE t.e1 WHEN 0 THEN 2 * (vtr - vtl)
+                          WHEN 1 THEN 2 * (vbr - vtr)
+                          WHEN 2 THEN 2 * (vbr - vbl)
+                          ELSE 2 * (vbl - vtl) END AS BIGINT) AS d1
+    FROM cased c JOIN segtab t ON t.cs = c.cs
+    """)(),
+)
+def contours_marching_squares(sf_dir: str):
+    """ContoursFromRaster (terrain_analysis/contours_from_raster.rs): the
+    500.5 level set via per-tile marching squares over a 1-cell halo — each
+    tile emits the segments of blocks whose top-left cell it owns, so
+    cross-tile lines stitch exactly (shared edge crossings are computed from
+    the same two cell values on both sides). Vertex positions are exact
+    rationals (n/d along the crossed edge, doubled-integer arithmetic);
+    consumers interpolate floats. Saddles use the fixed rule of
+    _ms_case_table."""
+    from ..layers import GRID1
+    from ..rasterdefs import _value_fn
+    from ..stages.raster import stencil_3x3, synth_raster_tiles
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        # corner grids for blocks with TL = each own-tile cell
+        vtl = padded[1:nr + 1, 1:nc + 1]
+        vtr = padded[1:nr + 1, 2:nc + 2]
+        vbl = padded[2:nr + 2, 1:nc + 1]
+        vbr = padded[2:nr + 2, 2:nc + 2]
+        valid = ~(np.isnan(vtr) | np.isnan(vbl) | np.isnan(vbr))
+        cs = np.where(valid,
+                      (2 * vtl >= CONTOUR_L2) * 8 + (2 * vtr >= CONTOUR_L2) * 4
+                      + (2 * vbr >= CONTOUR_L2) * 2 + (2 * vbl >= CONTOUR_L2) * 1,
+                      -1)
+        return {"cs": cs, "vtl": vtl, "vtr": vtr, "vbl": vbl, "vbr": vbr}
+
+    cells = stencil_3x3(tiles, GRID1, kern)
+
+    def segs(df: pd.DataFrame) -> pd.DataFrame:
+        cs = df["cs"].to_numpy(np.float64)
+        frames = []
+        corners = {k: df[k].to_numpy(np.float64) for k in ("vtl", "vtr", "vbl", "vbr")}
+
+        def edge_nd(e: int, sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            vtl, vtr = corners["vtl"][sel], corners["vtr"][sel]
+            vbl, vbr = corners["vbl"][sel], corners["vbr"][sel]
+            if e == 0:
+                return CONTOUR_L2 - 2 * vtl, 2 * (vtr - vtl)
+            if e == 1:
+                return CONTOUR_L2 - 2 * vtr, 2 * (vbr - vtr)
+            if e == 2:
+                return CONTOUR_L2 - 2 * vbl, 2 * (vbr - vbl)
+            return CONTOUR_L2 - 2 * vtl, 2 * (vbl - vtl)
+
+        bid = df["cell_id"].to_numpy(np.int64)
+        for case, seglist in _MS_TABLE.items():
+            if not seglist:
+                continue
+            sel = np.flatnonzero(cs == case)
+            if not len(sel):
+                continue
+            for i, (e0, e1) in enumerate(seglist):
+                n0, d0 = edge_nd(e0, sel)
+                n1, d1 = edge_nd(e1, sel)
+                frames.append(pd.DataFrame({
+                    "block_id": bid[sel], "seg_idx": np.int64(i),
+                    "e0": np.int64(e0), "e1": np.int64(e1),
+                    "n0": n0.astype(np.int64), "d0": d0.astype(np.int64),
+                    "n1": n1.astype(np.int64), "d1": d1.astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({k: pd.Series([], dtype=np.int64)
+                                 for k in ("block_id", "seg_idx", "e0", "e1",
+                                           "n0", "d0", "n1", "d1")})
+        return pd.concat(frames, ignore_index=True)
+
+    return cells.map_batches(segs, batch_format="pandas")
