@@ -46,14 +46,20 @@ def _rect_ring(xmin, ymin, xmax, ymax, clockwise=True):
     return np.asarray(pts, np.float64)
 
 
-def builtin_polygons() -> PackedPolygons:
-    """The packed layer, part order = file order (drives clip semantics)."""
-    return PackedPolygons.from_features([
+def builtin_features() -> list:
+    """The raw feature list (feature_id, [(ring, is_hole), ...]) — also the
+    fixture the shapefile round-trip writes/imports."""
+    return [
         (0, [(_rect_ring(*RECT_A), False)]),
         (1, [(_rect_ring(*RECT_B), False), (_rect_ring(*HOLE_B, clockwise=False), True)]),
         (2, [(_rect_ring(*RECT_C), False)]),
         (3, [(np.asarray(PENT, np.float64), False)]),
-    ])
+    ]
+
+
+def builtin_polygons() -> PackedPolygons:
+    """The packed layer, part order = file order (drives clip semantics)."""
+    return PackedPolygons.from_features(builtin_features())
 
 
 def _rect_sql(px: str, py: str, rect) -> str:

@@ -318,3 +318,38 @@ def contours_marching_squares(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return cells.map_batches(segs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Shapefile import -> clip (end-to-end: .shp bytes -> parser -> packed layer)
+# --------------------------------------------------------------------------
+
+from ..layers import clip_keep_sql  # noqa: E402 (cycle-free)
+from ..pointdefs import PTS_CTE  # noqa: E402
+
+
+@query(
+    "shapefile_pip_clip",
+    f"WITH {PTS_CTE} SELECT event_id FROM pts WHERE {clip_keep_sql('x', 'y')}",
+)
+def shapefile_pip_clip(sf_dir: str):
+    """End-to-end shapefile import (whitebox-vector/src/shapefile/mod.rs:112):
+    the builtin polygon layer is WRITTEN as real .shp/.shx/.dbf bytes, read
+    back through the record-range-parallel importer into PackedPolygons
+    (file part order preserved), and the clip runs against the imported
+    layer — the SQL oracle classifies against the original layer
+    definitions, so any parser byte error flips the hash."""
+    import os
+
+    from ..layers import builtin_features
+    from ..sources.shapefile import packed_from_shapefile, write_shapefile
+    from ..sources.tables import read_points
+    from ..stages.spatial_join import clip_points
+
+    d = "/tmp/wbt_ray_shp_layer"
+    os.makedirs(d, exist_ok=True)
+    shp = os.path.join(d, "builtin.shp")
+    write_shapefile(shp, builtin_features())  # deterministic bytes, idempotent
+    polys = packed_from_shapefile(shp)
+    return clip_points(read_points(sf_dir, extra_cols=()), polys) \
+        .select_columns(["event_id"])
