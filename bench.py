@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "ann_topk_dot",
     "events_sessionize",
     "pip_pairs_10k_indexed",
+    "stencil_mean3x3_10x",
+    "stencil_chain_10x",
 ]
 
 
