@@ -233,3 +233,71 @@ def breach_depressions(sf_dir: str):
     from ..stages.breach import breach_depressions_ds
 
     return breach_depressions_ds(_breach_z, GRID1, max_dist=BREACH_MAX_DIST)
+
+
+_LINK_CTES = f"""
+    sgraph AS MATERIALIZED (
+      SELECT g.cell_id, g.down_id FROM graph g
+      JOIN stream s ON s.cell_id = g.cell_id
+    ),
+    s_indeg AS MATERIALIZED (
+      SELECT s.cell_id, COUNT(p.cell_id) AS n
+      FROM stream s LEFT JOIN sgraph p
+        ON p.down_id = s.cell_id
+      GROUP BY s.cell_id
+    ),
+    lgraph AS MATERIALIZED (
+      SELECT sg.cell_id,
+             CASE WHEN t.cell_id IS NOT NULL AND ti.n < 2 THEN sg.down_id
+                  ELSE -1 END AS nxt
+      FROM sgraph sg
+      LEFT JOIN stream t ON t.cell_id = sg.down_id
+      LEFT JOIN s_indeg ti ON ti.cell_id = sg.down_id
+    ),
+    chase(start, cur) AS (
+      SELECT cell_id, cell_id FROM lgraph
+      UNION ALL
+      SELECT c.start, l.nxt FROM chase c
+      JOIN lgraph l ON l.cell_id = c.cur WHERE l.nxt >= 0
+    ),
+    link AS MATERIALIZED (
+      SELECT c.start AS cell_id, c.cur AS link_id
+      FROM chase c JOIN lgraph l ON l.cell_id = c.cur
+      WHERE l.nxt < 0
+    )
+"""
+
+
+@query(
+    "subbasins",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES},
+    {_LINK_CTES}
+    SELECT w.start AS cell_id, CAST(l.link_id AS BIGINT) AS subbasin
+    FROM walk2 w
+    JOIN stream s ON s.cell_id = w.cur
+    JOIN link l ON l.cell_id = w.cur
+    """,
+)
+def subbasins(sf_dir: str):
+    """Subbasins (hydro_analysis/subbasins.rs): label every cell with the
+    stream LINK its D8 path first reaches — the drainage area of each link.
+    Pure composition of green machinery: stream_link_id (link labels on
+    stream cells) + the cut-graph basins destination of the to-stream
+    family, joined on the destination stream cell. Cells draining to a
+    non-stream outlet are nodata (absent)."""
+    from ..stages.pregel import basins_pregel
+    from .queries_raster import stream_link_id
+
+    link = stream_link_id(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"dest": df["cell_id"].to_numpy(np.int64),
+                                 "subbasin": df["link_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    cut_ds, sref = _stream_cut_graphs(sf_dir)
+    keep = _dest_in_stream(basins_pregel(cut_ds.materialize(), GRID1), sref)
+    j = keep.join(link, join_type="inner", num_partitions=8, on=("dest",))
+    return j.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "subbasin": df["subbasin"].astype(np.int64)}),
+        batch_format="pandas")
