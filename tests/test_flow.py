@@ -404,3 +404,50 @@ def test_flowpath_length_matches_bruteforce():
     np.testing.assert_array_equal(got["cell_id"].to_numpy(),
                                   np.arange(n, dtype=np.int64))
     np.testing.assert_array_equal(got["len_units"].to_numpy(), want)
+
+
+def test_dinf_hand_computed_facet():
+    """Hand-worked Tarboton facet fixture (round-2 ADVICE: the facet/weight
+    geometry was only ever checked against its own implementation). 3x3
+    grid, centre z=10; only depression through the east/north-east facet:
+    z(E)=6, z(NE)=4, all other neighbours 20. Expected: facet 0 wins with
+    s1=4, s2=2, rang=atan2(2,4), receivers E and NE split by the angle."""
+    import numpy as np
+
+    from whitebox_tools_ray.stages.pregel import FlowShard
+
+    rows = cols = 3
+    zmap = {4: 10, 5: 6, 2: 4}  # centre, E, NE
+
+    def z(cid):
+        return zmap.get(cid, 20)
+
+    got = FlowShard.dinf_targets(z, rows, cols, 4)
+    ONE = 1 << 20
+    rang = float(np.arctan2(2.0, 4.0))
+    w2 = int(np.floor(rang / (np.pi / 4.0) * ONE + 0.5))
+    w1 = ONE - w2
+    assert got == [(5, w1), (2, w2)]
+    # independent sanity: s of the winning facet beats every alternative
+    s_win = np.sqrt(4.0 ** 2 + 2.0 ** 2)
+    s_f7 = 4.0  # facet 7 clamps to rang=0, s=s1
+    assert s_win > s_f7 and 0 < w2 < ONE
+
+    # the vectorized loader path must agree exactly with the scalar helper
+    Plain = FlowShard.__ray_actor_class__  # the undecorated class
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.rows, stub.cols = rows, cols
+    stub.FD8_ONE = ONE
+    stub.DINF_FACETS = Plain.DINF_FACETS
+    stub._neighbor_z = Plain._neighbor_z.__get__(stub)
+
+    def z_vec(cids):
+        return np.array([z(int(c)) for c in np.asarray(cids).ravel()], np.int64)
+
+    e1, e2, w1v, w2v = Plain.dinf_targets_vec(stub, z_vec, np.array([4]))
+    assert (int(e1[0]), int(w1v[0])) == (5, w1)
+    assert (int(e2[0]), int(w2v[0])) == (2, w2)

@@ -457,19 +457,49 @@ def ngram_jaccard_by_source(sf_dir: str, *, threshold_num: int = 1, threshold_de
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs from an in-group shingle INVERTED INDEX (a pair
+        must share a shingle to clear any positive threshold), intersection
+        counts via one grouped count over the postings — work scales with
+        shingle co-occurrence, not with group size squared (round-2 VERDICT
+        item: the all-pairs Python loop was O(n^2) per unbounded source)."""
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "jacc_num": pd.Series([], dtype=np.int64),
+                              "jacc_den": pd.Series([], dtype=np.int64)})
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy(np.int64)
         sh = [shingle_hashes(t) for t in g["text"].to_numpy()]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(np.intersect1d(sh[i], sh[j], assume_unique=True))
-                union = len(sh[i]) + len(sh[j]) - inter
-                if union and inter * threshold_den >= threshold_num * union:
-                    rows.append((g["source"].iloc[0], int(ids[i]), int(ids[j]),
-                                 inter, union))
-        return pd.DataFrame(rows, columns=["source", "doc_a", "doc_b",
-                                           "jacc_num", "jacc_den"])
+        lens = np.array([len(s) for s in sh], np.int64)
+        if len(ids) < 2 or lens.sum() == 0:
+            return empty
+        all_sh = np.concatenate(sh)
+        all_doc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        order = np.argsort(all_sh, kind="stable")
+        s_sorted = all_sh[order]
+        d_sorted = all_doc[order]
+        bounds = np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1
+        starts = np.concatenate([[0], bounds, [len(s_sorted)]])
+        pa_list, pb_list = [], []
+        for lo, hi in zip(starts[:-1], starts[1:]):
+            if hi - lo < 2:
+                continue
+            docs = np.sort(d_sorted[lo:hi])  # shingles unique per doc
+            ia, ib = np.triu_indices(len(docs), k=1)
+            pa_list.append(docs[ia])
+            pb_list.append(docs[ib])
+        if not pa_list:
+            return empty
+        key = np.concatenate(pa_list) * len(ids) + np.concatenate(pb_list)
+        uniq, cnt = np.unique(key, return_counts=True)
+        a = uniq // len(ids)
+        b = uniq % len(ids)
+        inter = cnt.astype(np.int64)
+        union = lens[a] + lens[b] - inter
+        keep = (union > 0) & (inter * threshold_den >= threshold_num * union)
+        return pd.DataFrame({"source": g["source"].iloc[0],
+                             "doc_a": ids[a[keep]], "doc_b": ids[b[keep]],
+                             "jacc_num": inter[keep], "jacc_den": union[keep]})
 
     return ds.groupby("source").map_groups(pairs, batch_format="pandas")
 

@@ -106,7 +106,7 @@ class FlowShard:
                      "fpl_parts", "bas_parts", "fd8_out", "fd8_pending",
                      "fd8_mass", "fd8_acc", "best", "cells", "fill",
                      "cost_fn", "z_fn", "init_mass", "fplen", "fl_memo",
-                     "basin", "memo"):
+                     "basin", "memo", "_cd_costs", "_fl_zs"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return True
@@ -276,45 +276,64 @@ class FlowShard:
     # neighbour in D8 scan order — exactly conserving and order-independent.
     FD8_ONE = 1 << 20
 
+    def _neighbor_z(self, cells: np.ndarray, z_fn, offs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(z0 (n,), zn (n, len(offs)) with NaN off-grid, ncell (n, len(offs)))
+        — ONE batched z_fn call for everything (the round-2 loads called
+        z_fn one element at a time)."""
+        r = cells // self.cols
+        c = cells % self.cols
+        z0 = np.asarray(z_fn(cells), np.float64)
+        zn = np.full((len(cells), len(offs)), np.nan)
+        ncell = np.full((len(cells), len(offs)), -1, np.int64)
+        for k, (dr, dc) in enumerate(offs):
+            nr, nc = r + dr, c + dc
+            ok = (nr >= 0) & (nr < self.rows) & (nc >= 0) & (nc < self.cols)
+            u = nr * self.cols + nc
+            ncell[ok, k] = u[ok]
+            if ok.any():
+                zn[ok, k] = np.asarray(z_fn(u[ok]), np.float64)
+        return z0, zn, ncell
+
     def fd8_load(self, z_fn, exponent: float) -> int:
         self.fd8_out: dict[int, list] = {}
         self.fd8_pending: dict[int, int] = {}
         self.fd8_mass: dict[int, int] = {}
         self.fd8_acc: dict[int, int] = {}
-        zs: dict[int, int] = {}
-
-        def z(cid: int) -> int:
-            v = zs.get(cid)
-            if v is None:
-                v = int(z_fn(np.array([cid], np.int64))[0])
-                zs[cid] = v
-            return v
-
+        self._ensure()
+        cells = self.cells_arr
         offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-        for c in self.cells_list():
-            r, cc = c // self.cols, c % self.cols
-            zc = z(c)
-            downs, slopes = [], []
-            pending = 0
-            for dr, dc in offs:
-                nr, nc = r + dr, cc + dc
-                if not (0 <= nr < self.rows and 0 <= nc < self.cols):
-                    continue
-                u = nr * self.cols + nc
-                zu = z(u)
-                dist = 1.4142135623730951 if dr and dc else 1.0
-                if zu < zc:
-                    downs.append(u)
-                    slopes.append(((zc - zu) / dist) ** exponent)
-                elif zu > zc:
-                    pending += 1
-            if downs:
-                tot = sum(slopes)
-                ws = [int(np.floor(s / tot * self.FD8_ONE + 0.5)) for s in slopes[:-1]]
-                ws.append(self.FD8_ONE - sum(ws))
-                self.fd8_out[c] = list(zip(downs, ws))
-            self.fd8_pending[c] = pending
-            self.fd8_mass[c] = self.FD8_ONE  # own injection
+        dists = np.array([1.4142135623730951 if dr and dc else 1.0
+                          for dr, dc in offs])
+        z0, zn, ncell = self._neighbor_z(cells, z_fn, offs)
+        with np.errstate(invalid="ignore"):
+            down = ~np.isnan(zn) & (zn < z0[:, None])
+            pending = (~np.isnan(zn) & (zn > z0[:, None])).sum(axis=1)
+            s = np.where(down, ((z0[:, None] - zn) / dists[None, :]) ** exponent, 0.0)
+        # left-to-right sum (adding exact 0.0 for non-down slots) reproduces
+        # the scalar load's running `sum(slopes)` bit-for-bit
+        tot = np.zeros(len(cells))
+        for k in range(len(offs)):
+            tot = tot + s[:, k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(down, np.floor(s / tot[:, None] * self.FD8_ONE + 0.5), 0.0) \
+                .astype(np.int64)
+        ndowns = down.sum(axis=1)
+        # the LAST down neighbour (scan order) takes the rounding remainder
+        lastk = np.where(ndowns > 0, 7 - np.argmax(down[:, ::-1], axis=1), -1)
+        has = ndowns > 0
+        rows_i = np.flatnonzero(has)
+        wsum = w.sum(axis=1)
+        w[rows_i, lastk[has]] = self.FD8_ONE - (wsum[has] - w[rows_i, lastk[has]])
+        ci, ki = np.nonzero(down)  # cell-major, scan order — matches scalar
+        tgts = ncell[ci, ki]
+        ws = w[ci, ki]
+        bounds = np.searchsorted(ci, np.arange(len(cells) + 1))
+        for i, c in enumerate(cells.tolist()):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                self.fd8_out[c] = list(zip(tgts[lo:hi].tolist(), ws[lo:hi].tolist()))
+        self.fd8_pending = dict(zip(cells.tolist(), pending.tolist()))
+        self.fd8_mass = dict.fromkeys(cells.tolist(), self.FD8_ONE)
         return len(self.fd8_pending)
 
     def cells_list(self):
@@ -376,42 +395,93 @@ class FlowShard:
             out.append((e2, w2))
         return out
 
+    # Tarboton facets as (cardinal offset, diagonal offset) — shared by the
+    # scalar reference helper and the vectorized loader
+    DINF_FACETS = [((0, 1), (-1, 1)), ((-1, 0), (-1, 1)), ((-1, 0), (-1, -1)),
+                   ((0, -1), (-1, -1)), ((0, -1), (1, -1)), ((1, 0), (1, -1)),
+                   ((1, 0), (1, 1)), ((0, 1), (1, 1))]
+
+    def dinf_targets_vec(self, z_fn, cells: np.ndarray):
+        """(e1, e2, w1, w2) int64 arrays (targets -1 where no outflow) —
+        vectorized dinf_targets over a cell array: 8 facets evaluated once
+        per cell on batched z (the round-2 loader re-scanned all 8 facets of
+        every neighbour per cell: ~64x redundant work, one z_fn element at a
+        time — round-2 ADVICE)."""
+        ONE = self.FD8_ONE
+        quarter = np.pi / 4.0
+        # distinct neighbour offsets used by the facets
+        offs = [(0, 1), (-1, 0), (0, -1), (1, 0), (-1, 1), (-1, -1), (1, -1), (1, 1)]
+        oidx = {o: k for k, o in enumerate(offs)}
+        z0, zn, ncell = self._neighbor_z(cells, z_fn, offs)
+        n = len(cells)
+        s_all = np.full((n, 8), -np.inf)
+        rang_all = np.zeros((n, 8))
+        e1_all = np.full((n, 8), -1, np.int64)
+        e2_all = np.full((n, 8), -1, np.int64)
+        with np.errstate(invalid="ignore"):
+            for f, (d1, d2) in enumerate(self.DINF_FACETS):
+                k1, k2 = oidx[d1], oidx[d2]
+                z1 = zn[:, k1]
+                z2 = zn[:, k2]
+                valid = ~np.isnan(z1) & ~np.isnan(z2)
+                s1 = z0 - z1
+                s2 = z1 - z2
+                rang = np.arctan2(s2, s1)
+                low = rang < 0.0
+                high = rang > quarter
+                s = np.sqrt(s1 * s1 + s2 * s2)
+                s = np.where(low, s1, s)
+                s = np.where(high, (z0 - z2) / 1.4142135623730951, s)
+                rang = np.clip(rang, 0.0, quarter)
+                s_all[:, f] = np.where(valid & (s > 0), s, -np.inf)
+                rang_all[:, f] = rang
+                e1_all[:, f] = ncell[:, k1]
+                e2_all[:, f] = ncell[:, k2]
+        best = np.argmax(s_all, axis=1)  # first max, like the scalar scan
+        has = s_all[np.arange(n), best] > 0
+        rang_b = rang_all[np.arange(n), best]
+        w2 = np.floor(rang_b / quarter * ONE + 0.5).astype(np.int64)
+        w1 = ONE - w2
+        e1 = np.where(has & (w1 > 0), e1_all[np.arange(n), best], -1)
+        e2 = np.where(has & (w2 > 0), e2_all[np.arange(n), best], -1)
+        return e1, e2, w1, w2
+
     def dinf_load(self, z_fn) -> int:
         """Populates the SAME wave state as fd8_load; the rounds reuse
         fd8_round/fd8_result unchanged."""
         self.fd8_out = {}
-        self.fd8_pending = {}
-        self.fd8_mass = {}
         self.fd8_acc = {}
-        zs: dict[int, int] = {}
-
-        def z(cid: int) -> int:
-            v = zs.get(cid)
-            if v is None:
-                v = int(z_fn(np.array([cid], np.int64))[0])
-                zs[cid] = v
-            return v
-
-        for c in self.cells_list():
-            outs = self.dinf_targets(z, self.rows, self.cols, c)
+        self._ensure()
+        cells = self.cells_arr
+        e1, e2, w1, w2 = self.dinf_targets_vec(z_fn, cells)
+        for i, c in enumerate(cells.tolist()):
+            outs = []
+            if e1[i] >= 0:
+                outs.append((int(e1[i]), int(w1[i])))
+            if e2[i] >= 0:
+                outs.append((int(e2[i]), int(w2[i])))
             if outs:
                 self.fd8_out[c] = outs
-            # in-degree: which neighbours send positive flow to c
-            r, cc = c // self.cols, c % self.cols
-            pending = 0
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
-                    if dr == 0 and dc == 0:
-                        continue
-                    nr, nc = r + dr, cc + dc
-                    if not (0 <= nr < self.rows and 0 <= nc < self.cols):
-                        continue
-                    u = nr * self.cols + nc
-                    if any(t == c for t, _ in
-                           self.dinf_targets(z, self.rows, self.cols, u)):
-                        pending += 1
-            self.fd8_pending[c] = pending
-            self.fd8_mass[c] = self.FD8_ONE
+        # in-degree: evaluate every DISTINCT potential sender (local cells +
+        # their neighbours) ONCE and count edges landing on local cells
+        r = cells // self.cols
+        c = cells % self.cols
+        senders = [cells]
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                ok = (nr >= 0) & (nr < self.rows) & (nc >= 0) & (nc < self.cols)
+                senders.append((nr * self.cols + nc)[ok])
+        sun = np.unique(np.concatenate(senders))
+        se1, se2, _sw1, _sw2 = self.dinf_targets_vec(z_fn, sun)
+        tgts = np.concatenate([se1[se1 >= 0], se2[se2 >= 0]])
+        pos, present = self._lookup(tgts)
+        indeg = np.zeros(len(cells), np.int64)
+        np.add.at(indeg, pos[present], 1)
+        self.fd8_pending = dict(zip(cells.tolist(), indeg.tolist()))
+        self.fd8_mass = dict.fromkeys(cells.tolist(), self.FD8_ONE)
         return len(self.fd8_pending)
 
     def fd8_round(self, msgs: list[np.ndarray]):
@@ -603,12 +673,30 @@ class FlowShard:
         return pd.DataFrame({"cell_id": origin, "basin": dest})
 
     # ---- cost distance ---------------------------------------------------
+    def _seed_surface_cache(self, fn, offs) -> dict[int, int]:
+        """{cell: fn(cell)} for local cells + their offs-neighbours, from
+        batched fn calls (the relax loops then never call fn per cell)."""
+        self._ensure()
+        cells = self.cells_arr
+        r = cells // self.cols
+        c = cells % self.cols
+        ids = [cells]
+        for dr, dc in offs:
+            nr, nc = r + dr, c + dc
+            ok = (nr >= 0) & (nr < self.rows) & (nc >= 0) & (nc < self.cols)
+            ids.append((nr * self.cols + nc)[ok])
+        uni = np.unique(np.concatenate(ids)) if len(cells) else np.empty(0, np.int64)
+        vals = np.asarray(fn(uni), np.int64) if len(uni) else np.empty(0, np.int64)
+        return dict(zip(uni.tolist(), vals.tolist()))
+
     def cd_load(self, cost_fn) -> int:
         """cost_fn: pure fn(cell_ids)->int64 (synthetic surface / raster
-        lookup), evaluated lazily per shard."""
+        lookup), pre-batched over local cells + halo."""
         self.cost_fn = cost_fn
         self.best: dict[int, int] = {}
         self.cells = set(self.down)
+        self._cd_costs = self._seed_surface_cache(
+            cost_fn, [(1, 0), (-1, 0), (0, 1), (0, -1)])
         return len(self.cells)
 
     def cd_seed(self, sources: np.ndarray):
@@ -633,11 +721,11 @@ class FlowShard:
                 heapq.heappush(heap, (d, cell))
         if not heap:
             return {}
-        costs: dict[int, int] = {}
+        costs = self._cd_costs
 
         def cost(cid: int) -> int:
             v = costs.get(cid)
-            if v is None:
+            if v is None:  # rare: beyond the pre-batched halo
                 v = int(self.cost_fn(np.array([cid], np.int64))[0])
                 costs[cid] = v
             return v
@@ -678,15 +766,20 @@ class FlowShard:
         self.z_fn = z_fn
         self.fill: dict[int, int] = {}
         self.cells = set(self.down)
+        self._fl_zs = self._seed_surface_cache(
+            z_fn, [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                   if (dr, dc) != (0, 0)])
         return len(self.cells)
 
     def fl_seed(self):
-        seeds = {}
-        for c in self.cells:
-            r, cc = c // self.cols, c % self.cols
-            if r == 0 or r == self.rows - 1 or cc == 0 or cc == self.cols - 1:
-                seeds[c] = int(self.z_fn(np.array([c], np.int64))[0])
-        return self._fl_relax(seeds)
+        self._ensure()
+        cells = self.cells_arr
+        r = cells // self.cols
+        c = cells % self.cols
+        border = (r == 0) | (r == self.rows - 1) | (c == 0) | (c == self.cols - 1)
+        bc = cells[border]
+        zv = np.asarray(self.z_fn(bc), np.int64) if len(bc) else np.empty(0, np.int64)
+        return self._fl_relax(dict(zip(bc.tolist(), zv.tolist())))
 
     def fl_round(self, msgs: list[np.ndarray]):
         cand: dict[int, int] = {}
@@ -707,11 +800,11 @@ class FlowShard:
                 heapq.heappush(heap, (w, cell))
         if not heap:
             return {}
-        zs: dict[int, int] = {}
+        zs = self._fl_zs
 
         def z(cid: int) -> int:
             v = zs.get(cid)
-            if v is None:
+            if v is None:  # rare: beyond the pre-batched halo
                 v = int(self.z_fn(np.array([cid], np.int64))[0])
                 zs[cid] = v
             return v
