@@ -580,3 +580,31 @@ def quantile_sketch_value(sf_dir: str):
 
     ds = read_table(sf_dir, "events", columns=["value"])
     return ray.data.from_pandas(sketch_quantiles(ds, "value"))
+
+
+@query(
+    "lidar_elevation_slice",
+    f"""
+    WITH {PTS_CTE}
+    SELECT event_id,
+           CAST(CASE WHEN ROUND(value * 100) < 2000 THEN 0
+                     WHEN ROUND(value * 100) < 6000 THEN 1
+                     ELSE 2 END AS BIGINT) AS slice_class
+    FROM pts
+    """,
+)
+def lidar_elevation_slice(sf_dir: str):
+    """LidarElevationSlice (lidar_analysis/lidar_elevation_slice.rs):
+    classify every point by elevation band (cents-exact thresholds 20.00 /
+    60.00) — pure vectorized map, no shuffle."""
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir)
+
+    def classify(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        cls = np.where(cents < 2000, 0, np.where(cents < 6000, 1, 2)).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "slice_class": cls})
+
+    return ds.map_batches(classify, batch_format="pyarrow")

@@ -1044,3 +1044,61 @@ def events_sessionize(sf_dir: str, *, n_buckets: int = 64):
         return agg
 
     return parts.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def _clusters_sql() -> str:
+    """Transitive closure over the (banding-exact) MinHash pair graph: the
+    full minhash oracle runs as a derived table, then a recursive min-label
+    propagation (UNION dedup -> terminates) labels every endpoint with the
+    smallest doc id in its connected component."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_minhash_sql()}) q
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.doc
+    )
+    SELECT doc AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster
+    FROM reach GROUP BY doc
+    """
+
+
+@query("near_dup_clusters", _clusters_sql())
+def near_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: connected components of the MinHash-LSH
+    verified pair graph, labelled by the smallest member doc_id — the
+    dedup-keeper assignment a training-data pipeline applies after pair
+    mining. The pair set is the (bounded) LSH output, orders of magnitude
+    smaller than the corpus, so the union-find runs driver-side on the
+    collected pairs; docs in no pair are singletons and stay absent (their
+    keeper is themselves)."""
+    pairs = minhash_near_dup(sf_dir).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    rows = []
+    for members in comp.values():
+        keeper = min(members)
+        rows.extend((d, keeper) for d in members)
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_id", "cluster"]).astype(np.int64)
