@@ -301,3 +301,79 @@ def subbasins(sf_dir: str):
         lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
                                  "subbasin": df["subbasin"].astype(np.int64)}),
         batch_format="pandas")
+
+
+@query(
+    "stream_link_stats",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES},
+    {_LINK_CTES},
+    linkz AS (
+      SELECT l.link_id, l.cell_id, c.v, g.down_id
+      FROM link l JOIN cells c ON c.cell_id = l.cell_id
+      JOIN graph g ON g.cell_id = l.cell_id
+    ),
+    internal AS (
+      SELECT a.link_id,
+             CASE WHEN (a.cell_id // {GRID1.cols}) <> (a.down_id // {GRID1.cols})
+                   AND (a.cell_id % {GRID1.cols}) <> (a.down_id % {GRID1.cols})
+                  THEN {int(np.floor(1.4142135623730951 * (1 << 20) + 0.5))}
+                  ELSE {1 << 20} END AS hop
+      FROM linkz a JOIN link b ON b.cell_id = a.down_id
+      WHERE a.down_id >= 0 AND b.link_id = a.link_id
+    )
+    SELECT z.link_id, COUNT(*) AS n_cells,
+           CAST(MIN(z.v) AS BIGINT) AS zmin, CAST(MAX(z.v) AS BIGINT) AS zmax,
+           CAST(COALESCE((SELECT SUM(i.hop) FROM internal i
+                          WHERE i.link_id = z.link_id), 0) AS BIGINT) AS len_units
+    FROM linkz z GROUP BY z.link_id
+    """,
+)
+def stream_link_stats(sf_dir: str):
+    """Stream link length + relief (stream_network_analysis/{stream_link_
+    length,stream_link_slope}.rs): per link — cell count, min/max surface
+    elevation (integer-exact) and the summed fixed-point hop length of the
+    link's INTERNAL edges (both endpoints in the same link). Composition:
+    stream_link_id labels JOIN the pointer table, link-local hop sums via a
+    self-join on the down cell's link."""
+    from ..stages.flow import down_ds_from_pointer
+    from .queries_raster import stream_link_id
+
+    link = stream_link_id(sf_dir).materialize()
+    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1)
+    j = link.join(dds.drop_columns(["tile"]), join_type="inner",
+                  num_partitions=8, on=("cell_id",))
+    # the down cell's link (absent when down is not a stream cell)
+    link_down = link.map_batches(
+        lambda df: pd.DataFrame({"down_id": df["cell_id"].to_numpy(np.int64),
+                                 "down_link": df["link_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j2 = j.join(link_down, join_type="left_outer", num_partitions=8,
+                on=("down_id",))
+
+    _HOPD = int(np.floor(1.4142135623730951 * (1 << 20) + 0.5))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        lid = df["link_id"].to_numpy(np.int64)
+        dlink = df["down_link"].to_numpy()
+        dlink = np.where(pd.isna(dlink), -1, dlink).astype(np.int64)
+        z = _value_fn(cid).astype(np.int64)
+        diag = (cid // GRID1.cols != down // GRID1.cols) \
+            & (cid % GRID1.cols != down % GRID1.cols)
+        hop = np.where(diag, _HOPD, 1 << 20).astype(np.int64)
+        internal = (down >= 0) & (dlink == lid)
+        g = pd.DataFrame({"link_id": lid, "n_cells": np.ones(len(cid), np.int64),
+                          "zmin": z, "zmax": z,
+                          "len_units": np.where(internal, hop, 0)})
+        return g.groupby("link_id", as_index=False).agg(
+            n_cells=("n_cells", "sum"), zmin=("zmin", "min"),
+            zmax=("zmax", "max"), len_units=("len_units", "sum"))
+
+    from ..relational import partial_agg
+
+    return partial_agg(j2.map_batches(part, batch_format="pandas"), ["link_id"],
+                       [("n_cells", "sum", "n_cells"), ("zmin", "min", "zmin"),
+                        ("zmax", "max", "zmax"), ("len_units", "sum", "len_units")])
