@@ -853,3 +853,71 @@ def stencil_chain_10x(sf_dir: str):
     return partial_agg(tout.map_batches(agg, batch_format="pandas"), ["k"],
                        [("n_cells", "sum", "n_cells"),
                         ("checksum", "sum", "checksum")]).drop_columns(["k"])
+
+
+@query(
+    "horizon_angle_east",
+    f"""
+    WITH {_CELLS_CTE}
+    SELECT a.cell_id, MAX((b.v - a.v) * 1.0 / (a.c - b.c)) AS hslope
+    FROM cells a JOIN cells b ON b.r = a.r AND b.c < a.c
+    GROUP BY a.cell_id
+    """,
+)
+def horizon_angle_east(sf_dir: str):
+    """HorizonAngle (terrain_analysis/horizon_angle.rs), westward sight line:
+    per cell the maximum elevation slope to any cell west of it in its row —
+    rows are independent scan lines, so the sweep parallelizes per row-batch
+    with zero exchange; first-column cells have no horizon (absent). The
+    float MAX over identical IEEE quotients is order-independent, so the
+    oracle hash is exact. The all-azimuth tool runs this per azimuth band."""
+    import ray.data
+
+    rows_ds = ray.data.range(GRID1.rows, override_num_blocks=8)
+
+    def sweep(batch: dict) -> pd.DataFrame:
+        frames = []
+        for r in batch["id"].astype(np.int64):
+            cid = r * GRID1.cols + np.arange(GRID1.cols, dtype=np.int64)
+            v = _value_fn(cid)
+            # slope matrix over (target i, source j<i): (v_j - v_i) / (i - j)
+            i = np.arange(GRID1.cols)
+            diff = v[None, :] - v[:, None]          # [i, j] = v_j - v_i
+            dist = i[:, None] - i[None, :]          # i - j
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sl = np.where(dist > 0, diff / np.where(dist > 0, dist, 1), -np.inf)
+            best = sl.max(axis=1)
+            frames.append(pd.DataFrame({"cell_id": cid[1:], "hslope": best[1:]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rows_ds.map_batches(sweep, batch_format="numpy")
+
+
+@query(
+    "raster_pits",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union(_RING8)})
+    SELECT cell_id FROM nb
+    GROUP BY cell_id
+    HAVING COUNT(*) = 8 AND MIN(v) > MAX(cv)
+    """,
+)
+def raster_pits(sf_dir: str):
+    """Sink / pit detection (hydro_analysis/sink.rs, find_no_flow_cells):
+    interior cells strictly lower than all 8 neighbours — the halo stencil's
+    cheapest member, the seed set for fill/breach."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        pit = np.ones((nr, nc), bool)
+        for dr, dc in _RING8:
+            w = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            pit &= ~np.isnan(w) & (w > z)
+        return {"pit": pit.astype(np.int64)}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df.loc[df["pit"] == 1, "cell_id"]
+                                 .astype(np.int64)}),
+        batch_format="pandas")

@@ -377,3 +377,157 @@ def stream_link_stats(sf_dir: str):
     return partial_agg(j2.map_batches(part, batch_format="pandas"), ["link_id"],
                        [("n_cells", "sum", "n_cells"), ("zmin", "min", "zmin"),
                         ("zmax", "max", "zmax"), ("len_units", "sum", "len_units")])
+
+
+# graph with edges INTO stream cells cut (for non-stream cells): each
+# non-stream cell's chain then terminates at its ENTRY cell — the last
+# hillslope cell before the channel
+_ENTRY_CTES = """
+    graph3 AS MATERIALIZED (
+      SELECT g.cell_id, CASE WHEN s.cell_id IS NOT NULL THEN CAST(-1 AS BIGINT)
+                             ELSE g.down_id END AS down_id
+      FROM graph g LEFT JOIN stream s ON s.cell_id = g.down_id
+    ),
+    walk3(start, cur) AS (
+      SELECT g.cell_id, g.cell_id FROM graph3 g
+      WHERE NOT EXISTS (SELECT 1 FROM stream s WHERE s.cell_id = g.cell_id)
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk3 w
+      JOIN graph3 g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    entry AS MATERIALIZED (
+      SELECT w.start AS cell_id, w.cur AS entry_cell
+      FROM walk3 w JOIN graph3 g ON g.cell_id = w.cur
+      WHERE g.down_id < 0
+    )
+"""
+
+
+@query(
+    "hillslopes",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES},
+    {_LINK_CTES},
+    {_ENTRY_CTES},
+    sides AS MATERIALIZED (
+      -- entry cell e -> stream cell s = down(e); side from the integer
+      -- cross product of s's flow direction with the entry direction
+      SELECT e.cell_id AS entry_cell, ge.down_id AS s,
+             l.link_id,
+             CASE WHEN gs.down_id < 0 THEN 0 ELSE
+               CASE WHEN
+                 ((gs.down_id % {GRID1.cols}) - (ge.down_id % {GRID1.cols}))
+                   * ((ge.down_id // {GRID1.cols}) - (e.cell_id // {GRID1.cols}))
+                 - ((gs.down_id // {GRID1.cols}) - (ge.down_id // {GRID1.cols}))
+                   * ((ge.down_id % {GRID1.cols}) - (e.cell_id % {GRID1.cols})) > 0
+               THEN 1
+               WHEN
+                 ((gs.down_id % {GRID1.cols}) - (ge.down_id % {GRID1.cols}))
+                   * ((ge.down_id // {GRID1.cols}) - (e.cell_id // {GRID1.cols}))
+                 - ((gs.down_id // {GRID1.cols}) - (ge.down_id // {GRID1.cols}))
+                   * ((ge.down_id % {GRID1.cols}) - (e.cell_id % {GRID1.cols})) < 0
+               THEN 2 ELSE 0 END
+             END AS side
+      FROM (SELECT DISTINCT entry_cell AS cell_id FROM entry) e
+      JOIN graph ge ON ge.cell_id = e.cell_id
+      JOIN graph gs ON gs.cell_id = ge.down_id
+      JOIN link l ON l.cell_id = ge.down_id
+      WHERE ge.down_id >= 0
+    )
+    SELECT en.cell_id, CAST(s.link_id * 4 + s.side AS BIGINT) AS hillslope
+    FROM entry en JOIN sides s ON s.entry_cell = en.entry_cell
+    UNION ALL
+    SELECT l.cell_id, CAST(l.link_id * 4 + 3 AS BIGINT) AS hillslope
+    FROM link l
+    """,
+)
+def hillslopes(sf_dir: str):
+    """Hillslopes (hydro_analysis/hillslopes.rs): every cell labelled by the
+    stream link it drains into x bank side — side from the integer cross
+    product of the receiving stream cell's flow direction with the entry
+    direction (1 = left, 2 = right, 0 = along-flow/outlet), stream cells
+    get the channel code 3. Composition: basins over the entry-cut graph
+    (terminates at the last hillslope cell) + local side classification +
+    stream_link_id labels. Cells draining off-grid without touching a
+    stream are nodata (absent); hillslope = link_id * 4 + side."""
+    from ..stages.pregel import basins_pregel
+    from ..stages.flow import down_ds_from_pointer
+    from .queries_raster import stream_link_id
+
+    link = stream_link_id(sf_dir).materialize()
+    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).materialize()
+    # stream membership of the DOWN cell (cut edges INTO streams)
+    sset = link.map_batches(
+        lambda df: pd.DataFrame({"k": df["cell_id"].to_numpy(np.int64)}),
+        batch_format="pandas").to_pandas()
+    stream_set = np.sort(sset["k"].to_numpy(np.int64))
+    sref = ray.put(stream_set)
+
+    def member(arr: np.ndarray, ss: np.ndarray) -> np.ndarray:
+        if not len(ss):
+            return np.zeros(len(arr), bool)
+        pos = np.minimum(np.searchsorted(ss, arr), len(ss) - 1)
+        return ss[pos] == arr
+
+    def cut_into(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ss = _cached_get(sref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        is_stream_cell = member(cid, ss)
+        cut = np.where((down >= 0) & member(down, ss), np.int64(-1), down)
+        # stream cells keep NO outgoing edge either (they are not hillslope
+        # cells; they are labelled separately as channel)
+        out = pd.DataFrame({"cell_id": cid,
+                            "down_id": np.where(is_stream_cell, np.int64(-1), cut),
+                            "tile": df["tile"].to_numpy(np.int64)})
+        return out[~is_stream_cell]
+
+    g3 = dds.map_batches(cut_into, batch_format="pandas")
+    entry = basins_pregel(g3, GRID1)  # (cell_id, basin = entry cell)
+
+    # side classification per DISTINCT entry cell (tiny side table, built
+    # from broadcast pointer lookups)
+    down_pd = dds.map_batches(lambda df: df[["cell_id", "down_id"]],
+                              batch_format="pandas").to_pandas()
+    down_map = dict(zip(down_pd["cell_id"].astype(int),
+                        down_pd["down_id"].astype(int)))
+    link_pd = link.to_pandas()
+    link_map = dict(zip(link_pd["cell_id"].astype(int),
+                        link_pd["link_id"].astype(int)))
+    dref = ray.put((down_map, link_map))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        dmap, lmap = _cached_get(dref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        ecell = df["basin"].to_numpy(np.int64)
+        out_c, out_h = [], []
+        for c, e in zip(cid.tolist(), ecell.tolist()):
+            s = dmap.get(e, -1)
+            if s < 0 or s not in lmap:
+                continue  # drains off-grid without touching a stream
+            ds_ = dmap.get(s, -1)
+            if ds_ < 0:
+                side = 0
+            else:
+                fx = ds_ % GRID1.cols - s % GRID1.cols
+                fy = ds_ // GRID1.cols - s // GRID1.cols
+                ex = s % GRID1.cols - e % GRID1.cols
+                ey = s // GRID1.cols - e // GRID1.cols
+                cross = fx * ey - fy * ex
+                side = 1 if cross > 0 else (2 if cross < 0 else 0)
+            out_c.append(c)
+            out_h.append(lmap[s] * 4 + side)
+        return pd.DataFrame({"cell_id": np.array(out_c, np.int64),
+                             "hillslope": np.array(out_h, np.int64)})
+
+    hs = entry.map_batches(label, batch_format="pandas")
+    channel = link.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
+                                 "hillslope": df["link_id"].to_numpy(np.int64) * 4 + 3}),
+        batch_format="pandas")
+    return hs.union(channel)
