@@ -921,3 +921,123 @@ def raster_pits(sf_dir: str):
         lambda df: pd.DataFrame({"cell_id": df.loc[df["pit"] == 1, "cell_id"]
                                  .astype(np.int64)}),
         batch_format="pandas")
+
+
+@query(
+    "histogram_matching",
+    f"""
+    WITH {_CELLS_CTE},
+    bb AS (SELECT cell_id, (cell_id * 733) % 1000 AS w FROM cells),
+    ha AS (SELECT v, COUNT(*) AS n FROM cells GROUP BY v),
+    ca AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cdf FROM ha),
+    hb AS (SELECT w, COUNT(*) AS n FROM bb GROUP BY w),
+    cb AS (SELECT w, SUM(n) OVER (ORDER BY w) AS cdf FROM hb),
+    vmap AS (SELECT ca.v,
+                    (SELECT MIN(cb.w) FROM cb WHERE cb.cdf >= ca.cdf) AS matched
+             FROM ca)
+    SELECT c.cell_id, CAST(m.matched AS BIGINT) AS matched
+    FROM cells c JOIN vmap m ON m.v = c.v
+    """,
+)
+def histogram_matching(sf_dir: str):
+    """HistogramMatching (image_analysis/histogram_matching.rs): remap band
+    A's values so its CDF matches reference band B's (matched(v) = least w
+    with cdfB(w) >= cdfA(v)) — two tiny global histograms (partial-merge),
+    driver builds the 1000-entry value map, broadcast vectorized remap.
+    Integer-exact."""
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def hists(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            cid = rr.ravel() * GRID1.cols + cc.ravel()
+            a = np.asarray(t.data, np.int64)
+            b = (cid * 733) % 1000
+            va, na = np.unique(a, return_counts=True)
+            vb, nb = np.unique(b, return_counts=True)
+            frames.append(pd.DataFrame({"band": 0, "v": va, "n": na.astype(np.int64)}))
+            frames.append(pd.DataFrame({"band": 1, "v": vb, "n": nb.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = partial_agg(tiles.map_batches(hists, batch_format="pandas"),
+                       ["band", "v"], [("n", "sum", "n")]).to_pandas()
+    ha = hist[hist["band"] == 0].sort_values("v")
+    hb = hist[hist["band"] == 1].sort_values("v")
+    cdfa = ha["n"].cumsum().to_numpy(np.int64)
+    vb = hb["v"].to_numpy(np.int64)
+    cdfb = hb["n"].cumsum().to_numpy(np.int64)
+    pos = np.searchsorted(cdfb, cdfa, side="left")  # least w: cdfB(w) >= cdfA(v)
+    mapping = np.full(1000, -1, np.int64)
+    mapping[ha["v"].to_numpy(np.int64)] = vb[np.minimum(pos, len(vb) - 1)]
+    ref = ray.put(mapping)
+
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_get(ref)
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            cid = rr.ravel() * GRID1.cols + cc.ravel()
+            a = np.asarray(t.data, np.int64)
+            frames.append(pd.DataFrame({"cell_id": cid, "matched": m[a]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(remap, batch_format="pandas")
+
+
+@query(
+    "contrast_stretch",
+    f"""
+    WITH {_CELLS_CTE},
+    g AS (SELECT MIN(v) AS gmin, MAX(v) AS gmax FROM cells)
+    SELECT c.cell_id,
+           CAST((c.v - g.gmin) * 255 // (g.gmax - g.gmin) AS BIGINT) AS stretched
+    FROM cells c, g
+    """,
+)
+def contrast_stretch(sf_dir: str):
+    """MinMaxContrastStretch (image_analysis/min_max_contrast_stretch.rs):
+    linear stretch to [0, 255] with floor division — global min/max
+    broadcast, integer-exact."""
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    gs = tiles.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": [0] * len(df),
+             "mn": [np.asarray(d, np.int64).min() for d in df["data"]],
+             "mx": [np.asarray(d, np.int64).max() for d in df["data"]]}),
+        batch_format="pandas")
+    agg = partial_agg(gs, ["k"], [("mn", "min", "mn"), ("mx", "max", "mx")]).take(1)[0]
+    ref = ray.put((int(agg["mn"]), int(agg["mx"])))
+
+    def stretch(df: pd.DataFrame) -> pd.DataFrame:
+        gmin, gmax = _cached_get(ref)
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            cid = rr.ravel() * GRID1.cols + cc.ravel()
+            v = np.asarray(t.data, np.int64)
+            frames.append(pd.DataFrame({
+                "cell_id": cid, "stretched": (v - gmin) * 255 // (gmax - gmin)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(stretch, batch_format="pandas")

@@ -1019,20 +1019,21 @@ def lidar_ground_classify(sf_dir: str):
         encoded.map_batches(lambda t: pa.table({"cell_id": t["cell_id"],
                                                 "zmin": t["cents"]}),
                             batch_format="pyarrow"),
-        ["cell_id"], [("zmin", "min", "zmin")]).to_pandas()
-    # per-cell minima: one small row per OCCUPIED cell — the broadcast side
-    ref = ray.put(dict(zip(mins["cell_id"].astype(int), mins["zmin"].astype(int))))
+        ["cell_id"], [("zmin", "min", "zmin")])
+    # co-partitioned hash join on cell_id (round-2 VERDICT item 7: the
+    # per-cell Python dict broadcast grew with occupied cells and resolved
+    # each point in interpreted code)
+    j = encoded.join(mins, join_type="inner", num_partitions=8,
+                     on=("cell_id",))
 
     def classify(t: pa.Table) -> pa.Table:
-        lut = _cached_get(ref)
-        cells = t["cell_id"].to_numpy(zero_copy_only=False)
         cents = t["cents"].to_numpy(zero_copy_only=False)
-        zmin = np.array([lut[int(c)] for c in cells], np.int64)
+        zmin = t["zmin"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": t["event_id"],
             "is_ground": (cents - zmin <= HAG_GROUND_CENTS).astype(np.int64)})
 
-    return encoded.map_batches(classify, batch_format="pyarrow")
+    return j.map_batches(classify, batch_format="pyarrow")
 
 
 @query(
