@@ -531,3 +531,42 @@ def hillslopes(sf_dir: str):
                                  "hillslope": df["link_id"].to_numpy(np.int64) * 4 + 3}),
         batch_format="pandas")
     return hs.union(channel)
+
+
+def _strahler_sql(kmax: int = 12) -> str:
+    """Strahler order via level sets: S_1 = all cells; G_k = cells with >= 2
+    inflowing neighbours in S_(k-1); S_k = downstream closure of G_k
+    (Strahler order is non-decreasing downstream, so membership propagates
+    along the D8 chain). strahler(v) = 1 + #{k >= 2 : v in S_k}. Levels are
+    statically unrolled to kmax (order <= log2(#sources)); empty levels
+    cost nothing."""
+    parts = [f"WITH RECURSIVE {_GRAPH_CTES}"]
+    prev = None  # None means S_1 = all cells
+    sums = []
+    for k in range(2, kmax + 1):
+        member = "" if prev is None else f" JOIN {prev} s ON s.cur = p.cell_id"
+        parts.append(f"""
+    g{k} AS MATERIALIZED (
+      SELECT g.cell_id FROM graph g
+      JOIN graph p ON p.down_id = g.cell_id{member}
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s{k}(cur) AS (
+      SELECT cell_id FROM g{k}
+      UNION
+      SELECT g.down_id FROM s{k} w JOIN graph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    )""")
+        prev = f"s{k}"
+        sums.append(f"(SELECT COUNT(*) FROM s{k} WHERE s{k}.cur = c.cell_id)")
+    return (", ".join(parts)
+            + f"""
+    SELECT c.cell_id, CAST(1 + {" + ".join(sums)} AS BIGINT) AS strahler
+    FROM graph c
+    """)
+
+
+from .queries import ORACLE as _ORACLE  # noqa: E402
+
+# upgrade the round-2 rows-only strahler_order entry to a full SQL oracle
+_ORACLE["strahler_order"] = _strahler_sql()
