@@ -110,3 +110,99 @@ def interpolate_linear(points: np.ndarray, values: np.ndarray, tris: np.ndarray,
         out[sel] = v
         hit[sel] = True
     return out, hit
+
+
+def _circumcenter(ax, ay, bx, by, cx, cy):
+    """Circumcenter of triangle (a, b, c) — standard determinant form."""
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    return ux, uy
+
+
+def natural_neighbour(points: np.ndarray, values: np.ndarray,
+                      tris: np.ndarray, qx: np.ndarray, qy: np.ndarray):
+    """Natural-neighbour interpolation, LAPLACE (non-Sibsonian) weights:
+    for each query q, the Bowyer–Watson cavity of q yields its natural
+    neighbours; the weight of neighbour v is the length of the Voronoi facet
+    between q and v (the segment between the circumcenters of the two new
+    triangles sharing edge q–v) divided by |q - v|. Like Sibson weights this
+    has LINEAR PRECISION (reproduces planes exactly — tests/test_natural_
+    neighbour.py) but needs no polygon clipping. Analog of
+    gis_analysis/natural_neighbour_interpolation.rs (which uses Sibson area
+    weights — the variant choice is documented, results differ only in the
+    blending weights, not the neighbour set or the linear-precision
+    contract).
+
+    Returns (vals float64, hit bool); queries outside the hull (cavity
+    touches no real triangle) -> hit False.
+    """
+    pts = np.asarray(points, np.float64)
+    out = np.full(len(qx), np.nan)
+    hit = np.zeros(len(qx), bool)
+    if len(tris) == 0:
+        return out, hit
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    for qi in range(len(qx)):
+        px, py = qx[qi], qy[qi]
+        axx, ayy = a[:, 0] - px, a[:, 1] - py
+        bxx, byy = b[:, 0] - px, b[:, 1] - py
+        cxx, cyy = c[:, 0] - px, c[:, 1] - py
+        det = ((axx * axx + ayy * ayy) * (bxx * cyy - cxx * byy)
+               - (bxx * bxx + byy * byy) * (axx * cyy - cxx * ayy)
+               + (cxx * cxx + cyy * cyy) * (axx * byy - bxx * ayy))
+        bad = det > 0.0
+        if not bad.any():
+            continue  # outside the hull
+        # directed boundary edges of the cavity (CCW triangles -> CCW cycle)
+        edge_set = set()
+        for t in tris[bad]:
+            for e in ((int(t[0]), int(t[1])), (int(t[1]), int(t[2])),
+                      (int(t[2]), int(t[0]))):
+                edge_set.add(e)
+        boundary = {e[0]: e[1] for e in edge_set
+                    if (e[1], e[0]) not in edge_set}
+        if not boundary:
+            continue
+        start = next(iter(boundary))
+        cycle = [start]
+        while True:
+            nxt = boundary.get(cycle[-1], None)
+            if nxt is None or nxt == start:
+                break
+            cycle.append(nxt)
+            if len(cycle) > len(boundary) + 1:
+                break  # malformed cavity (degenerate); treat as miss
+        if len(cycle) < 3 or boundary.get(cycle[-1]) != start:
+            continue
+        m = len(cycle)
+        # circumcenters of the new fan triangles (q, a_i, a_{i+1})
+        ccs = []
+        for i in range(m):
+            v0 = pts[cycle[i]]
+            v1 = pts[cycle[(i + 1) % m]]
+            ccs.append(_circumcenter(px, py, v0[0], v0[1], v1[0], v1[1]))
+        wsum = 0.0
+        vsum = 0.0
+        ok = True
+        for i in range(m):
+            v = pts[cycle[i]]
+            d = np.hypot(v[0] - px, v[1] - py)
+            if d == 0.0:  # query coincides with a sample
+                out[qi] = values[cycle[i]]
+                hit[qi] = True
+                ok = False
+                break
+            c0 = ccs[i - 1]
+            c1 = ccs[i]
+            w = np.hypot(c1[0] - c0[0], c1[1] - c0[1]) / d
+            wsum += w
+            vsum += w * values[cycle[i]]
+        if ok and wsum > 0.0:
+            out[qi] = vsum / wsum
+            hit[qi] = True
+    return out, hit

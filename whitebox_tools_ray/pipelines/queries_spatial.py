@@ -1060,3 +1060,17 @@ def lidar_thin_grid(sf_dir: str):
 
     return partial_agg(ds.map_batches(enc, batch_format="pyarrow"), ["cell_id"],
                        [("keep_id", "min", "keep_id"), ("n", "sum", "n")])
+
+
+@query("natural_neighbour_gridding")
+def natural_neighbour_gridding(sf_dir: str):
+    """NaturalNeighbourInterpolation (gis_analysis/natural_neighbour_
+    interpolation.rs; Laplace-weight variant — the documented difference is
+    the blending weights, not the neighbour set): Bowyer–Watson cavity
+    neighbours + Voronoi-facet weights per cell centre, tile+halo sharded
+    like TIN gridding. Rows-only; linear-precision (plane reproduction) and
+    convexity oracles in tests/test_natural_neighbour.py."""
+    from ..stages.tin import natural_neighbour_grid
+
+    g = GridSpec(west=-180.0, north=85.0, res_x=5.0, res_y=5.0, rows=34, cols=72)
+    return natural_neighbour_grid(read_points(sf_dir), g, tile_deg=45.0, buffer=10.0)
