@@ -1041,3 +1041,89 @@ def contrast_stretch(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return tiles.map_batches(stretch, batch_format="pandas")
+
+
+@query(
+    "integral_image",
+    f"""
+    WITH {_CELLS_CTE},
+    rowc AS (
+      SELECT cell_id, r, c,
+             SUM(v) OVER (PARTITION BY r ORDER BY c) AS rc
+      FROM cells
+    )
+    SELECT cell_id,
+           CAST(SUM(rc) OVER (PARTITION BY c ORDER BY r) AS BIGINT) AS integral
+    FROM rowc
+    """,
+)
+def integral_image(sf_dir: str):
+    """IntegralImage (image_analysis/integral_image.rs): the 2-D prefix sum
+    I(r,c) = sum of all cells above-left inclusive, as a DISTRIBUTED scan:
+    each tile computes its local integral plus tiny row-band/col-band/total
+    summaries (129 values per tile); the driver combines the summaries into
+    per-tile offset vectors (a 2-D prefix over the tile grid — O(#tiles)
+    work) and broadcasts them; a second vectorized pass adds offsets. No
+    per-cell data ever crosses tiles. Integer-exact; SQL oracle = two
+    window cumsums."""
+    import ray
+
+    from ..stages.spatial_join import _cached_get
+
+    tile = 64
+    tcols = -(-GRID1.cols // tile)
+    trows = -(-GRID1.rows // tile)
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def summaries(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            v = np.asarray(t.data, np.int64).reshape(nr, nc)
+            rows.append({"trow": int(t.trow), "tcol": int(t.tcol),
+                         "rowcum": v.sum(axis=1).cumsum(),   # (nr,)
+                         "colcum": v.sum(axis=0).cumsum(),   # (nc,)
+                         "total": np.int64(v.sum())})
+        return pd.DataFrame(rows)
+
+    summ = tiles.map_batches(summaries, batch_format="pandas").to_pandas()
+    rowcums: dict = {}
+    colcums: dict = {}
+    totals = np.zeros((trows, tcols), np.int64)
+    for t in summ.itertuples():
+        rowcums[(t.trow, t.tcol)] = np.asarray(t.rowcum, np.int64)
+        colcums[(t.trow, t.tcol)] = np.asarray(t.colcum, np.int64)
+        totals[t.trow, t.tcol] = t.total
+    # per-tile offsets: left row-bands, top col-bands, above-left corner
+    left: dict = {}
+    top: dict = {}
+    corner2d = totals.cumsum(axis=0).cumsum(axis=1)
+    corner: dict = {}
+    for (tr, tc), rc in rowcums.items():
+        left[(tr, tc)] = sum((rowcums[(tr, k)] for k in range(tc)),
+                             np.zeros_like(rc))
+        top[(tr, tc)] = sum((colcums[(k, tc)] for k in range(tr)),
+                            np.zeros_like(colcums[(tr, tc)]))
+        corner[(tr, tc)] = int(corner2d[tr - 1, tc - 1]) if tr > 0 and tc > 0 else 0
+    ref = ray.put((left, top, corner))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        lmap, tmap, cmap = _cached_get(ref)
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            tr, tc = int(t.trow), int(t.tcol)
+            r0, c0 = tr * tile, tc * tile
+            v = np.asarray(t.data, np.int64).reshape(nr, nc)
+            local = v.cumsum(axis=0).cumsum(axis=1)
+            out = (local + lmap[(tr, tc)][:, None] + tmap[(tr, tc)][None, :]
+                   + cmap[(tr, tc)])
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            frames.append(pd.DataFrame({
+                "cell_id": rr.ravel() * GRID1.cols + cc.ravel(),
+                "integral": out.ravel()}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(combine, batch_format="pandas")
