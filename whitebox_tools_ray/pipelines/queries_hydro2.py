@@ -570,3 +570,176 @@ from .queries import ORACLE as _ORACLE  # noqa: E402
 
 # upgrade the round-2 rows-only strahler_order entry to a full SQL oracle
 _ORACLE["strahler_order"] = _strahler_sql()
+
+
+# --------------------------------------------------------------------------
+# Pour points: snap to max accumulation + watershed from outlets
+# --------------------------------------------------------------------------
+
+from .sqlgen import add64, sm64  # noqa: E402
+
+_POUR_SEED = 909090
+N_POUR = 12
+SNAP_RADIUS = 3
+
+
+def _pour_cells() -> np.ndarray:
+    """Deterministic raw pour points: pseudo-random interior cells."""
+    from ..sources.synthetic import splitmix64
+
+    h = splitmix64(np.arange(N_POUR, dtype=np.uint64) + np.uint64(_POUR_SEED))
+    r = 1 + (h % np.uint64(GRID1.rows - 2)).astype(np.int64)
+    c = 1 + (splitmix64(h) % np.uint64(GRID1.cols - 2)).astype(np.int64)
+    return r * GRID1.cols + c
+
+
+_POUR_CTES = f"""
+    pour_h AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS pour_id,
+             {sm64(add64('CAST(t.i AS UBIGINT)', str(_POUR_SEED)))} AS h
+      FROM range({N_POUR}) t(i)
+    ),
+    pour AS MATERIALIZED (
+      SELECT pour_id,
+             (1 + CAST(h % {GRID1.rows - 2} AS BIGINT)) * {GRID1.cols}
+             + (1 + CAST({sm64('h')} % {GRID1.cols - 2} AS BIGINT)) AS cell_id
+      FROM pour_h
+    ),
+    acc2 AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    snapped AS MATERIALIZED (
+      SELECT pour_id, cand_cell AS snap_cell FROM (
+        SELECT p.pour_id, c.cell_id AS cand_cell, a.acc,
+               row_number() OVER (PARTITION BY p.pour_id
+                                  ORDER BY a.acc DESC, c.cell_id ASC) AS rn
+        FROM pour p
+        JOIN cells c ON abs(c.r - (p.cell_id // {GRID1.cols})) <= {SNAP_RADIUS}
+                    AND abs(c.c - (p.cell_id % {GRID1.cols})) <= {SNAP_RADIUS}
+        JOIN acc2 a ON a.cell_id = c.cell_id
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "snap_pour_points",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    {_POUR_CTES}
+    SELECT pour_id, CAST(snap_cell AS BIGINT) AS snap_cell FROM snapped
+    """,
+)
+def snap_pour_points(sf_dir: str):
+    """SnapPourPoints (hydro_analysis/snap_pour_points.rs): move each outlet
+    to the highest-accumulation cell within a Chebyshev radius (ties to the
+    lowest cell id). The tiny point set joins the accumulation Dataset on
+    the 49 candidate cells per point — no broadcast of the raster."""
+    import ray.data
+
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
+
+    acc = flow_accumulation_pregel(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
+    pours = _pour_cells()
+    rows = []
+    for pid, cell in enumerate(pours.tolist()):
+        r, c = cell // GRID1.cols, cell % GRID1.cols
+        for dr in range(-SNAP_RADIUS, SNAP_RADIUS + 1):
+            for dc in range(-SNAP_RADIUS, SNAP_RADIUS + 1):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < GRID1.rows and 0 <= cc < GRID1.cols:
+                    rows.append((pid, rr * GRID1.cols + cc))
+    cand = ray.data.from_pandas(pd.DataFrame(rows, columns=["pour_id", "cell_id"])) \
+        .repartition(2)
+    j = cand.join(acc, join_type="inner", num_partitions=4, on=("cell_id",))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["acc", "cell_id"], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({"pour_id": [np.int64(g["pour_id"].iloc[0])],
+                             "snap_cell": [np.int64(g["cell_id"].iloc[0])]})
+
+    return j.groupby("pour_id").map_groups(pick, batch_format="pandas")
+
+
+@query(
+    "watershed_pour_points",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    {_POUR_CTES},
+    outlet AS MATERIALIZED (
+      SELECT snap_cell, MIN(pour_id) AS pour_id FROM snapped GROUP BY snap_cell
+    ),
+    graphp AS MATERIALIZED (
+      SELECT g.cell_id, CASE WHEN o.snap_cell IS NOT NULL THEN CAST(-1 AS BIGINT)
+                             ELSE g.down_id END AS down_id
+      FROM graph g LEFT JOIN outlet o ON o.snap_cell = g.cell_id
+    ),
+    walkp(start, cur) AS (
+      SELECT cell_id, cell_id FROM graphp
+      UNION ALL
+      SELECT w.start, g.down_id FROM walkp w
+      JOIN graphp g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT w.start AS cell_id, CAST(o.pour_id AS BIGINT) AS pour_id
+    FROM walkp w JOIN outlet o ON o.snap_cell = w.cur
+    """,
+)
+def watershed_pour_points(sf_dir: str):
+    """Watershed from explicit outlets (hydro_analysis/watershed.rs): label
+    every cell with the FIRST snapped pour point its D8 path reaches (cut
+    the pointer table at outlets, basins over the cut graph); cells draining
+    elsewhere are nodata (absent). Composes snap_pour_points."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import basins_pregel
+
+    snaps = snap_pour_points(sf_dir).to_pandas()
+    outlet = snaps.groupby("snap_cell", as_index=False)["pour_id"].min()
+    omap = dict(zip(outlet["snap_cell"].astype(int), outlet["pour_id"].astype(int)))
+    ocells = np.sort(outlet["snap_cell"].to_numpy(np.int64))
+    oref = ray.put((ocells, omap))
+
+    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        oc, _m = _cached_get(oref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(oc, cid), len(oc) - 1)
+        is_out = oc[pos] == cid
+        return pd.DataFrame({"cell_id": cid,
+                             "down_id": np.where(is_out, np.int64(-1), down),
+                             "tile": df["tile"].to_numpy(np.int64)})
+
+    dest = basins_pregel(dds.map_batches(cut, batch_format="pandas"), GRID1)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        oc, m = _cached_get(oref)
+        d = df["basin"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(oc, d), len(oc) - 1)
+        ok = oc[pos] == d
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[ok],
+            "pour_id": np.array([m[int(x)] for x in d[ok]], np.int64)})
+
+    return dest.map_batches(label, batch_format="pandas")
