@@ -1127,3 +1127,96 @@ def integral_image(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return tiles.map_batches(combine, batch_format="pandas")
+
+
+@query(
+    "image_autocorrelation",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union([(-1, 0), (1, 0), (0, -1), (0, 1)])})
+    SELECT (SELECT COUNT(*) FROM cells) AS n,
+           (SELECT CAST(SUM(v) AS BIGINT) FROM cells) AS sv,
+           (SELECT CAST(SUM(v * v) AS BIGINT) FROM cells) AS svv,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(cv * v) AS BIGINT) AS s_cross
+    FROM nb
+    """,
+)
+def image_autocorrelation(sf_dir: str):
+    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation.rs):
+    the Moran's I sufficient statistics under rook weights — n, sum v,
+    sum v^2, directed neighbour-pair count and cross-product sum, all exact
+    int64 partials (I = n * sum_cross-ish follows driver-side)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        cross = np.zeros((nr, nc))
+        cnt = np.zeros((nr, nc), np.int64)
+        for dr, dc in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+            w = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            ok = ~np.isnan(w)
+            cross += np.where(ok, z * w, 0.0)
+            cnt += ok.astype(np.int64)
+        return {"cross": cross, "cnt": cnt, "v": z}
+
+    cells = stencil_3x3(tiles, GRID1, kern)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "k": 0, "n": np.int64(len(df)), "sv": v.sum(),
+            "svv": (v * v).sum(),
+            "n_pairs": df["cnt"].to_numpy(np.int64).sum(),
+            "s_cross": df["cross"].to_numpy(np.int64).sum()}])
+
+    return partial_agg(cells.map_batches(part, batch_format="pandas"), ["k"],
+                       [(c, "sum", c) for c in
+                        ("n", "sv", "svv", "n_pairs", "s_cross")]).drop_columns(["k"])
+
+
+_LOG5 = [[0, 0, -1, 0, 0], [0, -1, -2, -1, 0], [-1, -2, 16, -2, -1],
+         [0, -1, -2, -1, 0], [0, 0, -1, 0, 0]]
+_LOG_OFF = [(dr - 2, dc - 2, _LOG5[dr][dc]) for dr in range(5) for dc in range(5)
+            if _LOG5[dr][dc] != 0]
+_LOG_UNION = " UNION ALL ".join(
+    f"SELECT a.cell_id, CAST({w} AS BIGINT) AS w, b.v "
+    f"FROM cells a JOIN cells b ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+    for dr, dc, w in _LOG_OFF
+)
+
+
+@query(
+    "laplacian_of_gaussian",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_LOG_UNION})
+    SELECT cell_id, CAST(SUM(w * v) AS BIGINT) AS log5
+    FROM nb GROUP BY cell_id HAVING COUNT(*) = {len(_LOG_OFF)}
+    """,
+)
+def laplacian_of_gaussian(sf_dir: str):
+    """LaplacianOfGaussianFilter (image_analysis/laplacian_of_gaussian.rs):
+    the classic integer 5x5 LoG kernel, interior cells only — k=2 halo
+    stencil, integer-exact."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    w5 = np.asarray(_LOG5, np.float64)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        acc = np.zeros((nr, nc))
+        full = np.ones((nr, nc), bool)
+        for dr in range(5):
+            for dc in range(5):
+                w = w5[dr, dc]
+                win = padded[dr:dr + nr, dc:dc + nc]
+                if w != 0:
+                    full &= ~np.isnan(win)
+                    acc += w * np.nan_to_num(win)
+        return {"log5": np.where(full, acc, np.nan)}
+
+    out = stencil_k(tiles, GRID1, kern, k=2)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"cell_id": df.loc[np.isfinite(df["log5"]), "cell_id"].astype(np.int64),
+             "log5": df.loc[np.isfinite(df["log5"]), "log5"].astype(np.int64)}),
+        batch_format="pandas")

@@ -608,3 +608,113 @@ def lidar_elevation_slice(sf_dir: str):
         return pa.table({"event_id": t["event_id"], "slice_class": cls})
 
     return ds.map_batches(classify, batch_format="pyarrow")
+
+
+@query(
+    "attribute_correlation",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sp,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS spp,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sqp
+    FROM lineitem
+    """,
+)
+def attribute_correlation(sf_dir: str):
+    """AttributeCorrelation (math_stat_analysis/attribute_correlation.rs):
+    exact integer cross-moments between two table attributes (quantity x
+    price cents) — Pearson r follows driver-side from the six sums."""
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pd.DataFrame([{
+            "k": 0, "n": np.int64(len(q)), "sq": q.sum(), "sp": p.sum(),
+            "sqq": (q * q).sum(), "spp": (p * p).sum(), "sqp": (q * p).sum()}])
+
+    return partial_agg(ds.map_batches(part, batch_format="pyarrow"), ["k"],
+                       [(c, "sum", c) for c in
+                        ("n", "sq", "sp", "sqq", "spp", "sqp")]).drop_columns(["k"])
+
+
+@query(
+    "attribute_histogram",
+    """
+    SELECT CAST(l_quantity AS BIGINT) // 5 AS bin, COUNT(*) AS n
+    FROM lineitem GROUP BY bin
+    """,
+)
+def attribute_histogram(sf_dir: str):
+    """AttributeHistogram (math_stat_analysis/attribute_histogram.rs):
+    binned counts of a table attribute — per-batch partial histograms."""
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        b = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64) // 5
+        vals, cnts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": vals, "n": cnts.astype(np.int64)})
+
+    return partial_agg(ds.map_batches(part, batch_format="pyarrow"), ["bin"],
+                       [("n", "sum", "n")])
+
+
+@query(
+    "lidar_remove_outliers",
+    f"""
+    WITH {PTS_CTE},
+    enc AS (SELECT event_id, {_cid1} AS cell_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents FROM pts),
+    cellagg AS (SELECT cell_id, COUNT(*) AS n, SUM(cents) AS s
+                FROM enc GROUP BY cell_id)
+    SELECT e.event_id,
+           CAST(CASE WHEN abs(e.cents * a.n - a.s) > 3000 * a.n
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM enc e JOIN cellagg a USING (cell_id)
+    """,
+)
+def lidar_remove_outliers(sf_dir: str):
+    """LidarRemoveOutliers (lidar_analysis/lidar_remove_outliers.rs,
+    cell-mean variant): a point is an outlier when it deviates from its grid
+    cell's mean by more than 30.00 — the integer contract
+    |cents*n - sum| > 3000*n avoids the float mean; co-partitioned join like
+    lidar_ground_classify."""
+    from ..sources.tables import read_points
+
+    ds = read_points(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"event_id": t["event_id"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64),
+                         "cell_id": GRID1.cell_id_from_xy(x, y), "cents": cents})
+
+    encoded = ds.map_batches(enc, batch_format="pyarrow").materialize()
+    agg = partial_agg(
+        encoded.map_batches(lambda t: pa.table({
+            "cell_id": t["cell_id"], "n": np.ones(len(t), np.int64),
+            "s": t["cents"]}), batch_format="pyarrow"),
+        ["cell_id"], [("n", "sum", "n"), ("s", "sum", "s")])
+    j = encoded.join(agg, join_type="inner", num_partitions=8, on=("cell_id",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"],
+                         "is_outlier": (np.abs(cents * n - s) > 3000 * n)
+                         .astype(np.int64)})
+
+    return j.map_batches(classify, batch_format="pyarrow")
