@@ -1220,3 +1220,98 @@ def laplacian_of_gaussian(sf_dir: str):
             {"cell_id": df.loc[np.isfinite(df["log5"]), "cell_id"].astype(np.int64),
              "log5": df.loc[np.isfinite(df["log5"]), "log5"].astype(np.int64)}),
         batch_format="pandas")
+
+
+# viewshed viewpoint: grid centre cell
+VS_VR, VS_VC = GRID1.rows // 2, GRID1.cols // 2
+
+
+def _dda_sql(k: str, d: str, K: str) -> str:
+    """Signed integer DDA offset along one axis: sign(d) * ((2k|d| + K) //
+    (2K)) — positive-operand division only, so floor-vs-truncate division
+    semantics cannot diverge between numpy and DuckDB."""
+    return (f"(CASE WHEN {d} < 0 THEN -((2 * {k} * (-({d})) + {K}) // (2 * {K})) "
+            f"ELSE ((2 * {k} * {d} + {K}) // (2 * {K})) END)")
+
+
+@query(
+    "viewshed",
+    f"""
+    WITH {_CELLS_CTE},
+    vp AS (SELECT v AS zv FROM cells
+           WHERE r = {VS_VR} AND c = {VS_VC}),
+    tgt AS (
+      SELECT cell_id, r, c, v,
+             GREATEST(abs(r - {VS_VR}), abs(c - {VS_VC})) AS kk
+      FROM cells
+    ),
+    los AS (
+      SELECT t.cell_id, t.v, t.kk, s.i AS k,
+             {VS_VR} + {_dda_sql('s.i', f'(t.r - {VS_VR})', 't.kk')} AS rk,
+             {VS_VC} + {_dda_sql('s.i', f'(t.c - {VS_VC})', 't.kk')} AS ck
+      FROM tgt t JOIN range(1, {max(GRID1.rows, GRID1.cols)}) s(i)
+        ON s.i < t.kk
+      WHERE t.kk >= 2
+    ),
+    blocked AS (
+      SELECT l.cell_id,
+             MAX(CASE WHEN (b.v - vp.zv) * l.kk >= (l.v - vp.zv) * l.k
+                      THEN 1 ELSE 0 END) AS blk
+      FROM los l JOIN cells b ON b.r = l.rk AND b.c = l.ck, vp
+      GROUP BY l.cell_id
+    )
+    SELECT t.cell_id,
+           CAST(CASE WHEN t.kk <= 1 THEN 1
+                     WHEN b.blk = 1 THEN 0 ELSE 1 END AS BIGINT) AS visible
+    FROM tgt t LEFT JOIN blocked b ON b.cell_id = t.cell_id
+    """,
+)
+def viewshed(sf_dir: str):
+    """Viewshed (terrain_analysis/viewshed.rs), integer DDA line-of-sight
+    variant: a cell is visible from the centre viewpoint iff no cell on the
+    parametric integer line between them has sight-line slope >= the
+    target's (slopes compared by exact cross-multiplication over the
+    Chebyshev step count — fully integer, so the oracle is bit-exact;
+    the reference's R3 algorithm interpolates elevations instead, the
+    documented variant difference). Targets partition freely across
+    workers; each batch re-derives intermediate elevations from the pure
+    surface function, so there is NO broadcast and no exchange — the
+    per-azimuth-band sharding the scale path needs."""
+    zv = int(_value_fn(np.array([VS_VR * GRID1.cols + VS_VC]))[0])
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def los(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            rr = rr.ravel()
+            cc = cc.ravel()
+            cid = rr * GRID1.cols + cc
+            zt = np.asarray(t.data, np.int64)
+            dr = rr - VS_VR
+            dc = cc - VS_VC
+            K = np.maximum(np.abs(dr), np.abs(dc))
+            blocked = np.zeros(len(cid), bool)
+            num_c = zt - zv
+            kmax = int(K.max()) if len(K) else 0
+            for k in range(1, kmax):
+                m = k < K
+                if not m.any():
+                    break
+                Km = K[m]
+                adr = np.abs(dr[m])
+                adc = np.abs(dc[m])
+                rk = VS_VR + np.sign(dr[m]) * ((2 * k * adr + Km) // (2 * Km))
+                ck = VS_VC + np.sign(dc[m]) * ((2 * k * adc + Km) // (2 * Km))
+                zk = _value_fn(rk * GRID1.cols + ck).astype(np.int64)
+                blocked[m] |= (zk - zv) * Km >= num_c[m] * k
+            visible = np.where(K <= 1, 1, (~blocked).astype(np.int64))
+            frames.append(pd.DataFrame({"cell_id": cid, "visible": visible}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(los, batch_format="pandas")
