@@ -743,3 +743,148 @@ def watershed_pour_points(sf_dir: str):
             "pour_id": np.array([m[int(x)] for x in d[ok]], np.int64)})
 
     return dest.map_batches(label, batch_format="pandas")
+
+
+def _horton_sql() -> str:
+    """Horton order oracle: strahler level sets + link principal chains."""
+    parts = []
+    prev = None
+    sums = []
+    for k in range(2, 13):
+        member = "" if prev is None else f" JOIN {prev} s ON s.cur = p.cell_id"
+        parts.append(f"""g{k} AS MATERIALIZED (
+      SELECT g.cell_id FROM graph g
+      JOIN graph p ON p.down_id = g.cell_id{member}
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s{k}(cur) AS (
+      SELECT cell_id FROM g{k}
+      UNION
+      SELECT g.down_id FROM s{k} w JOIN graph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),""")
+        prev = f"s{k}"
+        sums.append(f"(SELECT COUNT(*) FROM s{k} WHERE s{k}.cur = c.cell_id)")
+    levels = "\n    ".join(parts)
+    sumexpr = " + ".join(sums)
+    return f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_STREAM_CTES},
+    {_LINK_CTES},
+    {levels}
+    strahler AS MATERIALIZED (
+      SELECT c.cell_id, 1 + {sumexpr} AS ord FROM graph c
+    ),
+    links AS MATERIALIZED (
+      SELECT DISTINCT link_id FROM link
+    ),
+    lattr AS MATERIALIZED (
+      -- a link's Strahler order = the order at its terminal cell (= its id)
+      SELECT l.link_id, s.ord,
+             g.down_id AS term_down
+      FROM links l
+      JOIN strahler s ON s.cell_id = l.link_id
+      JOIN graph g ON g.cell_id = l.link_id
+    ),
+    parentrel AS MATERIALIZED (
+      -- child link -> parent link (the link of the terminal's down cell)
+      SELECT a.link_id AS child, pl.link_id AS parent
+      FROM lattr a JOIN link pl ON pl.cell_id = a.term_down
+      WHERE a.term_down >= 0
+    ),
+    principal AS MATERIALIZED (
+      -- the principal upstream child at each junction: max Strahler, then
+      -- lowest link id — the documented tie-break
+      SELECT child, parent FROM (
+        SELECT p.child, p.parent,
+               row_number() OVER (PARTITION BY p.parent
+                                  ORDER BY a.ord DESC, p.child ASC) AS rn
+        FROM parentrel p JOIN lattr a ON a.link_id = p.child
+      ) WHERE rn = 1
+    ),
+    hwalk(l, cur) AS (
+      SELECT link_id, link_id FROM links
+      UNION ALL
+      SELECT h.l, pr.parent FROM hwalk h
+      JOIN principal pr ON pr.child = h.cur
+    ),
+    horton AS MATERIALIZED (
+      -- farthest-downstream link reachable through principal hops
+      SELECT h.l AS link_id, s.ord AS horton FROM hwalk h
+      JOIN lattr s ON s.link_id = h.cur
+      WHERE NOT EXISTS (SELECT 1 FROM principal pr WHERE pr.child = h.cur)
+    )
+    SELECT lk.cell_id, CAST(ho.horton AS BIGINT) AS horton
+    FROM link lk JOIN horton ho ON ho.link_id = lk.link_id
+    """
+
+
+@query("horton_order", _horton_sql())
+def horton_order(sf_dir: str):
+    """HortonStreamOrder (stream_network_analysis/horton.rs): Strahler
+    orders re-numbered so the principal stream carries its order from outlet
+    to source — at each junction the upstream link with the highest Strahler
+    order (ties: lowest link id) inherits the downstream link's Horton
+    order. The LINK graph is junction-sized (orders of magnitude smaller
+    than the raster), so link-level attributes come from the distributed
+    Strahler/link stages and the principal-chain walk runs on the collected
+    link table; every stream CELL gets its link's Horton order."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import strahler_pregel
+    from .queries_raster import stream_link_id
+
+    link = stream_link_id(sf_dir).materialize()
+    strahler = strahler_pregel(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
+
+    # link-level attributes: terminal cell = link_id (chain-walk terminal)
+    lids = link.map_batches(
+        lambda df: pd.DataFrame({"cell_id": np.unique(df["link_id"]
+                                                      .to_numpy(np.int64))}),
+        batch_format="pandas")
+    lattr = lids.join(strahler, join_type="inner", num_partitions=4,
+                      on=("cell_id",)).to_pandas()
+    ord_map = dict(zip(lattr["cell_id"].astype(int),
+                       lattr["strahler"].astype(int)))
+
+    down_pd = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).map_batches(
+        lambda df: df[["cell_id", "down_id"]], batch_format="pandas").to_pandas()
+    down_map = dict(zip(down_pd["cell_id"].astype(int),
+                        down_pd["down_id"].astype(int)))
+    link_pd = link.to_pandas()
+    link_map = dict(zip(link_pd["cell_id"].astype(int),
+                        link_pd["link_id"].astype(int)))
+
+    links = sorted(ord_map)
+    parent = {}
+    for l in links:
+        td = down_map.get(l, -1)
+        if td >= 0 and td in link_map:
+            parent[l] = link_map[td]
+    # principal child per parent: (max strahler, min link id)
+    principal = {}
+    for child, par in parent.items():
+        cand = principal.get(par)
+        key = (-ord_map[child], child)
+        if cand is None or key < cand[0]:
+            principal[par] = (key, child)
+    principal_child = {par: c for par, ((_k0, _k1), c) in principal.items()}
+    horton = {}
+    for l in links:
+        cur = l
+        while parent.get(cur) is not None and \
+                principal_child.get(parent[cur]) == cur:
+            cur = parent[cur]
+        horton[l] = ord_map[cur]
+    href = ray.put(horton)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        hm = _cached_get(href)
+        lid = df["link_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "horton": np.array([hm[int(x)] for x in lid], np.int64)})
+
+    return link.map_batches(label, batch_format="pandas")
