@@ -888,3 +888,131 @@ def horton_order(sf_dir: str):
             "horton": np.array([hm[int(x)] for x in lid], np.int64)})
 
     return link.map_batches(label, batch_format="pandas")
+
+
+def _tributary_sql() -> str:
+    """Tributary id = the farthest-downstream link of each link's principal
+    chain (the main stem's outlet link labels the whole stem; every
+    tributary starts a new id at its junction)."""
+    base = _horton_sql()
+    head, _sep, _tail = base.rpartition("SELECT lk.cell_id")
+    return head + """SELECT lk.cell_id, CAST(ho2.trib AS BIGINT) AS tributary
+    FROM link lk JOIN (
+      SELECT h.l AS link_id, h.cur AS trib FROM hwalk h
+      WHERE NOT EXISTS (SELECT 1 FROM principal pr WHERE pr.child = h.cur)
+    ) ho2 ON ho2.link_id = lk.link_id
+    """
+
+
+@query("tributary_id", _tributary_sql())
+def tributary_id(sf_dir: str):
+    """TributaryIdentifier (stream_network_analysis/tributary_id.rs): label
+    every stream cell with its tributary — the outlet link of the principal
+    chain its link belongs to (main stems keep one id source-to-outlet,
+    tributaries start new ids at their junctions). Shares the link-graph
+    machinery of horton_order."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import strahler_pregel
+    from .queries_raster import stream_link_id
+
+    link = stream_link_id(sf_dir).materialize()
+    strahler = strahler_pregel(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
+    lids = link.map_batches(
+        lambda df: pd.DataFrame({"cell_id": np.unique(df["link_id"]
+                                                      .to_numpy(np.int64))}),
+        batch_format="pandas")
+    lattr = lids.join(strahler, join_type="inner", num_partitions=4,
+                      on=("cell_id",)).to_pandas()
+    ord_map = dict(zip(lattr["cell_id"].astype(int),
+                       lattr["strahler"].astype(int)))
+    down_pd = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).map_batches(
+        lambda df: df[["cell_id", "down_id"]], batch_format="pandas").to_pandas()
+    down_map = dict(zip(down_pd["cell_id"].astype(int),
+                        down_pd["down_id"].astype(int)))
+    link_pd = link.to_pandas()
+    link_map = dict(zip(link_pd["cell_id"].astype(int),
+                        link_pd["link_id"].astype(int)))
+    links = sorted(ord_map)
+    parent = {}
+    for l in links:
+        td = down_map.get(l, -1)
+        if td >= 0 and td in link_map:
+            parent[l] = link_map[td]
+    principal = {}
+    for child, par in parent.items():
+        key = (-ord_map[child], child)
+        cand = principal.get(par)
+        if cand is None or key < cand[0]:
+            principal[par] = (key, child)
+    principal_child = {par: c for par, (_k, c) in principal.items()}
+    trib = {}
+    for l in links:
+        cur = l
+        while parent.get(cur) is not None and \
+                principal_child.get(parent[cur]) == cur:
+            cur = parent[cur]
+        trib[l] = cur
+    tref = ray.put(trib)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        tm = _cached_get(tref)
+        lid = df["link_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "tributary": np.array([tm[int(x)] for x in lid], np.int64)})
+
+    return link.map_batches(label, batch_format="pandas")
+
+
+@query(
+    "long_profile",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    stream AS MATERIALIZED (SELECT cell_id FROM acc WHERE acc >= {{T}}),
+    {{WALKU}}
+    SELECT s.cell_id, lu.len_units, CAST(c.v AS BIGINT) AS z
+    FROM stream s
+    JOIN (SELECT start, MAX(units) AS len_units FROM walku GROUP BY start) lu
+      ON lu.start = s.cell_id
+    JOIN cells c ON c.cell_id = s.cell_id
+    """.replace("{T}", str(STREAM_ACC_T)).replace("{WALKU}", _WALK_UNITS_CTE),
+)
+def long_profile(sf_dir: str):
+    """LongProfile (stream_network_analysis/long_profile.rs): per stream
+    cell the downslope flowpath distance to the outlet (fixed-point units)
+    and the surface elevation — the (distance, elevation) pairs a long
+    profile plots. Composition: stream mask JOIN flowpath lengths."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import ShardedGraph
+
+    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).materialize()
+    with ShardedGraph(dds, GRID1) as g:
+        acc = g.accumulation()
+        lens = g.flowpath_length()
+    scells = acc.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df.loc[df["acc"] >= STREAM_ACC_T,
+                                                   "cell_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = scells.join(lens, join_type="inner", num_partitions=8, on=("cell_id",))
+
+    def addz(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        return pd.DataFrame({"cell_id": cid,
+                             "len_units": df["len_units"].astype(np.int64),
+                             "z": _value_fn(cid).astype(np.int64)})
+
+    return j.map_batches(addz, batch_format="pandas")
