@@ -1102,3 +1102,50 @@ def near_dup_clusters(sf_dir: str):
         rows.extend((d, keeper) for d in members)
     rows.sort()
     return pd.DataFrame(rows, columns=["doc_id", "cluster"]).astype(np.int64)
+
+
+def _media_payload_sql(n: int = 2000, seed: int = 42) -> str:
+    """The synthetic media payload is a splitmix64 byte stream, so its head
+    word is SQL-recomputable — a hash-green check that opaque binary columns
+    survive the whole Ray path byte-exact."""
+    from .sqlgen import add64, sm64
+
+    h = sm64(add64("CAST(t.i AS UBIGINT)", str(seed)))
+    return f"""
+    WITH m AS (SELECT CAST(t.i AS BIGINT) AS item_id, {h} AS h
+               FROM range({n}) t(i))
+    SELECT item_id,
+           CASE CAST(h % 3 AS BIGINT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(4096 AS BIGINT) AS payload_len,
+           CAST(CASE WHEN {sm64('h')} < 9223372036854775808
+                     THEN {sm64('h')}
+                     ELSE CAST({sm64('h')} AS HUGEINT) - 18446744073709551616
+                END AS BIGINT) AS head_u64
+    FROM m
+    """
+
+
+@query("media_payload_check", _media_payload_sql())
+def media_payload_check(sf_dir: str):
+    """Multimodal binary-column integrity: ship the opaque payload through
+    Ray batches and report (length, head word) per item — the SQL oracle
+    regenerates the expected bytes from splitmix64, so ANY corruption of the
+    binary column in the object store / Arrow conversions flips the hash.
+    The decode boundary stays stubbed (stages/multimodal.py); this checks
+    the plumbing the driver mandate asks for."""
+    import ray.data
+
+    from ..stages.multimodal import synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(2000))
+
+    def stats(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        heads = np.array([np.frombuffer(p[:8], "<u8")[0] for p in payloads],
+                         np.uint64).view(np.int64)
+        lens = np.array([len(p) for p in payloads], np.int64)
+        return pa.table({"item_id": t["item_id"], "media_type": t["media_type"],
+                         "payload_len": lens, "head_u64": heads})
+
+    return media.map_batches(stats, batch_format="pyarrow", batch_size=256)
