@@ -1315,3 +1315,111 @@ def viewshed(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return tiles.map_batches(los, batch_format="pandas")
+
+
+@query(
+    "num_up_down_neighbours",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union(_RING8)})
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN v < cv THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(SUM(CASE WHEN v > cv THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+    FROM nb GROUP BY cell_id
+    """,
+)
+def num_up_down_neighbours(sf_dir: str):
+    """NumDownslopeNeighbours + NumUpslopeNeighbours (terrain_analysis/
+    num_{down,up}slope_neighbours.rs): per cell the count of strictly lower
+    / higher 8-neighbours — one stencil pass, integer-exact."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        nd = np.zeros((nr, nc), np.int64)
+        nu = np.zeros((nr, nc), np.int64)
+        for dr, dc in _RING8:
+            w = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            ok = ~np.isnan(w)
+            nd += (ok & (w < z)).astype(np.int64)
+            nu += (ok & (w > z)).astype(np.int64)
+        return {"n_down": nd, "n_up": nu}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "n_down": df["n_down"].astype(np.int64),
+                                 "n_up": df["n_up"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "downslope_elev_change",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union(_RING8)})
+    SELECT cell_id,
+           CAST(MAX(CASE WHEN v < cv THEN cv - v ELSE 0 END) AS BIGINT) AS max_drop,
+           CAST(MIN(CASE WHEN v < cv THEN cv - v ELSE NULL END) AS BIGINT) AS min_drop
+    FROM nb GROUP BY cell_id
+    HAVING SUM(CASE WHEN v < cv THEN 1 ELSE 0 END) > 0
+    """,
+)
+def downslope_elev_change(sf_dir: str):
+    """MaxDownslopeElevChange + MinDownslopeElevChange (terrain_analysis/
+    {max,min}_downslope_elev_change.rs): the largest/smallest positive drop
+    to an 8-neighbour; cells with no downslope neighbour (pits/flats) are
+    nodata (absent)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        mx = np.zeros((nr, nc))
+        mn = np.full((nr, nc), np.inf)
+        any_down = np.zeros((nr, nc), bool)
+        for dr, dc in _RING8:
+            w = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            down = ~np.isnan(w) & (w < z)
+            drop = np.where(down, z - w, 0.0)
+            mx = np.maximum(mx, drop)
+            mn = np.where(down, np.minimum(mn, drop), mn)
+            any_down |= down
+        return {"max_drop": np.where(any_down, mx, np.nan),
+                "min_drop": np.where(any_down, mn, np.nan)}
+
+    out = stencil_3x3(tiles, GRID1, kern)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"cell_id": df.loc[np.isfinite(df["max_drop"]), "cell_id"].astype(np.int64),
+             "max_drop": df.loc[np.isfinite(df["max_drop"]), "max_drop"].astype(np.int64),
+             "min_drop": df.loc[np.isfinite(df["max_drop"]), "min_drop"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "hypsometric_cdf",
+    f"""
+    WITH {_CELLS_CTE},
+    h AS (SELECT CAST(v // 100 AS BIGINT) AS band, COUNT(*) AS n
+          FROM cells GROUP BY band)
+    SELECT band, n, CAST(SUM(n) OVER (ORDER BY band) AS BIGINT) AS cum_cells
+    FROM h
+    """,
+)
+def hypsometric_cdf(sf_dir: str):
+    """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs): the
+    elevation-band area CDF (band = v // 100) — per-tile partial histograms
+    merged, cumulative sum over the tiny band table driver-side."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            b = np.asarray(t.data, np.int64) // 100
+            vals, cnts = np.unique(b, return_counts=True)
+            frames.append(pd.DataFrame({"band": vals, "n": cnts.astype(np.int64)}))
+        return pd.concat(frames)
+
+    hist = partial_agg(tiles.map_batches(part, batch_format="pandas"), ["band"],
+                       [("n", "sum", "n")]).to_pandas().sort_values("band")
+    hist["cum_cells"] = hist["n"].cumsum()
+    return hist.reset_index(drop=True)

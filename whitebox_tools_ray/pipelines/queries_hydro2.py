@@ -1016,3 +1016,26 @@ def long_profile(sf_dir: str):
                              "z": _value_fn(cid).astype(np.int64)})
 
     return j.map_batches(addz, batch_format="pandas")
+
+
+@query("depth_in_sink")
+def depth_in_sink(sf_dir: str):
+    """DepthInSink (hydro_analysis/depth_in_sink.rs): fill elevation minus
+    surface elevation per cell (0 outside depressions) — pure composition of
+    the priority-flood fill stage. Rows-only (fill is iterative); the fill
+    itself is brute-force verified in tests/test_flow.py."""
+    from ..stages.pregel import fill_depressions_pregel
+
+    def z_fn(cids: np.ndarray) -> np.ndarray:
+        cids = np.asarray(cids, np.int64)
+        return ((cids * 2654435761) % 1000003).astype(np.int64)
+
+    fill = fill_depressions_pregel(z_fn, GRID1)
+
+    def depth(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": cid,
+            "depth": df["fill"].to_numpy(np.int64) - z_fn(cid)})
+
+    return fill.map_batches(depth, batch_format="pandas")
