@@ -451,3 +451,44 @@ def test_dinf_hand_computed_facet():
     e1, e2, w1v, w2v = Plain.dinf_targets_vec(stub, z_vec, np.array([4]))
     assert (int(e1[0]), int(w1v[0])) == (5, w1)
     assert (int(e2[0]), int(w2v[0])) == (2, w2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flow_accum_full_workflow_dense_oracle():
+    """fill -> D8-on-filled -> accumulation, end to end, vs a dense
+    composition of the same three contracts."""
+    from whitebox_tools_ray.layers import GRID1
+    from whitebox_tools_ray.pipelines.queries_hydro2 import flow_accum_full_workflow
+
+    got = flow_accum_full_workflow("unused").to_pandas().sort_values("cell_id")
+    rows, cols = GRID1.rows, GRID1.cols
+    n = rows * cols
+    cells = np.arange(n, dtype=np.int64)
+    z = ((cells * 2654435761) % 1000003).astype(np.int64)
+    filled = brute_priority_flood(z, rows, cols)
+
+    # dense D8 on the filled surface (strict descent, first-max-wins)
+    from whitebox_tools_ray.hydrodefs import _D8_DX, _D8_DY, _d8_len
+
+    zf = filled.reshape(rows, cols).astype(np.float64)
+    down = np.full(n, -1, np.int64)
+    for cell in range(n):
+        r, c = divmod(cell, cols)
+        best = -np.inf
+        for i in range(8):
+            rr, cc = r + _D8_DY[i], c + _D8_DX[i]
+            if not (0 <= rr < rows and 0 <= cc < cols):
+                continue
+            s = (zf[r, c] - zf[rr, cc]) / _d8_len(i)
+            if s > 0 and s > best:
+                best = s
+                down[cell] = rr * cols + cc
+    # dense accumulation: counts of cells draining through each cell
+    acc = np.ones(n, np.int64)
+    order = np.argsort(-filled, kind="stable")  # high to low: safe topo order
+    for cell in order:
+        d = down[cell]
+        if d >= 0:
+            acc[d] += acc[cell]
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
+    np.testing.assert_array_equal(got["acc"].to_numpy(), acc)

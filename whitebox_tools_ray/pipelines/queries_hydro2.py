@@ -1039,3 +1039,71 @@ def depth_in_sink(sf_dir: str):
             "depth": df["fill"].to_numpy(np.int64) - z_fn(cid)})
 
     return fill.map_batches(depth, batch_format="pandas")
+
+
+@query("flow_accum_full_workflow")
+def flow_accum_full_workflow(sf_dir: str):
+    """FlowAccumulationFullWorkflow (hydro_analysis/flow_accumulation_full_
+    workflow.rs): the canonical DEM chain — priority-flood fill -> D8
+    pointers over the FILLED surface -> accumulation — composed from three
+    verified stages. Filled flats keep no strict descent and drain nowhere
+    (the reference's flat-resolution increment is off — documented variant).
+    Rows-only; dense end-to-end oracle in tests/test_flow.py."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import fill_depressions_pregel, flow_accumulation_pregel
+    from ..stages.raster import stencil_3x3
+
+    def z_fn(cids: np.ndarray) -> np.ndarray:
+        cids = np.asarray(cids, np.int64)
+        return ((cids * 2654435761) % 1000003).astype(np.int64)
+
+    fill = fill_depressions_pregel(z_fn, GRID1)
+
+    # rows -> tile tensors (the filled surface is data, not a pure function)
+    tile = 64
+    tcols = -(-GRID1.cols // tile)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": cid, "fill": df["fill"].to_numpy(np.int64),
+            "tile_id": (cid // GRID1.cols // tile) * tcols
+            + (cid % GRID1.cols // tile)})
+
+    def build_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // tcols, tid % tcols
+        r0, c0 = tr * tile, tc * tile
+        nr = min(tile, GRID1.rows - r0)
+        nc = min(tile, GRID1.cols - c0)
+        cid = g["cell_id"].to_numpy(np.int64)
+        arr = np.empty(nr * nc)
+        idx = (cid // GRID1.cols - r0) * nc + (cid % GRID1.cols - c0)
+        arr[idx] = g["fill"].to_numpy(np.float64)
+        return pd.DataFrame([{"tile_id": tid, "trow": tr, "tcol": tc,
+                              "nrows": nr, "ncols": nc, "data": arr}])
+
+    tiles = fill.map_batches(tag, batch_format="pandas") \
+        .groupby("tile_id").map_groups(build_tile, batch_format="pandas")
+
+    from ..hydrodefs import _D8_DX, _D8_DY, _d8_len
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded[1:nr + 1, 1:nc + 1]
+        best_slope = np.full((nr, nc), -np.inf)
+        code = np.zeros((nr, nc), np.int64)
+        for i in range(8):
+            zn = padded[1 + _D8_DY[i]:1 + _D8_DY[i] + nr,
+                        1 + _D8_DX[i]:1 + _D8_DX[i] + nc]
+            slope = (z - zn) / _d8_len(i)
+            ok = ~np.isnan(zn) & (slope > 0) & (slope > best_slope)
+            best_slope = np.where(ok, slope, best_slope)
+            code = np.where(ok, np.int64(1 << i), code)
+        return {"d8": code}
+
+    pointer = stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "d8": df["d8"].astype(np.int64)}),
+        batch_format="pandas")
+    return flow_accumulation_pregel(
+        down_ds_from_pointer(pointer, GRID1), GRID1)
