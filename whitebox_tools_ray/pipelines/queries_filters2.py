@@ -1423,3 +1423,57 @@ def hypsometric_cdf(sf_dir: str):
                        [("n", "sum", "n")]).to_pandas().sort_values("band")
     hist["cum_cells"] = hist["n"].cumsum()
     return hist.reset_index(drop=True)
+
+
+KNM_K = 5
+
+
+@query(
+    "k_nearest_mean_filter",
+    f"""
+    WITH {_CELLS_CTE},
+    nb AS ({_nb_union(_ALL9)}),
+    ranked AS (
+      SELECT cell_id, v,
+             row_number() OVER (PARTITION BY cell_id
+                                ORDER BY abs(v - cv), v, dr, dc) AS rn
+      FROM nb
+    )
+    SELECT cell_id, CAST(SUM(v) AS BIGINT) AS ksum, COUNT(*) AS kn
+    FROM ranked WHERE rn <= {KNM_K} GROUP BY cell_id
+    """,
+)
+def k_nearest_mean_filter(sf_dir: str):
+    """KNearestMeanFilter (image_analysis/k_nearest_mean_filter.rs, k=5):
+    mean of the k window values closest IN VALUE to the centre — ties break
+    deterministically on (|v - centre|, v, dr, dc), identical lexicographic
+    order on both sides. Integer contract (ksum, kn)."""
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        centre = padded[1:nr + 1, 1:nc + 1]
+        vals = np.stack([padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+                         for dr, dc in _ALL9], axis=2)          # (nr, nc, 9)
+        drs = np.array([dr for dr, _ in _ALL9])
+        dcs = np.array([dc for _, dc in _ALL9])
+        absd = np.abs(vals - centre[:, :, None])
+        missing = np.isnan(vals)
+        # lexicographic (absd, v, dr, dc) via a packed integer key; values
+        # are 0..999 ints, offsets in -1..1 — all fields fit their slots
+        key = (np.where(missing, np.int64(1 << 40),
+                        absd.astype(np.int64) * (1 << 20)
+                        + np.nan_to_num(vals).astype(np.int64) * (1 << 10))
+               + (drs[None, None, :] + 1) * (1 << 5)
+               + (dcs[None, None, :] + 1))
+        order = np.argsort(key, axis=2, kind="stable")[:, :, :KNM_K]
+        picked = np.take_along_axis(vals, order, axis=2)
+        pkey = np.take_along_axis(key, order, axis=2)
+        ok = pkey < (1 << 40)
+        return {"ksum": np.where(ok, np.nan_to_num(picked), 0.0).sum(axis=2),
+                "kn": ok.sum(axis=2)}
+
+    return stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "ksum": df["ksum"].astype(np.int64),
+                                 "kn": df["kn"].astype(np.int64)}),
+        batch_format="pandas")
