@@ -1107,3 +1107,77 @@ def flow_accum_full_workflow(sf_dir: str):
         batch_format="pandas")
     return flow_accumulation_pregel(
         down_ds_from_pointer(pointer, GRID1), GRID1)
+
+
+@query(
+    "stream_power_components",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    nbz AS (
+      {" UNION ALL ".join(
+        f"SELECT a.cell_id, CAST({dr} AS BIGINT) AS dr, CAST({dc} AS BIGINT) AS dc, b.v "
+        f"FROM cells a JOIN cells b ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1))}
+    ),
+    horn AS (
+      SELECT cell_id,
+        CAST(SUM(CASE WHEN dc = 1 THEN (CASE WHEN dr = 0 THEN 2 ELSE 1 END) * v
+                      WHEN dc = -1 THEN -(CASE WHEN dr = 0 THEN 2 ELSE 1 END) * v
+                      ELSE 0 END) AS BIGINT) AS gx8,
+        CAST(SUM(CASE WHEN dr = 1 THEN (CASE WHEN dc = 0 THEN 2 ELSE 1 END) * v
+                      WHEN dr = -1 THEN -(CASE WHEN dc = 0 THEN 2 ELSE 1 END) * v
+                      ELSE 0 END) AS BIGINT) AS gy8
+      FROM nbz GROUP BY cell_id HAVING COUNT(*) = 9
+    )
+    SELECT h.cell_id, CAST(a.acc AS BIGINT) AS acc, h.gx8, h.gy8
+    FROM horn h JOIN acc a ON a.cell_id = h.cell_id
+    """,
+)
+def stream_power_components(sf_dir: str):
+    """StreamPowerIndex / SedimentTransportIndex (terrain_analysis/
+    {stream_power_index,sediment_transport_index}.rs): the exact integer
+    sufficient statistics — upslope area (D8 accumulation) + Horn gradient
+    numerators per interior cell; SPI = As*tan(slope) and STI's exponent
+    forms follow driver-side in float. One accumulation run joined to one
+    stencil pass."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import flow_accumulation_pregel
+    from ..stages.raster import stencil_3x3, synth_raster_tiles
+
+    acc = flow_accumulation_pregel(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]; i = z[2:nr + 2, 2:nc + 2]
+        gx8 = (c + 2 * f + i) - (a + 2 * d + g)
+        gy8 = (g + 2 * h + i) - (a + 2 * b + c)
+        return {"gx8": gx8, "gy8": gy8}
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    horn = stencil_3x3(tiles, GRID1, kern).map_batches(
+        lambda df: pd.DataFrame(
+            {"cell_id": df.loc[np.isfinite(df["gx8"]), "cell_id"].astype(np.int64),
+             "gx8": df.loc[np.isfinite(df["gx8"]), "gx8"].astype(np.int64),
+             "gy8": df.loc[np.isfinite(df["gx8"]), "gy8"].astype(np.int64)}),
+        batch_format="pandas")
+    j = horn.join(acc, join_type="inner", num_partitions=8, on=("cell_id",))
+    return j.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
+                                 "acc": df["acc"].astype(np.int64),
+                                 "gx8": df["gx8"].astype(np.int64),
+                                 "gy8": df["gy8"].astype(np.int64)}),
+        batch_format="pandas")
