@@ -377,3 +377,4 @@ from . import queries_hydro2  # noqa: E402,F401
 from . import queries_vector2  # noqa: E402,F401
 from . import queries_overlay2  # noqa: E402,F401
 from . import queries_mathops  # noqa: E402,F401
+from . import queries_filters3  # noqa: E402,F401
