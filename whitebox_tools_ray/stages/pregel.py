@@ -1305,6 +1305,47 @@ def shreve_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
         _teardown(shards)
 
 
+def weighted_accumulation_pregel(down_ds: ray.data.Dataset,
+                                 masses_ds: ray.data.Dataset, grid: GridSpec,
+                                 *, tile: int = 64, n_shards: int = 8,
+                                 max_rounds: int = 256) -> ray.data.Dataset:
+    """Dataset (cell_id, acc): sum of caller-supplied int64 masses over the
+    upstream-or-equal cells of each cell — the flow-accumulation level drain
+    with custom initial masses (shreve_pregel generalized; e.g. total
+    upstream channel length = masses set to each cell's summed incoming
+    stream-edge hop lengths). ``masses_ds`` must carry (cell_id, tile, mass)
+    and COVER every graph cell (mass 0 rows included) so every shard
+    receives a load call and none falls back to the count-accumulation
+    default masses."""
+    shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        masses = masses_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "cell_id": df["cell_id"].to_numpy(np.int64),
+                "mass": df["mass"].to_numpy(np.int64),
+                "shard": df["tile"].to_numpy(np.int64) % n_shards}),
+            batch_format="pandas")
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            sid = int(g["shard"].iloc[0])
+            actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
+            ray.get(actor.acc_load_masses.remote(g[["cell_id", "mass"]]))
+            return pd.DataFrame({"n": [len(g)]})
+
+        masses.groupby("shard").map_groups(push, batch_format="pandas").count()
+        outs = ray.get([s.acc_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.acc_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize()
+            outs = ray.get([s.acc_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("weighted accumulation did not converge (cycle?)")
+    finally:
+        _teardown(shards)
+
+
 def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
                             tile: int = 64, n_shards: int = 8,
                             max_rounds: int = 512) -> ray.data.Dataset:
