@@ -379,3 +379,4 @@ from . import queries_overlay2  # noqa: E402,F401
 from . import queries_mathops  # noqa: E402,F401
 from . import queries_filters3  # noqa: E402,F401
 from . import queries_stream2  # noqa: E402,F401
+from . import queries_text2  # noqa: E402,F401

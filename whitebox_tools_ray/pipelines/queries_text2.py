@@ -1,0 +1,182 @@
+"""Web-scale training-data quality ops #2: Gopher-style repetition signals
+and benchmark-contamination screening over the documents corpus.
+
+Both are the canonical LLM-corpus filters published for web-text pipelines
+(Gopher/MassiveText repetition thresholds; n-gram overlap decontamination vs
+held-out eval sets). Integer contracts: counts only, ratio thresholds left
+to consumers, so the DuckDB oracles are exact. Token semantics shared with
+the dedup family (any-whitespace str.split(); FNV-1a token hashes;
+polynomial word-k-gram shingles — sqlgen reproduces each bit-for-bit)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..relational import partial_agg  # noqa: F401 (registry import pattern)
+from ..sources.tables import read_table
+from .queries import query
+from .sqlgen import add64, fnv_tokens_cte, mul64, tok_rows_cte
+
+# contamination screen: word-8-gram overlap against the deterministic
+# held-out slice doc_id % EVAL_MOD == 0 (the "benchmark" docs)
+CONTAM_K = 8
+EVAL_MOD = 97
+
+
+@query(
+    "doc_repetition_signals",
+    f"""
+    WITH {tok_rows_cte()},
+    big AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+      FROM tok_rows a
+      JOIN tok_rows b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    tri AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      FROM tok_rows a
+      JOIN tok_rows b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tok_rows c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    bg AS (
+      SELECT doc_id, SUM(cnt) AS n, MAX(cnt) AS top_n
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM tri GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(bg.n, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(bg.top_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(tg.n, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(tg.n - tg.nd, 0) AS BIGINT) AS dup_trigram_n
+    FROM documents d
+    LEFT JOIN bg ON bg.doc_id = d.doc_id
+    LEFT JOIN tg ON tg.doc_id = d.doc_id
+    """,
+)
+def doc_repetition_signals(sf_dir: str):
+    """Gopher/MassiveText repetition quality signals, integer sufficient
+    statistics per document: total and most-frequent word-bigram counts
+    (top-2-gram fraction = top_bigram_n / n_bigrams) and duplicated-trigram
+    occurrences (dup fraction = dup_trigram_n / n_trigrams). One vectorized
+    pandas pass: explode tokens with positions, shift-join n-grams inside
+    the batch, grouped counts — no shuffle (per-doc signals only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), n)
+        flat = pd.DataFrame({"doc": doc, "tok": np.concatenate(
+            [np.asarray(t, object) for t in toks]) if len(df) else
+            np.empty(0, object)})
+        # within-doc shifts: last rows of each doc masked out
+        t1 = flat["tok"].shift(-1)
+        t2 = flat["tok"].shift(-2)
+        same1 = flat["doc"].shift(-1) == flat["doc"]
+        same2 = flat["doc"].shift(-2) == flat["doc"]
+        bg = pd.DataFrame({"doc": flat["doc"], "g": flat["tok"] + " " + t1})[same1]
+        tg = pd.DataFrame({"doc": flat["doc"],
+                           "g": flat["tok"] + " " + t1 + " " + t2})[same2]
+        bc = bg.groupby(["doc", "g"]).size().groupby("doc").agg(["sum", "max"])
+        tc = tg.groupby(["doc", "g"]).size().groupby("doc").agg(["sum", "count"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)})
+        out = out.merge(bc.rename(columns={"sum": "n_bigrams",
+                                           "max": "top_bigram_n"}),
+                        left_on="doc_id", right_index=True, how="left")
+        out = out.merge(tc.rename(columns={"sum": "n_trigrams",
+                                           "count": "nd"}),
+                        left_on="doc_id", right_index=True, how="left")
+        for c in ["n_bigrams", "top_bigram_n", "n_trigrams", "nd"]:
+            out[c] = out[c].fillna(0).astype(np.int64)
+        out["dup_trigram_n"] = out["n_trigrams"] - out["nd"]
+        return out[["doc_id", "n_bigrams", "top_bigram_n", "n_trigrams",
+                    "dup_trigram_n"]]
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def _contamination_sql() -> str:
+    """Word-8-gram polynomial shingles (same FNV token hashes and nested
+    mul-add fold as functions/dedup.shingle_hashes) recomputed in DuckDB;
+    eval grams = the distinct shingles of the doc_id % EVAL_MOD == 0 docs."""
+    sh = "f0.h"
+    for j in range(1, CONTAM_K):
+        sh = add64(mul64(sh, "1099511628211"), f"f{j}.h")
+    joins = "\n      ".join(
+        f"JOIN tok_rows t{j} ON t{j}.doc_id = t0.doc_id "
+        f"AND t{j}.pos = t0.pos + {j}\n      "
+        f"JOIN tok_fnv f{j} ON f{j}.tok = t{j}.tok"
+        for j in range(1, CONTAM_K))
+    return f"""
+    WITH RECURSIVE {fnv_tokens_cte()},
+    sh_rows AS (
+      SELECT t0.doc_id, {sh} AS s
+      FROM tok_rows t0
+      JOIN tok_fnv f0 ON f0.tok = t0.tok
+      {joins}
+    ),
+    shingles AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh_rows),
+    evalg AS MATERIALIZED (
+      SELECT DISTINCT s FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM shingles s LEFT JOIN evalg e ON e.s = s.s
+    WHERE s.doc_id % {EVAL_MOD} <> 0
+    GROUP BY s.doc_id
+    """
+
+
+@query("benchmark_contamination", _contamination_sql())
+def benchmark_contamination(sf_dir: str):
+    """Benchmark-decontamination screen: per non-eval document the number of
+    distinct word-8-grams shared with the held-out eval slice (doc_id %
+    EVAL_MOD == 0) — the standard exact-overlap test run before training on
+    web text. Plan: eval docs are a tiny deterministic slice, so their gram
+    set is built once and broadcast (ray.put) — a per-batch sorted-array
+    membership probe, never a shuffle join against the corpus. Corpus
+    invariant: every document has >= 8 tokens (min observed: 10)."""
+    from ..functions.dedup import shingle_hashes
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"].to_numpy(np.int64) % EVAL_MOD == 0
+        gs = [shingle_hashes(t, CONTAM_K) for t in df.loc[m, "text"]]
+        flat = np.unique(np.concatenate(gs)) if gs else np.empty(0, np.uint64)
+        return pd.DataFrame({"g": flat.astype(np.uint64)})
+
+    eg = ds.map_batches(eval_grams, batch_format="pandas").to_pandas()
+    eval_set = np.unique(eg["g"].to_numpy(np.uint64))
+    eref = ray.put(eval_set)
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ev = _cached_get(eref)
+        did = df["doc_id"].to_numpy(np.int64)
+        m = did % EVAL_MOD != 0
+        rows = []
+        for d, t in zip(did[m], df.loc[m, "text"]):
+            sh = shingle_hashes(t, CONTAM_K)
+            if len(ev):
+                pos = np.minimum(np.searchsorted(ev, sh), len(ev) - 1)
+                hit = int((ev[pos] == sh).sum())
+            else:
+                hit = 0
+            rows.append((d, len(sh), hit))
+        return pd.DataFrame(rows, columns=["doc_id", "n_grams",
+                                           "n_contaminated"]) \
+            .astype({"doc_id": np.int64, "n_grams": np.int64,
+                     "n_contaminated": np.int64})
+
+    return ds.map_batches(screen, batch_format="pandas")

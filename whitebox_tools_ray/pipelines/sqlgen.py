@@ -77,6 +77,24 @@ def synth_segments_cte(n: int, seed: int = 42) -> str:
     """
 
 
+def tok_rows_cte(source_cte: str = "documents") -> str:
+    """CTE ``tok_rows(doc_id, pos, tok)``: every whitespace token of
+    ``documents.text`` with its 1-based position — any-whitespace split with
+    empty-token filtering + renumbering, matching Python str.split() exactly
+    (string_split(text, ' ') would keep empty tokens on consecutive spaces
+    and miss tabs/newlines — round-2 ADVICE)."""
+    return rf"""
+    tok_rows AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY r.i) AS BIGINT) AS pos,
+             ts[CAST(r.i AS INT)] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM {source_cte}),
+           UNNEST(range(1, len(ts) + 1)) r(i)
+      WHERE ts[CAST(r.i AS INT)] <> ''
+    )
+    """
+
+
 def fnv_tokens_cte(source_cte: str = "documents") -> str:
     """CTEs computing FNV-1a 64-bit hashes of every whitespace token of
     ``documents.text`` — bit-exact vs functions/dedup.hash_token (ASCII
@@ -87,18 +105,8 @@ def fnv_tokens_cte(source_cte: str = "documents") -> str:
     """
     step_h = mul64(xor64("h", "CAST(ord(substr(t.tok, f.i + 1, 1)) AS UBIGINT)"),
                    "1099511628211")
-    # any-whitespace split with empty-token filtering + renumbering, matching
-    # Python str.split() exactly (string_split(text, ' ') would keep empty
-    # tokens on consecutive spaces and miss tabs/newlines — round-2 ADVICE)
     return rf"""
-    tok_rows AS MATERIALIZED (
-      SELECT doc_id,
-             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY r.i) AS BIGINT) AS pos,
-             ts[CAST(r.i AS INT)] AS tok
-      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts FROM {source_cte}),
-           UNNEST(range(1, len(ts) + 1)) r(i)
-      WHERE ts[CAST(r.i AS INT)] <> ''
-    ),
+    {tok_rows_cte(source_cte)},
     toks AS (SELECT DISTINCT tok FROM tok_rows),
     fnv_iter(tok, i, h) AS (
       SELECT tok, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
