@@ -10,54 +10,15 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import STREAM_ACC_T, _GRAPH_CTES, _WALK_UNITS_CTE
+from ..hydrodefs import (STREAM_ACC_T, _GRAPH_CTES, _LINK_CTES, _STREAM_CTES,
+                         _WALK_UNITS_CTE, _d8_pointer, _dest_in_stream,
+                         _stream_cut_graphs)
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
 
 
-def _d8_pointer(sf_dir: str):
-    # lazy: queries_raster must not be imported at module scope (cycle via
-    # pipelines.queries when a worker deserializes a closure from here)
-    from .queries_raster import d8_pointer
 
-    return d8_pointer(sf_dir)
-
-# acc + stream mask CTEs (shared by the to-stream family; same construction
-# as the stream_link_id oracle)
-_STREAM_CTES = f"""
-    walk(start, cur) AS (
-      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
-      UNION ALL
-      SELECT w.start, g.down_id FROM walk w
-      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
-    ),
-    acc AS MATERIALIZED (
-      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
-      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
-        ON p.cur = g.cell_id
-    ),
-    stream AS MATERIALIZED (SELECT cell_id FROM acc WHERE acc >= {STREAM_ACC_T}),
-    -- pointer table CUT at stream cells, exactly like the Python side; a
-    -- NOT EXISTS inside the recursive term is unreliable in DuckDB 1.0 (the
-    -- stop condition silently drops under some outer-query plans)
-    graph2 AS MATERIALIZED (
-      SELECT g.cell_id, CASE WHEN s.cell_id IS NOT NULL THEN CAST(-1 AS BIGINT)
-                             ELSE g.down_id END AS down_id
-      FROM graph g LEFT JOIN stream s ON s.cell_id = g.cell_id
-    ),
-    walk2(start, cur, units) AS (
-      SELECT cell_id, cell_id, CAST(0 AS BIGINT) FROM graph2
-      UNION ALL
-      SELECT w.start, g.down_id,
-             w.units + CASE WHEN (w.cur // {GRID1.cols}) <> (g.down_id // {GRID1.cols})
-                    AND (w.cur % {GRID1.cols}) <> (g.down_id % {GRID1.cols})
-                    THEN {int(np.floor(1.4142135623730951 * (1 << 20) + 0.5))}
-                    ELSE {1 << 20} END
-      FROM walk2 w JOIN graph2 g ON g.cell_id = w.cur
-      WHERE g.down_id >= 0
-    )
-"""
 
 
 @query(
@@ -80,59 +41,8 @@ def max_upslope_flowpath(sf_dir: str):
     return max_upslope_pregel(down_ds_from_pointer(_d8_pointer(sf_dir), GRID1), GRID1)
 
 
-def _stream_cut_graphs(sf_dir: str):
-    """(modified down_ds, stream ids ref): the D8 pointer table with stream
-    cells (accumulation >= STREAM_ACC_T) converted to terminals — the shared
-    prep for the to-stream distance/elevation family."""
-    from ..stages.flow import down_ds_from_pointer
-    from ..stages.pregel import flow_accumulation_pregel
-
-    dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).materialize()
-    acc = flow_accumulation_pregel(dds, GRID1)
-    scells = acc.map_batches(
-        lambda df: pd.DataFrame({"k": df.loc[df["acc"] >= STREAM_ACC_T, "cell_id"]
-                                 .to_numpy(np.int64)}),
-        batch_format="pandas").to_pandas()
-    stream_set = np.sort(scells["k"].to_numpy(np.int64))
-    sref = ray.put(stream_set)
-
-    def cut(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.spatial_join import _cached_get
-
-        ss = _cached_get(sref)
-        cid = df["cell_id"].to_numpy(np.int64)
-        if len(ss):
-            pos = np.minimum(np.searchsorted(ss, cid), len(ss) - 1)
-            is_stream = ss[pos] == cid
-        else:
-            is_stream = np.zeros(len(cid), bool)
-        return pd.DataFrame({
-            "cell_id": cid,
-            "down_id": np.where(is_stream, np.int64(-1),
-                                df["down_id"].to_numpy(np.int64)),
-            "tile": df["tile"].to_numpy(np.int64)})
-
-    return dds.map_batches(cut, batch_format="pandas"), sref
 
 
-def _dest_in_stream(dest, sref):
-    """(cell_id, dest) rows of a basins result whose chain ends at a stream
-    cell (others drain to a plain outlet -> reference nodata)."""
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.spatial_join import _cached_get
-
-        ss = _cached_get(sref)
-        d = df["basin"].to_numpy(np.int64)
-        if len(ss):
-            pos = np.minimum(np.searchsorted(ss, d), len(ss) - 1)
-            ok = ss[pos] == d
-        else:
-            ok = np.zeros(len(d), bool)
-        return pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64)[ok],
-                             "dest": d[ok]})
-
-    return dest.map_batches(keep, batch_format="pandas")
 
 
 @query(
@@ -235,37 +145,6 @@ def breach_depressions(sf_dir: str):
     return breach_depressions_ds(_breach_z, GRID1, max_dist=BREACH_MAX_DIST)
 
 
-_LINK_CTES = f"""
-    sgraph AS MATERIALIZED (
-      SELECT g.cell_id, g.down_id FROM graph g
-      JOIN stream s ON s.cell_id = g.cell_id
-    ),
-    s_indeg AS MATERIALIZED (
-      SELECT s.cell_id, COUNT(p.cell_id) AS n
-      FROM stream s LEFT JOIN sgraph p
-        ON p.down_id = s.cell_id
-      GROUP BY s.cell_id
-    ),
-    lgraph AS MATERIALIZED (
-      SELECT sg.cell_id,
-             CASE WHEN t.cell_id IS NOT NULL AND ti.n < 2 THEN sg.down_id
-                  ELSE -1 END AS nxt
-      FROM sgraph sg
-      LEFT JOIN stream t ON t.cell_id = sg.down_id
-      LEFT JOIN s_indeg ti ON ti.cell_id = sg.down_id
-    ),
-    chase(start, cur) AS (
-      SELECT cell_id, cell_id FROM lgraph
-      UNION ALL
-      SELECT c.start, l.nxt FROM chase c
-      JOIN lgraph l ON l.cell_id = c.cur WHERE l.nxt >= 0
-    ),
-    link AS MATERIALIZED (
-      SELECT c.start AS cell_id, c.cur AS link_id
-      FROM chase c JOIN lgraph l ON l.cell_id = c.cur
-      WHERE l.nxt < 0
-    )
-"""
 
 
 @query(

@@ -21,11 +21,11 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import _GRAPH_CTES, _HOP_DIAG, _HOP_STRAIGHT, _hop_sql
+from ..hydrodefs import (_GRAPH_CTES, _HOP_DIAG, _HOP_STRAIGHT, _LINK_CTES,
+                         _STREAM_CTES, _d8_pointer, _hop_sql)
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
-from .queries_hydro2 import _LINK_CTES, _STREAM_CTES, _d8_pointer
 
 # RemoveShortStreams minimum exterior-link length (fixed-point units):
 # 4 cardinal cell hops — removes some but not all headwater links on the
