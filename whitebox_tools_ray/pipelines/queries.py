@@ -380,3 +380,5 @@ from . import queries_mathops  # noqa: E402,F401
 from . import queries_filters3  # noqa: E402,F401
 from . import queries_stream2  # noqa: E402,F401
 from . import queries_text2  # noqa: E402,F401
+from . import queries_hydro3  # noqa: E402,F401
+from . import queries_mathops2  # noqa: E402,F401
