@@ -383,3 +383,4 @@ from . import queries_text2  # noqa: E402,F401
 from . import queries_hydro3  # noqa: E402,F401
 from . import queries_mathops2  # noqa: E402,F401
 from . import queries_image4  # noqa: E402,F401
+from . import queries_data2  # noqa: E402,F401

@@ -1,0 +1,104 @@
+"""Star-polygon fixture shared by queries_overlay / queries_data2 /
+queries_overlay2 (leaf module: worker closures entry-import the defining
+query modules, so shared fixtures must not live in a module that imports
+pipelines.queries — the hydrodefs.py rule). Bit-identical splitmix64 vertex
+trees on the numpy and SQL sides."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sources.synthetic import splitmix64
+from .pipelines.sqlgen import add64, sm64
+
+N_PAIRS = 200
+STAR_K = 12
+_SALT = 424243
+PROBE_N = 5  # 5x5 probe grid per pair
+
+# fixed unit directions — the SAME doubles go into numpy and into the SQL
+STAR_DIRS = [(float(np.cos(2.0 * np.pi * k / STAR_K)),
+              float(np.sin(2.0 * np.pi * k / STAR_K))) for k in range(STAR_K)]
+
+
+def _units(h: np.ndarray, off: int) -> np.ndarray:
+    return (splitmix64(h + np.uint64(off)) % np.uint64(1 << 30)) \
+        .astype(np.float64) / float(1 << 30)
+
+
+def star_rings(pair_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, K+1, 2) closed rings for A and B of each pair."""
+    h = splitmix64(pair_ids.astype(np.uint64) + np.uint64(_SALT))
+    h2 = splitmix64(h + np.uint64(999))
+    n = len(pair_ids)
+
+    def ring(hh, cx, cy):
+        out = np.empty((n, STAR_K + 1, 2))
+        for k in range(STAR_K):
+            u = _units(hh, 10 + k)
+            r = np.where(k % 2 == 0, 0.4 + u * 0.5, 1.2 + u * 0.8)
+            out[:, k, 0] = cx + STAR_DIRS[k][0] * r
+            out[:, k, 1] = cy + STAR_DIRS[k][1] * r
+        out[:, STAR_K] = out[:, 0]
+        return out
+
+    cxa = _units(h, 1) * 300.0 - 150.0
+    cya = _units(h, 2) * 140.0 - 70.0
+    cxb = cxa + (_units(h, 3) * 3.0 - 1.5)
+    cyb = cya + (_units(h, 4) * 3.0 - 1.5)
+    return ring(h, cxa, cya), ring(h2, cxb, cyb)
+
+
+def probe_grid(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 25) probe x/y over each pair's joint vertex bbox."""
+    allv = np.concatenate([A[:, :-1], B[:, :-1]], axis=1)
+    xmin = allv[:, :, 0].min(axis=1)
+    xmax = allv[:, :, 0].max(axis=1)
+    ymin = allv[:, :, 1].min(axis=1)
+    ymax = allv[:, :, 1].max(axis=1)
+    jx, jy = np.meshgrid(np.arange(PROBE_N), np.arange(PROBE_N), indexing="ij")
+    fx = (jx.ravel() + 0.5) / float(PROBE_N)
+    fy = (jy.ravel() + 0.5) / float(PROBE_N)
+    px = xmin[:, None] + fx[None, :] * (xmax - xmin)[:, None]
+    py = ymin[:, None] + fy[None, :] * (ymax - ymin)[:, None]
+    return px, py
+
+
+def _star_sql() -> str:
+    """CTEs: verts(pair, ring, k, x, y) for ring 0 = A, 1 = B."""
+    hA = sm64(add64("CAST(p AS UBIGINT)", str(_SALT)))
+    dirs = ", ".join(f"({k}, {dx!r}, {dy!r})" for k, (dx, dy) in enumerate(STAR_DIRS))
+
+    def unit(hexpr: str, off: str) -> str:
+        return (f"(CAST({sm64(add64(hexpr, off))} % 1073741824 AS DOUBLE)"
+                f" / 1073741824.0)")
+
+    return f"""
+    dirs(k, dx, dy) AS (VALUES {dirs}),
+    ph AS MATERIALIZED (
+      SELECT p, h, {sm64(add64('h', '999'))} AS h2,
+             {unit('h', '1')} * 300.0 - 150.0 AS cxa,
+             {unit('h', '2')} * 140.0 - 70.0 AS cya
+      FROM (SELECT i AS p, {hA} AS h FROM range({N_PAIRS}) t(i))
+    ),
+    centres AS MATERIALIZED (
+      SELECT p, h, h2, cxa, cya,
+             cxa + ({unit('h', '3')} * 3.0 - 1.5) AS cxb,
+             cya + ({unit('h', '4')} * 3.0 - 1.5) AS cyb
+      FROM ph
+    ),
+    verts AS MATERIALIZED (
+      SELECT c.p AS pair_id, r.ring, d.k,
+             CASE r.ring WHEN 0 THEN c.cxa ELSE c.cxb END
+               + d.dx * CASE WHEN d.k % 2 = 0
+                 THEN 0.4 + {unit("CASE r.ring WHEN 0 THEN c.h ELSE c.h2 END", "10 + d.k")} * 0.5
+                 ELSE 1.2 + {unit("CASE r.ring WHEN 0 THEN c.h ELSE c.h2 END", "10 + d.k")} * 0.8 END AS x,
+             CASE r.ring WHEN 0 THEN c.cya ELSE c.cyb END
+               + d.dy * CASE WHEN d.k % 2 = 0
+                 THEN 0.4 + {unit("CASE r.ring WHEN 0 THEN c.h ELSE c.h2 END", "10 + d.k")} * 0.5
+                 ELSE 1.2 + {unit("CASE r.ring WHEN 0 THEN c.h ELSE c.h2 END", "10 + d.k")} * 0.8 END AS y
+      FROM centres c, (SELECT 0 AS ring UNION ALL SELECT 1) r, dirs d
+    )
+    """
+
+
