@@ -386,3 +386,4 @@ from . import queries_image4  # noqa: E402,F401
 from . import queries_data2  # noqa: E402,F401
 from . import queries_terrain2  # noqa: E402,F401
 from . import queries_lidar2  # noqa: E402,F401
+from . import queries_shape2  # noqa: E402,F401
