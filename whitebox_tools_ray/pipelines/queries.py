@@ -388,3 +388,4 @@ from . import queries_terrain2  # noqa: E402,F401
 from . import queries_lidar2  # noqa: E402,F401
 from . import queries_shape2  # noqa: E402,F401
 from . import queries_clip2  # noqa: E402,F401
+from . import queries_hydro4  # noqa: E402,F401

@@ -33,6 +33,14 @@ import ray.data
 from ..grid import GridSpec
 
 
+def eff_cell_mask(c: np.ndarray) -> np.ndarray:
+    """d8_mass_flux's efficiency-halving cells (eff = 0.5, elsewhere 1.0) —
+    ~1/64 of cells, keeping the max halving count along any D8 path small
+    enough that every fixed-point value stays exactly representable
+    (pipelines/queries_hydro4 asserts the bound at run time)."""
+    return (c * 2654435761) % 64 == 0
+
+
 def _tile_of(cid: np.ndarray, grid: GridSpec, tile: int) -> np.ndarray:
     tcols = -(-grid.cols // tile)
     return (cid // grid.cols // tile) * tcols + (cid % grid.cols // tile)
@@ -74,8 +82,20 @@ class FlowShard:
                 + (cid % self.cols // self.tile)) % self.n_shards
 
     def _vec_hops(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if getattr(self, "_wmode", "hops") == "eff":
+            return eff_cell_mask(a).astype(np.int64)
         diag = (a // self.cols != b // self.cols) & (a % self.cols != b % self.cols)
         return np.where(diag, _HOP_DIAG, _HOP_STRAIGHT).astype(np.int64)
+
+    def set_step_weight(self, mode: str) -> bool:
+        """Step weight of the doubling walk tables: "hops" (default —
+        fixed-point D8 hop units) or "eff" (1 on d8_mass_flux's
+        efficiency-halving cells, 0 elsewhere, so flowpath_length returns
+        C(x) = # halving cells on the path [x, outlet)). Clears the cached
+        tables — they are weight-specific."""
+        self._wmode = mode
+        self._res = None
+        return True
 
     def load(self, df: pd.DataFrame) -> int:
         return self.load_arrays(df["cell_id"].to_numpy(np.int64),
@@ -100,6 +120,7 @@ class FlowShard:
         self._res = None
         self._down_dict = None
         self._topo = None
+        self._wmode = "hops"
         # hasattr-guarded algorithm state must not leak across runs
         for attr in ("_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
@@ -1097,7 +1118,18 @@ class ShardedGraph:
         refs = [s.bas_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
 
-    def flowpath_length(self, max_rounds: int = 256) -> ray.data.Dataset:
+    def flowpath_length(self, max_rounds: int = 256, *,
+                        weight: str = "hops") -> ray.data.Dataset:
+        shards = self.shards
+        if weight != "hops":
+            ray.get([s.set_step_weight.remote(weight) for s in shards])
+        try:
+            return self._flowpath_length_inner(max_rounds)
+        finally:
+            if weight != "hops":
+                ray.get([s.set_step_weight.remote("hops") for s in shards])
+
+    def _flowpath_length_inner(self, max_rounds: int) -> ray.data.Dataset:
         shards = self.shards
         outs = ray.get([s.fl_len_init.remote() for s in shards])
         for _ in range(max_rounds):
