@@ -390,3 +390,4 @@ from . import queries_shape2  # noqa: E402,F401
 from . import queries_clip2  # noqa: E402,F401
 from . import queries_hydro4  # noqa: E402,F401
 from . import queries_terrain3  # noqa: E402,F401
+from . import queries_data3  # noqa: E402,F401

@@ -220,3 +220,47 @@ def packed_from_shapefile(path_shp: str):
         ring = np.frombuffer(r.ring, "<f8").reshape(-1, 2)
         feats.setdefault(int(r.feature_id), []).append((ring, bool(r.is_hole)))
     return PackedPolygons.from_features(sorted(feats.items()))
+
+
+SHP_MULTIPOINT = 8
+
+
+def write_multipoint_shapefile(path: str, xy: np.ndarray) -> None:
+    """One MultiPoint record (shape type 8, shapefile/mod.rs:714 family):
+    bbox + point count + <f8 pairs. The las_to_shapefile conversion path."""
+    xy = np.asarray(xy, np.float64)
+    content = struct.pack("<i", SHP_MULTIPOINT)
+    content += struct.pack("<4d", xy[:, 0].min(), xy[:, 1].min(),
+                           xy[:, 0].max(), xy[:, 1].max())
+    content += struct.pack("<i", len(xy))
+    content += xy.astype("<f8").tobytes()
+    bbox = (xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max())
+
+    def header(total_words: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
+        h += struct.pack("<ii", 1000, SHP_MULTIPOINT)
+        h += struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3],
+                         0.0, 0.0, 0.0, 0.0)
+        return h
+
+    rec_hdr = struct.pack(">ii", 1, len(content) // 2)
+    total = (100 + len(rec_hdr) + len(content)) // 2
+    with open(path, "wb") as f:
+        f.write(header(total))
+        f.write(rec_hdr)
+        f.write(content)
+    with open(path[:-4] + ".shx", "wb") as f:
+        f.write(header((100 + 8) // 2))
+        f.write(struct.pack(">ii", 50, len(content) // 2))
+
+
+def read_multipoint_shapefile(path: str) -> np.ndarray:
+    """(N, 2) float64 points from a single-record MultiPoint .shp."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    st = struct.unpack_from("<i", buf, 108)[0]
+    if st != SHP_MULTIPOINT:
+        raise ValueError(f"not a multipoint shapefile (type {st})")
+    n = struct.unpack_from("<i", buf, 100 + 8 + 4 + 32)[0]
+    off = 100 + 8 + 4 + 32 + 4
+    return np.frombuffer(buf, "<f8", count=2 * n, offset=off).reshape(-1, 2).copy()
