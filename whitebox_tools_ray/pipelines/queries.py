@@ -391,3 +391,4 @@ from . import queries_clip2  # noqa: E402,F401
 from . import queries_hydro4  # noqa: E402,F401
 from . import queries_terrain3  # noqa: E402,F401
 from . import queries_data3  # noqa: E402,F401
+from . import queries_mathops3  # noqa: E402,F401
