@@ -392,3 +392,4 @@ from . import queries_hydro4  # noqa: E402,F401
 from . import queries_terrain3  # noqa: E402,F401
 from . import queries_data3  # noqa: E402,F401
 from . import queries_mathops3  # noqa: E402,F401
+from . import queries_vector3  # noqa: E402,F401

@@ -254,3 +254,37 @@ def slope_kernel_factory(res_x: float, res_y: float):
         return {"slope_deg": slope}
 
     return kern
+
+
+def cells_to_tiles(cells_ds: ray.data.Dataset, grid: GridSpec, value_col: str,
+                   *, tile: int = 64, fill: float = np.nan) -> ray.data.Dataset:
+    """Re-tile a per-cell Dataset (cell_id, value_col) into the dense tile
+    schema (the inverse of stencil explode) — ONE keyed exchange routed by
+    tile id; missing cells take ``fill``. This is how a COMPUTED raster
+    (cost distance, accumulation, ...) re-enters the stencil machinery."""
+    tcols = -(-grid.cols // tile)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": cid,
+            "val": df[value_col].to_numpy(np.float64),
+            "tile_id": (cid // grid.cols // tile) * tcols
+            + (cid % grid.cols // tile)})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // tcols, tid % tcols
+        r0, c0 = tr * tile, tc * tile
+        nr = min(tile, grid.rows - r0)
+        nc = min(tile, grid.cols - c0)
+        data = np.full(nr * nc, fill, np.float64)
+        cid = g["cell_id"].to_numpy(np.int64)
+        rr = cid // grid.cols - r0
+        cc = cid % grid.cols - c0
+        data[rr * nc + cc] = g["val"].to_numpy(np.float64)
+        return pd.DataFrame([{"tile_id": tid, "trow": tr, "tcol": tc,
+                              "nrows": nr, "ncols": nc, "data": data}])
+
+    return cells_ds.map_batches(route, batch_format="pandas") \
+        .groupby("tile_id").map_groups(assemble, batch_format="pandas")
