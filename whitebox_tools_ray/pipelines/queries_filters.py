@@ -177,7 +177,9 @@ def raster_diversity3x3(sf_dir: str):
     """,
 )
 def raster_dev_scaled(sf_dir: str):
-    """DiffFromMeanElev (terrain_analysis/diff_from_mean_elev.rs) with an
+    """DiffFromMeanElev / DevFromMeanElev (terrain_analysis/
+    diff_from_mean_elev.rs, dev_from_mean_elev.rs - DEV adds the /sd
+    factor, same sufficient statistics) with an
     integer contract: dev_scaled = v*n9 - sum9 (= n9 * (v - mean9)), exact
     in int64 — the float mean is left to the consumer."""
     from ..stages.raster import mean3x3_kernel
@@ -207,7 +209,7 @@ def raster_dev_scaled(sf_dir: str):
     """,
 )
 def raster_high_pass(sf_dir: str):
-    """HighPassFilter (image_analysis/high_pass_filter.rs): 9*centre -
+    """HighPassFilter (image_analysis/highpass_filter.rs): 9*centre -
     neighbourhood sum, interior cells only — integer-exact."""
     from ..stages.raster import mean3x3_kernel
 
@@ -304,8 +306,8 @@ def raster_gaussian5x5(sf_dir: str):
     """,
 )
 def raster_curvatures(sf_dir: str):
-    """PlanCurvature + ProfileCurvature (terrain_analysis/{plan,profile}_
-    curvature.rs) via the Zevenbergen–Thorne quadric coefficients on a
+    """PlanCurvature + ProfileCurvature (terrain_analysis/plan_curvature.rs,
+    prof_curvature.rs) via the Zevenbergen–Thorne quadric coefficients on a
     unit-cell grid; flat cells (G=H=0) emit 0. Interior cells only. The SQL
     oracle evaluates the identical expression tree, so float results are
     bit-exact."""

@@ -171,8 +171,8 @@ def raster_tophat(sf_dir: str):
     """,
 )
 def raster_conservative_smoothing(sf_dir: str):
-    """ConservativeSmoothingFilter (image_analysis/conservative_smoothing_
-    filter.rs): clamp the centre into [min, max] of its 8 neighbours
+    """ConservativeSmoothingFilter
+    (image_analysis/conservative_smoothing_filter.rs): clamp the centre into [min, max] of its 8 neighbours
     (centre excluded) — integer-exact."""
     tiles = synth_raster_tiles(GRID1, _value_fn)
 
@@ -940,7 +940,8 @@ def raster_pits(sf_dir: str):
     """,
 )
 def histogram_matching(sf_dir: str):
-    """HistogramMatching (image_analysis/histogram_matching.rs): remap band
+    """HistogramMatching (image_analysis/histogram_matching.rs;
+    histogram_matching_two_images.rs IS this image-to-image form): remap band
     A's values so its CDF matches reference band B's (matched(v) = least w
     with cdfB(w) >= cdfA(v)) — two tiny global histograms (partial-merge),
     driver builds the 1000-entry value map, broadcast vectorized remap.
@@ -1196,7 +1197,7 @@ _LOG_UNION = " UNION ALL ".join(
     """,
 )
 def laplacian_of_gaussian(sf_dir: str):
-    """LaplacianOfGaussianFilter (image_analysis/laplacian_of_gaussian.rs):
+    """LaplacianOfGaussianFilter (image_analysis/log_filter.rs):
     the classic integer 5x5 LoG kernel, interior cells only — k=2 halo
     stencil, integer-exact."""
     tiles = synth_raster_tiles(GRID1, _value_fn)
@@ -1330,7 +1331,7 @@ def viewshed(sf_dir: str):
 )
 def num_up_down_neighbours(sf_dir: str):
     """NumDownslopeNeighbours + NumUpslopeNeighbours (terrain_analysis/
-    num_{down,up}slope_neighbours.rs): per cell the count of strictly lower
+    num_downslope_neighbours.rs, num_upslope_neighbours.rs): per cell the count of strictly lower
     / higher 8-neighbours — one stencil pass, integer-exact."""
     tiles = synth_raster_tiles(GRID1, _value_fn)
 

@@ -210,8 +210,8 @@ def subbasins(sf_dir: str):
     """,
 )
 def stream_link_stats(sf_dir: str):
-    """Stream link length + relief (stream_network_analysis/{stream_link_
-    length,stream_link_slope}.rs): per link — cell count, min/max surface
+    """Stream link length + relief (stream_network_analysis/stream_link_length.rs,
+    stream_link_slope.rs): per link — cell count, min/max surface
     elevation (integer-exact) and the summed fixed-point hop length of the
     link's INTERNAL edges (both endpoints in the same link). Composition:
     stream_link_id labels JOIN the pointer table, link-local hop sums via a
@@ -1025,7 +1025,9 @@ def flow_accum_full_workflow(sf_dir: str):
 )
 def stream_power_components(sf_dir: str):
     """StreamPowerIndex / SedimentTransportIndex (terrain_analysis/
-    {stream_power_index,sediment_transport_index}.rs): the exact integer
+    stream_power_index.rs, sediment_transport_index.rs;
+    relative_stream_power_index.rs is the same sufficient statistics at
+    exponents sca^0.9 slope^1.1): the exact integer
     sufficient statistics — upslope area (D8 accumulation) + Horn gradient
     numerators per interior cell; SPI = As*tan(slope) and STI's exponent
     forms follow driver-side in float. One accumulation run joined to one

@@ -35,8 +35,8 @@ def _hops(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """,
 )
 def avg_upslope_flowpath(sf_dir: str):
-    """AverageUpslopeFlowpathLength (hydro_analysis/average_upslope_
-    flowpath.rs): per cell the SUM of D8 flowpath lengths from every strictly
+    """AverageUpslopeFlowpathLength
+    (hydro_analysis/average_upslope_flowpath_length.rs): per cell the SUM of D8 flowpath lengths from every strictly
     upstream cell plus the upstream-cell count (mean = auf_units / n_up;
     integer sufficient statistics keep the contract exact). Identity: an
     edge (a->b) lies on the path u->cell once for every u upstream-or-equal

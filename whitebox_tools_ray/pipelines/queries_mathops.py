@@ -122,7 +122,9 @@ _q("math_less_than", "CAST(CASE WHEN a < b THEN 1 ELSE 0 END AS BIGINT) AS v",
 _q("math_isnodata", "CAST(CASE WHEN cell_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS v",
    lambda c, a, b, d, u: ((c % 97 == 0).astype(np.int64), None))
 
-# --- Arithmetic ----------------------------------------------------------
+# --- Arithmetic (add.rs / subtract.rs / multiply.rs / divide.rs; the
+# inplace_add.rs / inplace_subtract.rs / inplace_multiply.rs /
+# inplace_divide.rs tools are the identical kernels writing over band A) --
 _q("math_add", "CAST(a + b AS BIGINT) AS v",
    lambda c, a, b, d, u: (a + b, None))
 _q("math_subtract", "CAST(a - b AS BIGINT) AS v",

@@ -547,7 +547,9 @@ def centroid_by_type(sf_dir: str):
 def mbb_by_type(sf_dir: str):
     """MinimumBoundingBox (whitebox-common/src/algorithms/
     minimum_bounding_box.rs, MinimizationCriterion::Area) per event type:
-    short/long axes of the minimum-area rotated box over each type's points.
+    short/long axes of the minimum-area rotated box over each type's points
+    (= the PolygonLongAxis / PolygonShortAxis outputs,
+    gis_analysis/polygon_long_axis.rs, polygon_short_axis.rs).
     Rows-only (rotating-calipers trig is float); brute-force rotation-scan
     oracle in tests/test_geometry.py guards the kernel."""
     from ..geometry import min_area_bbox_axes
@@ -683,8 +685,8 @@ def attribute_histogram(sf_dir: str):
     """,
 )
 def lidar_remove_outliers(sf_dir: str):
-    """LidarRemoveOutliers (lidar_analysis/lidar_remove_outliers.rs,
-    cell-mean variant): a point is an outlier when it deviates from its grid
+    """LidarRemoveOutliers (lidar_analysis/lidar_remove_outliers.rs;
+    lidar_outliers.rs is the same cell-deviation flagging without removal): a point is an outlier when it deviates from its grid
     cell's mean by more than 30.00 — the integer contract
     |cents*n - sum| > 3000*n avoids the float mean; co-partitioned join like
     lidar_ground_classify."""

@@ -62,7 +62,8 @@ def raster_mean3x3(sf_dir: str):
     """,
 )
 def raster_minmax3x3(sf_dir: str):
-    """Minimum/Maximum/Range filters (image_analysis/{min,max,range}_filter.rs)
+    """Minimum/Maximum/Range filters (image_analysis/min_filter.rs,
+    max_filter.rs, range_filter.rs)
     in one halo-stencil pass — integer-exact."""
     tiles = synth_raster_tiles(GRID1, _value_fn)
 

@@ -100,7 +100,8 @@ def _np_shoelace(x, y, idx):
     """,
 )
 def polygon_shape_sql(sf_dir: str):
-    """PolygonArea + PolygonPerimeter + CompactnessRatio (A/P,
+    """PolygonArea (polygon_area.rs) + PolygonPerimeter
+    (polygon_perimeter.rs) + CompactnessRatio (A/P,
     compactness_ratio.rs:228) + PerimeterAreaRatio (perimeter_area_ratio
     .rs) over the star outer rings — the SQL-exact twin of the rows-only
     polygon_shape_metrics (queries_more.py). Fixed-order shoelace and

@@ -95,7 +95,9 @@ def cell_grid_counts(sf_dir: str):
     """,
 )
 def tile_counts(sf_dir: str):
-    """LidarTile partitioner analog (lidar_tile.rs:315-325): tile ids feed
+    """LidarTile partitioner analog (lidar_tile.rs:315-325; lidar_join.rs
+    is the inverse union of tile clouds - ds.union on the tile Datasets):
+    tile ids feed
     write_parquet(partition_cols=['tile_id']) for resumable sharded output."""
     ds = read_points(sf_dir, extra_cols=())
 
@@ -236,7 +238,9 @@ _nc, _nr, _ncid = _cell_sql(GRID_NN)
     """,
 )
 def nn_gridding(sf_dir: str):
-    """NearestNeighbourGridding (nearest_neighbour_gridding.rs:443-456)."""
+    """NearestNeighbourGridding (nearest_neighbour_gridding.rs:443-456;
+    lidar_analysis/lidar_nn_gridding.rs is the same kernel over the point
+    cloud)."""
     return nn_grid(read_points(sf_dir), GRID_NN, NN_MAX_DIST)
 
 
@@ -972,7 +976,8 @@ def pip_pairs_10k_shuffle(sf_dir: str):
 
 @query("rbf_gridding")
 def rbf_gridding(sf_dir: str):
-    """RBF interpolation (radial_basis_function_interpolation.rs, thin-plate
+    """RBF interpolation (radial_basis_function_interpolation.rs and
+    lidar_analysis/lidar_radial_basis_function_interpolation.rs, thin-plate
     basis): per GRID_IDW cell, exact k-nearest-in-radius system solve —
     batched np.linalg.solve over all cells at once (stages/gridding.rbf_grid).
     Rows-only; dense brute-force oracle in tests/test_idw_faithful.py."""
