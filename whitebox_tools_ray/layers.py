@@ -103,3 +103,14 @@ def clip_keep_sql(px: str, py: str) -> str:
         f"WHEN {_rect_sql(px, py, RECT_A)} THEN TRUE "
         "ELSE FALSE END)"
     )
+
+
+def p2r_case_sql() -> str:
+    """The polygons_to_raster burn CASE (highest feature id wins) — a leaf
+    export so several pipelines modules can embed it at decorator time
+    without cross-importing each other."""
+    feats = feature_sql("cx", "cy")
+    return "CASE " + " ".join(
+        f"WHEN {cond} THEN CAST({fid} AS BIGINT)"
+        for fid, cond in sorted(feats.items(), reverse=True)
+    ) + " ELSE NULL END"

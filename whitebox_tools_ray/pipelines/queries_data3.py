@@ -33,7 +33,7 @@ from ..rasterdefs import _CELLS_CTE, _value_fn
 from ..relational import partial_agg
 from ..sources.tables import read_points, read_table
 from .queries import query
-from .queries_spatial import _hex_cte, _hex_layout
+from ..hexdefs import _hex_cte, _hex_layout
 from .sqlgen import sm64
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
@@ -423,7 +423,7 @@ def merge_table_with_csv(sf_dir: str):
 # into a ring, report vertex count + doubled shoelace area. Fixture: 200
 # deterministic 8-vertex splitmix64 polylines (integer coordinates).
 # --------------------------------------------------------------------------
-_L2P_N, _L2P_K, _L2P_SEED = 200, 8, 5150
+from ..linedefs import _L2P_K, _L2P_N, _L2P_SEED  # noqa: E402
 
 
 def _l2p_sql() -> str:

@@ -455,52 +455,8 @@ _ORACLE["strahler_order"] = _strahler_sql()
 # Pour points: snap to max accumulation + watershed from outlets
 # --------------------------------------------------------------------------
 
-from .sqlgen import add64, sm64  # noqa: E402
-
-_POUR_SEED = 909090
-N_POUR = 12
-SNAP_RADIUS = 3
-
-
-def _pour_cells() -> np.ndarray:
-    """Deterministic raw pour points: pseudo-random interior cells."""
-    from ..sources.synthetic import splitmix64
-
-    h = splitmix64(np.arange(N_POUR, dtype=np.uint64) + np.uint64(_POUR_SEED))
-    r = 1 + (h % np.uint64(GRID1.rows - 2)).astype(np.int64)
-    c = 1 + (splitmix64(h) % np.uint64(GRID1.cols - 2)).astype(np.int64)
-    return r * GRID1.cols + c
-
-
-_POUR_CTES = f"""
-    pour_h AS MATERIALIZED (
-      SELECT CAST(t.i AS BIGINT) AS pour_id,
-             {sm64(add64('CAST(t.i AS UBIGINT)', str(_POUR_SEED)))} AS h
-      FROM range({N_POUR}) t(i)
-    ),
-    pour AS MATERIALIZED (
-      SELECT pour_id,
-             (1 + CAST(h % {GRID1.rows - 2} AS BIGINT)) * {GRID1.cols}
-             + (1 + CAST({sm64('h')} % {GRID1.cols - 2} AS BIGINT)) AS cell_id
-      FROM pour_h
-    ),
-    acc2 AS MATERIALIZED (
-      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
-      FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
-        ON p.cur = g.cell_id
-    ),
-    snapped AS MATERIALIZED (
-      SELECT pour_id, cand_cell AS snap_cell FROM (
-        SELECT p.pour_id, c.cell_id AS cand_cell, a.acc,
-               row_number() OVER (PARTITION BY p.pour_id
-                                  ORDER BY a.acc DESC, c.cell_id ASC) AS rn
-        FROM pour p
-        JOIN cells c ON abs(c.r - (p.cell_id // {GRID1.cols})) <= {SNAP_RADIUS}
-                    AND abs(c.c - (p.cell_id % {GRID1.cols})) <= {SNAP_RADIUS}
-        JOIN acc2 a ON a.cell_id = c.cell_id
-      ) WHERE rn = 1
-    )
-"""
+from ..hydrodefs import (N_POUR, SNAP_RADIUS, _POUR_CTES,  # noqa: E402
+                         _POUR_SEED, _pour_cells)
 
 
 @query(

@@ -724,7 +724,7 @@ def jenson_snap_pour_points(sf_dir: str):
     broadcast)."""
     import ray.data
 
-    from ..pipelines.queries_hydro2 import _pour_cells
+    from ..hydrodefs import _pour_cells
     from ..stages.flow import down_ds_from_pointer
     from ..stages.pregel import flow_accumulation_pregel
 

@@ -169,8 +169,9 @@ def raise_walls(sf_dir: str):
 # burn; the 4-entry lake->min map is broadcast.
 # --------------------------------------------------------------------------
 def _flatten_sql() -> str:
-    from .queries_more import _P2R_CASE
+    from ..layers import p2r_case_sql
 
+    _P2R_CASE = p2r_case_sql()
     return f"""
     WITH cellsxy AS (
       SELECT CAST(t.i AS BIGINT) AS cell_id,
@@ -253,7 +254,7 @@ def flatten_lakes(sf_dir: str):
 # accumulation (mass = 2^pour_index).
 # --------------------------------------------------------------------------
 def _unnest_sql() -> str:
-    from .queries_hydro2 import _POUR_SEED, N_POUR
+    from ..hydrodefs import _POUR_SEED, N_POUR
 
     return f"""
     WITH RECURSIVE {_GRAPH_CTES},
@@ -298,7 +299,7 @@ def unnest_basins(sf_dir: str):
     from ..stages.flow import down_ds_from_pointer, tile_of_expr
     from ..stages.pregel import basins_pregel, weighted_accumulation_pregel
     from ..stages.spatial_join import _cached_get
-    from .queries_hydro2 import _pour_cells
+    from ..hydrodefs import _pour_cells
 
     pours = _pour_cells()
     psort = np.sort(pours)

@@ -215,11 +215,9 @@ def raster_aggregate4(sf_dir: str):
 # VectorPolygonsToRaster (cell-centre-in-polygon rasterization)
 # --------------------------------------------------------------------------
 
-_FEAT_CENTRE = feature_sql("cx", "cy")
-_P2R_CASE = "CASE " + " ".join(
-    f"WHEN {cond} THEN CAST({fid} AS BIGINT)"
-    for fid, cond in sorted(_FEAT_CENTRE.items(), reverse=True)
-) + " ELSE NULL END"
+from ..layers import p2r_case_sql  # noqa: E402
+
+_P2R_CASE = p2r_case_sql()
 
 
 @query(

@@ -474,27 +474,7 @@ def dedup_coincident_grid(sf_dir: str):
                        [("keeper", "min", "keeper"), ("n", "sum", "n")])
 
 
-def _hex_layout():
-    hid, cx, cy = hex_centers(-180.0, -85.0, 180.0, 85.0, HEX_WIDTH)
-    return hid, cx, cy
-
-
-def _hex_cte() -> str:
-    # embed the exact row-spacing literal so SQL and numpy share every bit;
-    # nrows/ncols formulas identical to grid.hex_centers
-    from ..grid import hex_size_from_width
-
-    s = hex_size_from_width(HEX_WIDTH)
-    vert = 1.5 * s
-    nrows = int(np.ceil((85.0 - (-85.0)) / vert)) + 2
-    ncols = int(np.ceil((180.0 - (-180.0)) / HEX_WIDTH)) + 2
-    return (
-        f"hexes AS (SELECT CAST(t.i AS BIGINT) AS hex_id, "
-        f"(-180.0 + CAST(t.i % {ncols} AS DOUBLE) * {HEX_WIDTH!r} + "
-        f"CASE WHEN (t.i // {ncols}) % 2 = 1 THEN {HEX_WIDTH / 2.0!r} ELSE 0.0 END) AS hx, "
-        f"(-85.0 + CAST(t.i // {ncols} AS DOUBLE) * {vert!r}) AS hy "
-        f"FROM range({nrows * ncols}) t(i))"
-    )
+from ..hexdefs import _hex_cte, _hex_layout  # noqa: E402
 
 
 @query(

@@ -212,7 +212,7 @@ def raster_streams_to_vector(sf_dir: str):
 # cells of all 12 pour points, ONE flowpath-length run supplies distances.
 # --------------------------------------------------------------------------
 def _lpfp_sql() -> str:
-    from .queries_hydro2 import _POUR_CTES
+    from ..hydrodefs import _POUR_CTES
 
     return f"""
     WITH RECURSIVE {_GRAPH_CTES},

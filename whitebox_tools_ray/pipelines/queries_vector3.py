@@ -19,7 +19,7 @@ import pandas as pd
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
-from .queries_data3 import _L2P_K, _L2P_N, _L2P_SEED
+from ..linedefs import _L2P_K, _L2P_N, _L2P_SEED
 from .sqlgen import sm64
 
 _EXT_DIST = 5.0
