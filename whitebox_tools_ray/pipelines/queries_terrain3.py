@@ -343,21 +343,7 @@ def fetch_analysis_east(sf_dir: str):
 _SCALES = (1, 2, 3)  # midpoints -> 3x3, 5x5, 7x7
 
 
-def _devmax_scale_cte(mid: int) -> str:
-    # equi-join offset arms (a BETWEEN range join is a ~60x slower IEJoin
-    # here); the quirk's clamped lower bound only bites at the top/left
-    # edges: row 0 / col 0 are excluded there
-    arms = " UNION ALL ".join(
-        f"SELECT a.cell_id, a.v AS z, b.v AS w FROM cells a JOIN cells b "
-        f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc}) "
-        f"WHERE (a.r >= {mid + 1} OR a.r + ({dr}) >= 1) "
-        f"AND (a.c >= {mid + 1} OR a.c + ({dc}) >= 1)"
-        for dr in range(-mid, mid + 1) for dc in range(-mid, mid + 1))
-    return f"""
-    s{mid} AS (
-      SELECT cell_id, z, COUNT(*) AS n, SUM(w) AS s, SUM(w * w) AS ss
-      FROM ({arms}) GROUP BY cell_id, z
-    )"""
+from ..rasterdefs import _devmax_scale_cte  # noqa: E402
 
 
 def _devmax_sql(use_sd: bool, out: str) -> str:
