@@ -1,0 +1,227 @@
+"""Hydro sweep #6: BurnStreamsAtRoads, FillBurn, and
+StochasticDepressionAnalysis (derandomized).
+
+BurnStreamsAtRoads is SQL-exact (two seeded DDA line walks + a 3x3
+road-proximity mask); FillBurn and the depression analysis compose the
+priority-flood Pregel fill and carry dense brute-force oracles
+(tests/test_hydro6.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..layers import GRID1
+from ..rasterdefs import _CELLS_CTE, _value_fn
+from .queries import query
+from .sqlgen import synth_segments_cte
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_STREAM_N, _ROAD_N, _ROAD_SEED = 400, 150, 99
+_BURN = 50
+
+
+def _dda_cells(n: int, seed: int = 42) -> np.ndarray:
+    """GRID1 cell ids of the integer-DDA rasterization of the synthetic
+    segment layer (the vector_lines_to_raster walk)."""
+    from ..stages.lines import synth_segments
+
+    seg = synth_segments(n, seed=seed)
+    cx0 = np.floor(seg["x0"].to_numpy()).astype(np.int64)
+    cy0 = np.floor(seg["y0"].to_numpy()).astype(np.int64)
+    cx1 = np.floor(seg["x1"].to_numpy()).astype(np.int64)
+    cy1 = np.floor(seg["y1"].to_numpy()).astype(np.int64)
+    adx, ady = np.abs(cx1 - cx0), np.abs(cy1 - cy0)
+    sx = np.where(cx1 >= cx0, 1, -1)
+    sy = np.where(cy1 >= cy0, 1, -1)
+    span = np.maximum(adx, ady)
+    cells = []
+    for j in range(len(seg)):
+        i = np.arange(span[j] + 1, dtype=np.int64)
+        if adx[j] >= ady[j]:
+            cx = cx0[j] + i * sx[j]
+            cy = (np.full_like(i, cy0[j]) if adx[j] == 0 else
+                  cy0[j] + sy[j] * ((2 * i * ady[j] + adx[j]) // (2 * adx[j])))
+        else:
+            cy = cy0[j] + i * sy[j]
+            cx = cx0[j] + sx[j] * ((2 * i * adx[j] + ady[j]) // (2 * ady[j]))
+        ok = (cy >= -85) & (cy <= 84) & (cx >= -180) & (cx <= 179)
+        cells.append((84 - cy[ok]) * _COLS + (cx[ok] + 180))
+    return np.unique(np.concatenate(cells))
+
+
+def _dda_walk_sql(n: int, seed: int, name: str) -> str:
+    """CTE ``{name}`` of distinct rasterized cell ids for a seeded layer."""
+    return f"""
+    {name}_snap AS (
+      SELECT seg_id, CAST(floor(x0) AS BIGINT) AS cx0,
+             CAST(floor(y0) AS BIGINT) AS cy0,
+             CAST(floor(x1) AS BIGINT) AS cx1,
+             CAST(floor(y1) AS BIGINT) AS cy1
+      FROM {name}_seg),
+    {name}_par AS (
+      SELECT seg_id, cx0, cy0, cx1, cy1,
+             GREATEST(ABS(cx1 - cx0), ABS(cy1 - cy0)) AS span,
+             ABS(cx1 - cx0) AS adx, ABS(cy1 - cy0) AS ady,
+             CASE WHEN cx1 >= cx0 THEN 1 ELSE -1 END AS sx,
+             CASE WHEN cy1 >= cy0 THEN 1 ELSE -1 END AS sy
+      FROM {name}_snap),
+    {name}_steps AS (SELECT p.*, CAST(g.i AS BIGINT) AS i
+                     FROM {name}_par p JOIN range(0, 20) g(i)
+                     ON g.i <= p.span),
+    {name}_walk AS (SELECT
+        CASE WHEN adx >= ady THEN cx0 + i * sx
+             ELSE cx0 + sx * ((2 * i * adx + ady) // (2 * ady)) END AS cx,
+        CASE WHEN adx >= ady THEN
+             CASE WHEN adx = 0 THEN cy0
+                  ELSE cy0 + sy * ((2 * i * ady + adx) // (2 * adx)) END
+             ELSE cy0 + i * sy END AS cy
+      FROM {name}_steps),
+    {name} AS MATERIALIZED (
+      SELECT DISTINCT (84 - cy) * {_COLS} + (cx + 180) AS cell_id
+      FROM {name}_walk
+      WHERE cy BETWEEN -85 AND 84 AND cx BETWEEN -180 AND 179)
+    """
+
+
+def _burn_sql() -> str:
+    streams = synth_segments_cte(_STREAM_N).replace("seg_h", "str_seg_h") \
+        .replace("seg_u", "str_seg_u").replace("seg AS", "str_seg AS")
+    roads = synth_segments_cte(_ROAD_N, seed=_ROAD_SEED) \
+        .replace("seg_h", "rd_seg_h").replace("seg_u", "rd_seg_u") \
+        .replace("seg AS", "rd_seg AS")
+    return f"""
+    WITH {streams},
+    {roads},
+    {_dda_walk_sql(_STREAM_N, 42, "str")},
+    {_dda_walk_sql(_ROAD_N, _ROAD_SEED, "rd")},
+    near_road AS MATERIALIZED (
+      SELECT DISTINCT r.cell_id + dy * {_COLS} + dx AS cell_id
+      FROM rd r JOIN (VALUES (-1), (0), (1)) t1(dy) ON TRUE
+      JOIN (VALUES (-1), (0), (1)) t2(dx) ON TRUE
+    ),
+    {_CELLS_CTE}
+    SELECT c.cell_id,
+           CAST(c.v - CASE WHEN s.cell_id IS NOT NULL
+                            AND nr.cell_id IS NULL
+                           THEN {_BURN} ELSE 0 END AS BIGINT) AS z
+    FROM cells c
+    LEFT JOIN str s ON s.cell_id = c.cell_id
+    LEFT JOIN near_road nr ON nr.cell_id = c.cell_id
+    """
+
+
+def _burned_sets():
+    streams = _dda_cells(_STREAM_N)
+    roads = _dda_cells(_ROAD_N, seed=_ROAD_SEED)
+    rr, cc = roads // _COLS, roads % _COLS
+    near = np.unique(np.concatenate(
+        [(rr + dy) * _COLS + (cc + dx)
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)]))
+    burn = np.setdiff1d(streams, near)
+    return burn
+
+
+def _member(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    if not len(s):
+        return np.zeros(len(a), bool)
+    pos = np.minimum(np.searchsorted(s, a), len(s) - 1)
+    return s[pos] == a
+
+
+@query("burn_streams_at_roads", _burn_sql())
+def burn_streams_at_roads(sf_dir: str):
+    """BurnStreamsAtRoads (hydro_analysis/burn_streams_at_roads.rs): drop
+    stream cells by the burn depth EXCEPT within one cell of a road (the
+    road-crossing protection). Both line layers are seeded DDA walks; the
+    burn set is broadcast."""
+    from ..stages.raster import synth_raster_tiles
+    from ..stages.spatial_join import _cached_get
+
+    ref = ray.put(_burned_sets())
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def burn_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        b = _cached_get(ref)
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            cid = rr.ravel() * _COLS + cc.ravel()
+            v = np.asarray(t.data, np.int64)
+            frames.append(pd.DataFrame({
+                "cell_id": cid,
+                "z": v - np.where(_member(cid, b), _BURN, 0)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(burn_tiles, batch_format="pandas")
+
+
+@query("fill_burn")
+def fill_burn(sf_dir: str):
+    """FillBurn (hydro_analysis/fill_burn.rs): priority-flood fill of the
+    stream-burned DEM. Rows-only (fill is iterative); dense
+    burn+priority-flood oracle in tests/test_hydro6.py."""
+    from ..stages.pregel import fill_depressions_pregel
+
+    burn = _burned_sets()
+
+    def zfn(cells: np.ndarray) -> np.ndarray:
+        return _value_fn(cells).astype(np.int64) \
+            - np.where(_member(cells, burn), _BURN, 0)
+
+    fill = fill_depressions_pregel(zfn, GRID1)
+    return fill.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
+                                 "fill": df["fill"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+_SDA_N, _SDA_SEED = 4, 424242
+
+
+def _sda_noise(cells: np.ndarray, i: int) -> np.ndarray:
+    from ..sources.synthetic import splitmix64
+
+    h = splitmix64((cells * _SDA_N + i + _SDA_SEED).astype(np.uint64))
+    return (h % np.uint64(7)).astype(np.int64) - 3
+
+
+@query("stochastic_depression_analysis")
+def stochastic_depression_analysis(sf_dir: str):
+    """StochasticDepressionAnalysis (hydro_analysis/
+    stochastic_depression_analysis.rs), derandomized: N=4 splitmix64 noise
+    realizations; ndep(cell) = number of realizations where the filled
+    noisy surface exceeds the noisy surface (cell in a depression).
+    Rows-only; dense 4x priority-flood oracle in tests/test_hydro6.py."""
+    from ..stages.pregel import fill_depressions_pregel
+
+    outs = []
+    for i in range(_SDA_N):
+        def zfn(cells: np.ndarray, _i=i) -> np.ndarray:
+            return _value_fn(cells).astype(np.int64) * 4 \
+                + _sda_noise(cells, _i)
+
+        fill = fill_depressions_pregel(zfn, GRID1)
+
+        def dep(df: pd.DataFrame, _i=i) -> pd.DataFrame:
+            cid = df["cell_id"].to_numpy(np.int64)
+            z = _value_fn(cid).astype(np.int64) * 4 + _sda_noise(cid, _i)
+            return pd.DataFrame({
+                "cell_id": cid,
+                "ndep": (df["fill"].to_numpy(np.int64) > z)
+                .astype(np.int64)})
+
+        outs.append(fill.map_batches(dep, batch_format="pandas"))
+
+    from ..relational import partial_agg
+
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return partial_agg(u, ["cell_id"], [("ndep", "sum", "ndep")])
