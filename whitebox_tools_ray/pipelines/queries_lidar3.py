@@ -68,6 +68,18 @@ _DSM_NRM = f"""
     )
 """
 
+def _EMPTY() -> pd.DataFrame:
+    return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                         "nx": pd.Series([], dtype=np.float64),
+                         "ny": pd.Series([], dtype=np.float64),
+                         "nz": pd.Series([], dtype=np.float64)})
+
+
+def _EMPTY_HS() -> pd.DataFrame:
+    return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                         "hs": pd.Series([], dtype=np.int64)})
+
+
 _AZ, _ALT = np.radians(315.0), np.radians(30.0)
 _LX = float(np.sin(_AZ) * np.cos(_ALT))
 _LY = float(np.cos(_AZ) * np.cos(_ALT))
@@ -171,6 +183,8 @@ def lidar_normal_vectors(sf_dir: str):
     """NormalVectors (lidar_analysis/normal_vectors.rs), grid-surface
     contract: each point takes the unit normal of its DSM cell."""
     nrm = _dsm_normals(sf_dir).materialize()
+    if nrm.count() == 0:  # sparse clouds: no complete DSM window anywhere
+        return _EMPTY()
 
     def pts(df: pd.DataFrame) -> pd.DataFrame:
         e = df["event_id"].to_numpy(np.int64)
@@ -215,6 +229,8 @@ def lidar_hillshade(sf_dir: str):
     315, altitude 30; the trig constants are Python literals shared with
     the SQL — no runtime libm, so the 0..255 value is exact)."""
     nrm = _dsm_normals(sf_dir).materialize()
+    if nrm.count() == 0:  # sparse clouds: no complete DSM window anywhere
+        return _EMPTY_HS()
 
     def pts(df: pd.DataFrame) -> pd.DataFrame:
         e = df["event_id"].to_numpy(np.int64)
