@@ -122,7 +122,8 @@ class FlowShard:
         self._topo = None
         self._wmode = "hops"
         # hasattr-guarded algorithm state must not leak across runs
-        for attr in ("_mass_frames", "pending", "maxc", "cntm", "order",
+        for attr in ("_dsi_z", "_dsi_d", "dsi_parts",
+                     "_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
                      "fpl_parts", "bas_parts", "fd8_out", "fd8_pending",
                      "fd8_mass", "fd8_acc", "best", "cells", "fill",
@@ -645,6 +646,87 @@ class FlowShard:
         units = np.concatenate([p[1] for p in self.fpl_parts]) \
             if self.fpl_parts else np.empty(0, np.int64)
         return pd.DataFrame({"cell_id": origin, "len_units": units})
+
+    # ---- downslope index (bounded-drop walk) -----------------------------
+    # Probes walk hop-by-hop until the cumulative elevation drop reaches
+    # d (the doubling tables can't stop mid-chain). The per-probe state is
+    # (origin, cur, units, z0); local advancing is vectorized and a probe
+    # leaves the shard at most once per crossing — rounds are bounded by
+    # shard crossings, not path length.
+    def dsi_load(self, z_fn, d_drop: int) -> int:
+        self._ensure()
+        self._dsi_d = int(d_drop)
+        self._dsi_z = z_fn(self.cells_arr).astype(np.int64) \
+            if len(self.cells_arr) else np.empty(0, np.int64)
+        return len(self.cells_arr)
+
+    def dsi_init(self):
+        self._ensure()
+        self.dsi_parts: list[np.ndarray] = []
+        z0 = self._dsi_z
+        return self._dsi_apply(self.cells_arr, self.cells_arr,
+                               np.zeros(len(self.cells_arr), np.int64), z0)
+
+    def dsi_round(self, msgs: list[np.ndarray]):
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 4) for a in msgs])
+        else:
+            arr = np.empty((0, 4), np.int64)
+        return self._dsi_apply(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+
+    def _dsi_apply(self, cur, origin, units, z0):
+        cur = cur.astype(np.int64)
+        origin = origin.astype(np.int64)
+        units = units.astype(np.int64)
+        z0 = z0.astype(np.int64)
+        out_rows = []
+        while len(cur):
+            pos, present = self._lookup(cur)
+            # probes for non-local cells route away
+            if (~present).any():
+                rows = np.stack([cur[~present], origin[~present],
+                                 units[~present], z0[~present]], axis=1)
+                out_rows.append(rows)
+            cur, pos = cur[present], pos[present]
+            origin, units, z0 = origin[present], units[present], z0[present]
+            if not len(cur):
+                break
+            drop_hit = z0 - self._dsi_z[pos] >= self._dsi_d
+            if drop_hit.any():
+                self.dsi_parts.append(np.stack(
+                    [origin[drop_hit], units[drop_hit],
+                     np.ones(int(drop_hit.sum()), np.int64)], axis=1))
+            go = ~drop_hit
+            cur, pos = cur[go], pos[go]
+            origin, units, z0 = origin[go], units[go], z0[go]
+            if not len(cur):
+                break
+            down = self.down_arr[pos]
+            term = down < 0
+            if term.any():
+                self.dsi_parts.append(np.stack(
+                    [origin[term], units[term],
+                     np.zeros(int(term.sum()), np.int64)], axis=1))
+            adv = ~term
+            nxt = down[adv]
+            units = units[adv] + self._vec_hops(cur[adv], nxt)
+            origin, z0 = origin[adv], z0[adv]
+            cur = nxt
+        if not out_rows:
+            return {}
+        rows = np.concatenate(out_rows)
+        return self._group_rows(self._vec_shard(rows[:, 0]), rows)
+
+    def dsi_result(self) -> pd.DataFrame:
+        """(origin, units, reached) rows — delivered to whichever shard
+        recorded them; callers aggregate by cell_id downstream."""
+        if not getattr(self, "dsi_parts", None):
+            return pd.DataFrame({"cell_id": np.empty(0, np.int64),
+                                 "units": np.empty(0, np.int64),
+                                 "reached": np.empty(0, np.int64)})
+        arr = np.concatenate(self.dsi_parts)
+        return pd.DataFrame({"cell_id": arr[:, 0], "units": arr[:, 1],
+                             "reached": arr[:, 2]})
 
     # ---- basins (outlet labelling) --------------------------------------
     # Same doubling tables as flowpath length; only (D, OK) are consumed.
@@ -1456,6 +1538,31 @@ def _hop_units(a: int, b: int, cols: int) -> int:
     ra, ca = a // cols, a % cols
     rb, cb = b // cols, b % cols
     return _HOP_DIAG if (ra != rb and ca != cb) else _HOP_STRAIGHT
+
+
+def downslope_index_pregel(down_ds: ray.data.Dataset, z_fn, d_drop: int,
+                           grid: GridSpec, *, tile: int = 64,
+                           n_shards: int = 8,
+                           max_rounds: int = 4096) -> ray.data.Dataset:
+    """Dataset (cell_id, units, reached): D8 path distance to the first
+    cell whose elevation is >= d_drop below the start (downslope_index.rs
+    distance form); reached=0 rows carry the full path length to the
+    terminal. Hop-by-hop shard walks (the drop test can't use the
+    doubling tables)."""
+    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        ray.get([s.dsi_load.remote(z_fn, d_drop) for s in shards])
+        outs = ray.get([s.dsi_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.dsi_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize()
+            outs = ray.get([s.dsi_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("downslope index walk did not converge")
+    finally:
+        _teardown(shards)
 
 
 def flowpath_length_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
