@@ -401,3 +401,4 @@ from . import queries_image5  # noqa: E402,F401
 from . import queries_hydro6  # noqa: E402,F401
 from . import queries_lidar3  # noqa: E402,F401
 from . import queries_terrain7  # noqa: E402,F401
+from . import queries_image6  # noqa: E402,F401

@@ -1,0 +1,158 @@
+"""Image sweep #6 — binary line morphology: LineThinning, ThickenRasterLine,
+RemoveSpurs (image_analysis/{line_thin,thicken_line,remove_spurs}.rs).
+
+The reference scans update the raster IN PLACE mid-scan (changes cascade
+within one pass in row-major order) — inherently sequential. The
+distributed contract here is JACOBI iteration: every structuring-element
+sub-pass reads the PREVIOUS raster synchronously, applied until no cell
+changes (cap 4 iterations; the reference caps at 10). Rows-only — the
+dense numpy oracle in tests/test_image6.py runs the identical Jacobi
+sub-passes on the whole grid at once, which verifies the tile/halo
+machinery independently.
+
+Input: the binary raster of the 400 DDA-rasterized synthetic line
+segments (queries_hydro6 fixture). Each sub-pass is ONE chained tile
+stencil (stencil_tiles_as_input — no per-cell long format between
+passes); change counts ride along as a per-tile column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..layers import GRID1
+from .queries import query
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+_THIN_E1 = ((6, 7, 0, 4, 3, 2), (0, 1, 2, 4, 5, 6),
+            (2, 3, 4, 6, 7, 0), (4, 5, 6, 0, 1, 2))
+_THIN_E2 = ((7, 0, 1, 3, 5), (1, 2, 3, 5, 7),
+            (3, 4, 5, 7, 1), (5, 6, 7, 1, 3))
+_VALS1 = (0, 0, 0, 1, 1, 1)
+_VALS2 = (0, 0, 0, 1, 1)
+_SPUR_E = ((0, 1, 4, 5, 6, 7), (0, 1, 2, 5, 6, 7), (0, 1, 2, 3, 6, 7),
+           (0, 1, 2, 3, 4, 7), (0, 1, 2, 3, 4, 5), (1, 2, 3, 4, 5, 6),
+           (2, 3, 4, 5, 6, 7), (0, 3, 4, 5, 6, 7))
+
+_MAX_ITER = 4  # contract cap (reference default 10; 4 bounds the chained-stencil rounds)
+
+
+def _line_mask() -> np.ndarray:
+    from .queries_hydro6 import _dda_cells
+
+    mask = np.zeros(_ROWS * _COLS, np.float64)
+    mask[_dda_cells(400)] = 1.0
+    return mask
+
+
+def _patterns(kind: str):
+    """[(element idx tuple, required vals tuple, target, new)] sub-passes."""
+    if kind == "thin":
+        return ([(e, _VALS1, 1.0, 0.0) for e in _THIN_E1]
+                + [(e, _VALS2, 1.0, 0.0) for e in _THIN_E2])
+    if kind == "thicken":
+        return ([(e, _VALS1, 0.0, 1.0) for e in _THIN_E1]
+                + [(e, _VALS2, 0.0, 1.0) for e in _THIN_E2])
+    # spurs: all six listed neighbours zero -> remove the centre
+    return [(e, tuple([0] * 6), 1.0, 0.0) for e in _SPUR_E]
+
+
+def morph_pass_dense(z: np.ndarray, elem, vals, target, new) -> np.ndarray:
+    """One synchronous sub-pass over the dense (R, C) binary array —
+    shared by the tiled kernel (per padded tile) and the test oracle."""
+    pad = np.zeros((z.shape[0] + 2, z.shape[1] + 2))
+    pad[1:-1, 1:-1] = z
+    match = z == target
+    for e, want in zip(elem, vals):
+        nb = pad[1 + _DY[e]:1 + _DY[e] + z.shape[0],
+                 1 + _DX[e]:1 + _DX[e] + z.shape[1]]
+        match &= nb == want
+    return np.where(match, new, z)
+
+
+def _morph(kind: str):
+    import ray as _ray
+
+    from ..grid import GridSpec
+    from ..stages.raster import (cells_to_tiles, stencil_k,
+                                 stencil_tiles_as_input)
+
+    mask = _line_mask()
+    ref = _ray.put(mask)
+
+    import ray.data
+
+    from ..stages.spatial_join import _cached_get
+
+    ids = np.arange(_ROWS * _COLS, dtype=np.int64)
+
+    def seed(batch: dict) -> pd.DataFrame:
+        m = _cached_get(ref)
+        cid = np.asarray(batch["id"], np.int64)
+        return pd.DataFrame({"cell_id": cid, "z": m[cid]})
+
+    cells = ray.data.range(_ROWS * _COLS, override_num_blocks=8) \
+        .map_batches(seed, batch_format="numpy")
+    tiles = cells_to_tiles(cells, GRID1, "z", fill=0.0)
+
+    for _ in range(_MAX_ITER):
+        changed_total = 0
+        for elem, vals, target, new in _patterns(kind):
+            def kern(padded, nr, nc, _e=elem, _v=vals, _t=target, _n=new):
+                z = padded[1:nr + 1, 1:nc + 1]
+                zz = np.where(np.isnan(z), 0.0, z)
+                p = np.where(np.isnan(padded), 0.0, padded)
+                match = zz == _t
+                for e, want in zip(_e, _v):
+                    nb = p[1 + _DY[e]:1 + _DY[e] + nr,
+                           1 + _DX[e]:1 + _DX[e] + nc]
+                    match &= nb == want
+                out = np.where(match, _n, zz)
+                return {"z": out, "chg": np.full_like(out, match.sum())}
+
+            res = stencil_k(tiles, GRID1, kern, k=1, output="tiles") \
+                .materialize()
+            chg = res.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n": [int(sum(np.asarray(v)[0] for v in df["chg"]))]}),
+                batch_format="pandas").to_pandas()["n"].sum()
+            changed_total += int(chg)
+            tiles = stencil_tiles_as_input(res, GRID1, "z").materialize()
+        if changed_total == 0:
+            break
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            v = np.asarray(t.data, np.float64).astype(np.int64)
+            keep = v > 0
+            frames.append(pd.DataFrame({
+                "cell_id": (rr.ravel() * _COLS + cc.ravel())[keep.ravel()],
+                "on": np.ones(int(keep.sum()), np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(explode, batch_format="pandas")
+
+
+@query("line_thin")
+def line_thin(sf_dir: str):
+    return _morph("thin")
+
+
+@query("thicken_line")
+def thicken_line(sf_dir: str):
+    return _morph("thicken")
+
+
+@query("remove_spurs")
+def remove_spurs(sf_dir: str):
+    return _morph("spurs")
