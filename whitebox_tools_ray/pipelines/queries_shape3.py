@@ -1,0 +1,470 @@
+"""Shape sweep #3 (gis_analysis patch-shape tools):
+ShapeComplexityIndexRaster, BoundaryShapeComplexity, NarrownessIndex over
+the burned polygon raster, DeviationFromRegionalDirection over the star
+fixture, MinimumBoundingCircle + RelatedCircumscribingCircle.
+
+Integer/exact contracts: transect run counts, boundary-cell counts and
+max-distance-to-edge are integer aggregates (SQL-exact); the regional
+direction uses micro-quantized per-feature (area, cos2t, sin2t) integers
+so the GLOBAL weighted sums are exact in any combine order, then one
+shared float tree. The bounding-circle pair is rows-only (candidate
+enumeration over hull points) with an all-points brute oracle
+(tests/test_shape3.py); candidate selection is deterministic
+(min (r2, cx, cy) lexicographic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..layers import GRID1, p2r_case_sql
+from ..rasterdefs import _value_fn
+from ..stardefs import star_rings
+from .queries import query
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_PI = float(np.pi)
+
+_BURN_CELLS = f"""
+    cellsxy AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS cell_id,
+             CAST(t.i // {_COLS} AS BIGINT) AS r,
+             CAST(t.i % {_COLS} AS BIGINT) AS c,
+             ({GRID1.west + GRID1.res_x / 2.0!r} + CAST(t.i % {_COLS} AS DOUBLE) * {GRID1.res_x!r}) AS cx,
+             ({GRID1.north - GRID1.res_y / 2.0!r} - CAST(t.i // {_COLS} AS DOUBLE) * {GRID1.res_y!r}) AS cy
+      FROM range({_ROWS * _COLS}) t(i)),
+    burn AS MATERIALIZED (
+      SELECT cell_id, r, c, {p2r_case_sql()} AS poly_id FROM cellsxy
+    ),
+    obj AS MATERIALIZED (
+      SELECT cell_id, r, c, poly_id FROM burn WHERE poly_id IS NOT NULL
+    )
+"""
+
+
+def _burned_ids():
+    """driver-side (cell_id, poly_id) of the burned polygon raster —
+    reuses the broadcast polygons_to_raster burn (4 small features)."""
+    from .queries_more import polygons_to_raster
+
+    def _inner(sf_dir):
+        return polygons_to_raster(sf_dir).to_pandas()
+
+    return _inner
+
+
+@query(
+    "shape_complexity_raster",
+    f"""
+    WITH {_BURN_CELLS},
+    runs AS (
+      SELECT a.poly_id,
+             SUM(CASE WHEN lf.poly_id IS NULL OR lf.poly_id <> a.poly_id
+                      THEN 1 ELSE 0 END) AS runs_h,
+             SUM(CASE WHEN up.poly_id IS NULL OR up.poly_id <> a.poly_id
+                      THEN 1 ELSE 0 END) AS runs_v,
+             COUNT(DISTINCT a.r) AS nrows, COUNT(DISTINCT a.c) AS ncols
+      FROM obj a
+      LEFT JOIN obj lf ON lf.r = a.r AND lf.c = a.c - 1
+      LEFT JOIN obj up ON up.c = a.c AND up.r = a.r - 1
+      GROUP BY a.poly_id
+    )
+    SELECT poly_id, CAST(runs_h AS BIGINT) AS runs_h,
+           CAST(runs_v AS BIGINT) AS runs_v,
+           CAST(nrows AS BIGINT) AS nrows, CAST(ncols AS BIGINT) AS ncols,
+           CAST(runs_h + runs_v AS DOUBLE) / (nrows + ncols) AS sci
+    FROM runs
+    """,
+)
+def shape_complexity_raster(sf_dir: str):
+    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster.rs):
+    average transect-intersection count = run starts per touched
+    row/column transect. One halo stencil over the re-tiled burn."""
+    from ..relational import partial_agg
+    from ..stages.raster import cells_to_tiles, window_exchange
+    import ray.data
+
+    burn = _burned_ids()(sf_dir)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "cell_id": burn["cell_id"].to_numpy(np.int64),
+        "pid": burn["poly_id"].to_numpy(np.int64).astype(np.float64)})) \
+        .repartition(4)
+    tiles = cells_to_tiles(ds, GRID1, "pid")
+
+    # per-tile partials cannot dedup transect ids; do runs via stencil and
+    # transect counts via a tiny exact aggregate over the burn table
+    def window_runs(padded, nr, nc, r0, c0) -> pd.DataFrame:
+        z = padded[1:nr + 1, 1:nc + 1]
+        lf = padded[1:nr + 1, 0:nc]
+        up = padded[0:nr, 1:nc + 1]
+        valid = ~np.isnan(z)
+        sh = valid & (np.isnan(lf) | (lf != z))
+        sv = valid & (np.isnan(up) | (up != z))
+        return pd.DataFrame({
+            "poly_id": z[valid].astype(np.int64),
+            "runs_h": sh[valid].astype(np.int64),
+            "runs_v": sv[valid].astype(np.int64)})
+
+    runs = partial_agg(
+        window_exchange(tiles, GRID1, window_runs, k=1),
+        ["poly_id"], [("runs_h", "sum", "runs_h"),
+                      ("runs_v", "sum", "runs_v")]).to_pandas()
+
+    bb = burn.copy()
+    bb["r"] = bb["cell_id"] // _COLS
+    bb["c"] = bb["cell_id"] % _COLS
+    tr = bb.groupby("poly_id").agg(
+        nrows=("r", "nunique"), ncols=("c", "nunique")).reset_index()
+    m = runs.merge(tr, on="poly_id")
+    m["sci"] = (m["runs_h"] + m["runs_v"]).astype(np.float64) \
+        / (m["nrows"] + m["ncols"])
+    return m[["poly_id", "runs_h", "runs_v", "nrows", "ncols", "sci"]] \
+        .astype({"poly_id": np.int64, "runs_h": np.int64,
+                 "runs_v": np.int64, "nrows": np.int64, "ncols": np.int64})
+
+
+@query(
+    "boundary_shape_complexity",
+    f"""
+    WITH {_BURN_CELLS},
+    b AS (
+      SELECT a.poly_id, COUNT(*) AS n_cells,
+             SUM(CASE WHEN n1.poly_id IS NULL OR n1.poly_id <> a.poly_id
+                   OR n2.poly_id IS NULL OR n2.poly_id <> a.poly_id
+                   OR n3.poly_id IS NULL OR n3.poly_id <> a.poly_id
+                   OR n4.poly_id IS NULL OR n4.poly_id <> a.poly_id
+                 THEN 1 ELSE 0 END) AS n_boundary
+      FROM obj a
+      LEFT JOIN obj n1 ON n1.r = a.r - 1 AND n1.c = a.c
+      LEFT JOIN obj n2 ON n2.r = a.r + 1 AND n2.c = a.c
+      LEFT JOIN obj n3 ON n3.r = a.r AND n3.c = a.c - 1
+      LEFT JOIN obj n4 ON n4.r = a.r AND n4.c = a.c + 1
+      GROUP BY a.poly_id
+    )
+    SELECT poly_id, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_boundary AS BIGINT) AS n_boundary,
+           CAST(n_boundary AS DOUBLE) / n_cells AS bsc
+    FROM b
+    """,
+)
+def boundary_shape_complexity(sf_dir: str):
+    """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity.rs,
+    component form): the 4-connected boundary-cell proportion per patch."""
+    from ..relational import partial_agg
+    from ..stages.raster import cells_to_tiles, window_exchange
+    import ray.data
+
+    burn = _burned_ids()(sf_dir)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "cell_id": burn["cell_id"].to_numpy(np.int64),
+        "pid": burn["poly_id"].to_numpy(np.int64).astype(np.float64)})) \
+        .repartition(4)
+    tiles = cells_to_tiles(ds, GRID1, "pid")
+
+    def window_fn(padded, nr, nc, r0, c0) -> pd.DataFrame:
+        z = padded[1:nr + 1, 1:nc + 1]
+        valid = ~np.isnan(z)
+        bnd = np.zeros_like(valid)
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            bnd |= np.isnan(nb) | (nb != z)
+        return pd.DataFrame({
+            "poly_id": z[valid].astype(np.int64),
+            "n_cells": np.ones(int(valid.sum()), np.int64),
+            "n_boundary": (bnd & valid)[valid].astype(np.int64)})
+
+    agg = partial_agg(window_exchange(tiles, GRID1, window_fn, k=1),
+                      ["poly_id"], [("n_cells", "sum", "n_cells"),
+                                    ("n_boundary", "sum", "n_boundary")])
+    return agg.map_batches(
+        lambda df: df.assign(
+            bsc=df["n_boundary"].astype(np.float64)
+            / df["n_cells"].astype(np.float64)),
+        batch_format="pandas")
+
+
+@query(
+    "narrowness_index",
+    f"""
+    WITH {_BURN_CELLS},
+    ring AS MATERIALIZED (
+      -- non-object cells 8-adjacent to each object (the EDT candidate set)
+      SELECT DISTINCT a.poly_id, b.r, b.c
+      FROM obj a
+      JOIN cellsxy b ON abs(b.r - a.r) <= 1 AND abs(b.c - a.c) <= 1
+      LEFT JOIN obj o2 ON o2.cell_id = b.cell_id AND o2.poly_id = a.poly_id
+      WHERE o2.cell_id IS NULL
+    ),
+    d2 AS (
+      SELECT a.poly_id, a.cell_id,
+             MIN((a.r - g.r) * (a.r - g.r) + (a.c - g.c) * (a.c - g.c))
+             AS dd
+      FROM obj a JOIN ring g ON g.poly_id = a.poly_id
+      GROUP BY a.poly_id, a.cell_id
+    ),
+    md AS (SELECT poly_id, COUNT(*) AS n_cells, MAX(dd) AS md2 FROM d2
+           GROUP BY poly_id)
+    SELECT poly_id, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(md2 AS BIGINT) AS md2,
+           CAST(n_cells AS DOUBLE) / (CAST({_PI!r} AS DOUBLE) * md2) AS narrowness
+    FROM md
+    """,
+)
+def narrowness_index(sf_dir: str):
+    """NarrownessIndex (gis_analysis/narrowness_index.rs): A / (pi MD^2)
+    with MD = max distance-to-edge; the nearest non-object cell of any
+    object cell lies in the object's 8-adjacent complement ring, so the
+    exact integer d2 needs only object x ring pairs (per-patch
+    map_groups — patches are small; huge patches would shard the ring by
+    cell blocks)."""
+    burn = _burned_ids()(sf_dir)
+    bb = burn.copy()
+    bb["r"] = (bb["cell_id"] // _COLS).astype(np.int64)
+    bb["c"] = (bb["cell_id"] % _COLS).astype(np.int64)
+    out = []
+    occupied = {}
+    for pid, g in bb.groupby("poly_id"):
+        occupied[int(pid)] = set(zip(g["r"], g["c"]))
+    for pid, g in bb.groupby("poly_id"):
+        cells = set(zip(g["r"], g["c"]))
+        ring = set()
+        for (r, c) in cells:
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    p = (r + dr, c + dc)
+                    if p not in cells and 0 <= p[0] < _ROWS \
+                            and 0 <= p[1] < _COLS or (
+                                not (0 <= p[0] < _ROWS)
+                                or not (0 <= p[1] < _COLS)):
+                        if p != (r, c):
+                            ring.add(p)
+        ra = g["r"].to_numpy(np.int64)
+        ca = g["c"].to_numpy(np.int64)
+        rr = np.array([p[0] for p in sorted(ring)], np.int64)
+        rc = np.array([p[1] for p in sorted(ring)], np.int64)
+        dd = ((ra[:, None] - rr[None, :]) ** 2
+              + (ca[:, None] - rc[None, :]) ** 2).min(axis=1)
+        md2 = int(dd.max())
+        out.append({"poly_id": int(pid), "n_cells": len(g), "md2": md2,
+                    "narrowness": float(len(g)) / (_PI * md2)})
+    return pd.DataFrame(out).astype({"poly_id": np.int64,
+                                     "n_cells": np.int64, "md2": np.int64})
+
+
+# --------------------------------------------------------------------------
+# DeviationFromRegionalDirection (gis_analysis/
+# deviation_from_regional_direction.rs): per star-A polygon the axial
+# deviation of its RMA orientation from the area-weighted regional
+# orientation. Axial vectors (cos 2t, sin 2t) come straight from the RMA
+# slope ((1-m^2)/(1+m^2), 2m/(1+m^2)) — no trig; the regional sum uses
+# micro-quantized integers so it is exact in any combine order.
+# --------------------------------------------------------------------------
+_Q = float(1 << 20)
+
+
+def _axial_sql() -> str:
+    from ..stardefs import _AREA, _SXX, _SXY, _SYY, _VX, _star_sql
+
+    return f"""
+    WITH {_star_sql()}, {_VX},
+    m AS (SELECT pair_id, {_AREA} AS area,
+                 {_SXX} AS sxx, {_SYY} AS syy, {_SXY} AS sxy FROM vx),
+    ax AS (
+      SELECT pair_id, area,
+             CASE WHEN sxy < 0 THEN -sqrt(syy / sxx)
+                  ELSE sqrt(syy / sxx) END AS slope
+      FROM m
+    ),
+    axv AS (
+      SELECT pair_id,
+             CAST(floor(area * {_Q!r} + 0.5) AS BIGINT) AS qa,
+             CAST(floor(((1.0 - slope * slope) / (1.0 + slope * slope))
+                        * {_Q!r} + 0.5) AS BIGINT) AS qc,
+             CAST(floor(((2.0 * slope) / (1.0 + slope * slope))
+                        * {_Q!r} + 0.5) AS BIGINT) AS qs
+      FROM ax
+    ),
+    reg AS (
+      SELECT CAST(SUM(qa * qc) AS DOUBLE) AS rc,
+             CAST(SUM(qa * qs) AS DOUBLE) AS rs
+      FROM axv
+    )
+    SELECT v.pair_id,
+           1.0 - abs(CAST(v.qc AS DOUBLE) * r.rc + CAST(v.qs AS DOUBLE) * r.rs)
+           / (sqrt(CAST(v.qc AS DOUBLE) * v.qc + CAST(v.qs AS DOUBLE) * v.qs)
+              * sqrt(r.rc * r.rc + r.rs * r.rs)) AS dev_axial
+    FROM axv v, reg r
+    """
+
+
+@query("deviation_from_regional_direction", _axial_sql())
+def deviation_from_regional_direction(sf_dir: str):
+    import ray.data
+
+    from ..relational import partial_agg
+    from ..stardefs import N_PAIRS
+
+    def per_feature(batch: dict) -> pd.DataFrame:
+        pids = np.asarray(batch["id"], np.int64)
+        ra, _rb = star_rings(pids)
+        x, y = ra[:, :12, 0], ra[:, :12, 1]
+        # fixed-order shoelace (matches the queries_shape2 pivot)
+        area2 = np.zeros(len(pids))
+        for k in range(12):
+            k2 = (k + 1) % 12
+            area2 = area2 + (x[:, k] * y[:, k2] - x[:, k2] * y[:, k])
+        area = np.abs(area2) / 2.0
+        mx = np.zeros(len(pids)); my = np.zeros(len(pids))
+        for k in range(12):
+            mx = mx + x[:, k]; my = my + y[:, k]
+        mx, my = mx / 12.0, my / 12.0
+        sxx = np.zeros(len(pids)); syy = np.zeros(len(pids))
+        sxy = np.zeros(len(pids))
+        for k in range(12):
+            sxx = sxx + (x[:, k] - mx) * (x[:, k] - mx)
+            syy = syy + (y[:, k] - my) * (y[:, k] - my)
+            sxy = sxy + (x[:, k] - mx) * (y[:, k] - my)
+        slope = np.where(sxy < 0, -np.sqrt(syy / sxx), np.sqrt(syy / sxx))
+        qa = np.floor(area * _Q + 0.5).astype(np.int64)
+        qc = np.floor(((1.0 - slope * slope) / (1.0 + slope * slope))
+                      * _Q + 0.5).astype(np.int64)
+        qs = np.floor(((2.0 * slope) / (1.0 + slope * slope))
+                      * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame({"pair_id": pids, "qa": qa, "qc": qc, "qs": qs,
+                             "wc": qa * qc, "ws": qa * qs})
+
+    feats = ray.data.range(N_PAIRS, override_num_blocks=4) \
+        .map_batches(per_feature, batch_format="numpy").materialize()
+    reg = partial_agg(feats.map_batches(
+        lambda df: df.assign(k=np.int64(0)), batch_format="pandas"),
+        ["k"], [("wc", "sum", "wc"), ("ws", "sum", "ws")]).to_pandas()
+    rc, rs = float(reg["wc"][0]), float(reg["ws"][0])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        qc = df["qc"].to_numpy(np.int64).astype(np.float64)
+        qs = df["qs"].to_numpy(np.int64).astype(np.float64)
+        dev = 1.0 - np.abs(qc * rc + qs * rs) \
+            / (np.sqrt(qc * qc + qs * qs) * np.sqrt(rc * rc + rs * rs))
+        return pd.DataFrame({"pair_id": df["pair_id"].to_numpy(np.int64),
+                             "dev_axial": dev})
+
+    return feats.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MinimumBoundingCircle + RelatedCircumscribingCircle (rows-only).
+# --------------------------------------------------------------------------
+def _mbc(pts: np.ndarray) -> tuple[float, float, float]:
+    """Deterministic minimum enclosing circle: enumerate 2-point
+    (diameter) and 3-point (circumcircle) candidates over the hull, keep
+    the smallest covering circle (ties -> (r2, cx, cy) lexicographic)."""
+    pts = np.unique(pts, axis=0)
+    # monotone chain hull
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    P = pts[order]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    if len(P) <= 2:
+        hull = P
+    else:
+        lo = half(list(P))
+        hi = half(list(P[::-1]))
+        hull = np.array(lo[:-1] + hi[:-1])
+    h = np.asarray(hull, np.float64).reshape(-1, 2)
+    n = len(h)
+    for eps in (1e-9, 1e-6):
+        best = None
+        for i in range(n):
+            for j in range(i + 1, n):
+                cx = (h[i, 0] + h[j, 0]) / 2.0
+                cy = (h[i, 1] + h[j, 1]) / 2.0
+                r2 = (h[i, 0] - cx) ** 2 + (h[i, 1] - cy) ** 2
+                if ((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2
+                        <= r2 * (1 + eps)).all():
+                    cand = (r2, cx, cy)
+                    if best is None or cand < best:
+                        best = cand
+        for i in range(n):
+            for j in range(i + 1, n):
+                for k in range(j + 1, n):
+                    ax, ay = h[i]
+                    bx, by = h[j]
+                    cx_, cy_ = h[k]
+                    d = 2 * (ax * (by - cy_) + bx * (cy_ - ay)
+                             + cx_ * (ay - by))
+                    if d == 0:
+                        continue
+                    ux = ((ax**2 + ay**2) * (by - cy_)
+                          + (bx**2 + by**2) * (cy_ - ay)
+                          + (cx_**2 + cy_**2) * (ay - by)) / d
+                    uy = ((ax**2 + ay**2) * (cx_ - bx)
+                          + (bx**2 + by**2) * (ax - cx_)
+                          + (cx_**2 + cy_**2) * (bx - ax)) / d
+                    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+                    if ((pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+                            <= r2 * (1 + eps)).all():
+                        cand = (r2, ux, uy)
+                        if best is None or cand < best:
+                            best = cand
+        if best is not None:
+            break
+    r2, cx, cy = best
+    return float(cx), float(cy), float(np.sqrt(r2))
+
+
+@query("minimum_bounding_circle")
+def minimum_bounding_circle(sf_dir: str):
+    """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs) per
+    event type — hull-candidate enumeration (deterministic tie-break);
+    all-points brute oracle in tests/test_shape3.py."""
+    from ..sources.tables import read_points, read_table
+
+    pts = read_points(sf_dir, extra_cols=("event_type",))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        xy = np.column_stack([g["x"].to_numpy(np.float64),
+                              g["y"].to_numpy(np.float64)])
+        cx, cy, r = _mbc(xy)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "cx": [cx], "cy": [cy], "radius": [r]})
+
+    return pts.groupby("event_type").map_groups(per_type,
+                                                batch_format="pandas")
+
+
+@query("related_circumscribing_circle")
+def related_circumscribing_circle(sf_dir: str):
+    """RelatedCircumscribingCircle (gis_analysis/
+    related_circumscribing_circle.rs): RCC = 1 - A / (pi r^2) with r the
+    star polygon's minimum bounding circle radius."""
+    import ray.data
+
+    from ..stardefs import N_PAIRS
+
+    def per_feature(batch: dict) -> pd.DataFrame:
+        pids = np.asarray(batch["id"], np.int64)
+        ra, _rb = star_rings(pids)
+        out = []
+        for i, pid in enumerate(pids.tolist()):
+            x, y = ra[i, :12, 0], ra[i, :12, 1]
+            area2 = 0.0
+            for k in range(12):
+                k2 = (k + 1) % 12
+                area2 += x[k] * y[k2] - x[k2] * y[k]
+            area = abs(area2) / 2.0
+            cx, cy, r = _mbc(np.column_stack([x, y]))
+            out.append({"pair_id": int(pid),
+                        "rcc": 1.0 - area / (_PI * r * r)})
+        return pd.DataFrame(out)
+
+    return ray.data.range(N_PAIRS, override_num_blocks=4) \
+        .map_batches(per_feature, batch_format="numpy")

@@ -102,3 +102,25 @@ def _star_sql() -> str:
     """
 
 
+
+
+# --- pivoted outer-ring SQL fragments (shared by queries_shape2 and
+# queries_shape3 at decorator time — leaf-resident per the hydrodefs rule)
+_PIVOT = ", ".join(
+    f"MAX(CASE WHEN k = {k} THEN x END) AS x{k}, "
+    f"MAX(CASE WHEN k = {k} THEN y END) AS y{k}" for k in range(12))
+_VX = f"vx AS (SELECT pair_id, {_PIVOT} FROM verts WHERE ring = 0 GROUP BY pair_id)"
+
+
+def _shoelace(idx) -> str:
+    terms = [f"(x{i} * y{j} - x{j} * y{i})"
+             for i, j in zip(idx, idx[1:] + idx[:1])]
+    return f"(0.5 * ABS({' + '.join(terms)}))"
+
+
+_AREA = _shoelace(list(range(12)))
+_MX = f"(({' + '.join(f'x{k}' for k in range(12))}) / 12.0)"
+_MY = f"(({' + '.join(f'y{k}' for k in range(12))}) / 12.0)"
+_SXX = f"({' + '.join(f'(x{k} - {_MX}) * (x{k} - {_MX})' for k in range(12))})"
+_SYY = f"({' + '.join(f'(y{k} - {_MY}) * (y{k} - {_MY})' for k in range(12))})"
+_SXY = f"({' + '.join(f'(x{k} - {_MX}) * (y{k} - {_MY})' for k in range(12))})"
