@@ -1,0 +1,173 @@
+"""Hydro sweep #7 — the remaining depression-filling algorithms:
+FillDepressionsPlanchonAndDarboux and FillDepressionsWangAndLiu.
+
+Planchon & Darboux (2001) is implemented as a genuinely DIFFERENT
+distributed algorithm from the existing priority-flood fill: the water
+level W starts at +inf everywhere except the grid border (W = z) and
+relaxes W(c) = max(z(c), min over 8-neighbours W(n)) to its unique fixed
+point. Distribution: each round solves every TILE exactly (an internal
+priority-flood seeded by the tile's halo), then exchanges halos; rounds
+are bounded by the tile-graph diameter, not by path lengths. Convergence
+is detected with a per-tile change count. The dense oracle
+(tests/test_hydro7.py) is the INDEPENDENT global priority flood — both
+algorithms provably share the fixed point, so bit-equality is a real
+cross-check.
+
+Wang & Liu (2006) computes the same least-cost spill elevation with a
+single global priority queue; the engine's label-correcting shard fill
+(stages/pregel.fill_depressions_pregel) is the distributed member of that
+family, exposed here under its own entry.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from ..layers import GRID1
+from ..rasterdefs import _value_fn
+from .queries import query
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_BIG = float(1 << 40)
+
+
+def _tile_relax(padded: np.ndarray, nr: int, nc: int, r0: int, c0: int
+                ) -> tuple[np.ndarray, int]:
+    """Exact within-tile solve of W = max(z, min over 8-nbrs W) given the
+    FIXED boundary (the 1-cell halo ring + the global grid border): an
+    internal priority-flood from the boundary. The halo only decreases
+    across rounds, so W decreases monotonically to the global fixed
+    point."""
+    rr = np.arange(r0, r0 + nr, dtype=np.int64)[:, None] \
+        + np.zeros((1, nc), np.int64)
+    cc = np.arange(c0, c0 + nc, dtype=np.int64)[None, :] \
+        + np.zeros((nr, 1), np.int64)
+    z = _value_fn((rr * _COLS + cc).ravel()).reshape(nr, nc)
+    border = (rr == 0) | (rr == _ROWS - 1) | (cc == 0) | (cc == _COLS - 1)
+
+    W = np.where(border, z, _BIG)
+    heap = []
+    bi, bj = np.nonzero(border)
+    for i, j in zip(bi.tolist(), bj.tolist()):
+        heapq.heappush(heap, (W[i, j], i, j))
+    # Dirichlet relaxation from the halo ring (fixed this round)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            halo = padded[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+            cand = np.maximum(z, halo)  # NaN halo -> NaN cand (skipped)
+            upd = ~np.isnan(cand) & (cand < W) & ~border
+            for i, j in zip(*np.nonzero(upd)):
+                if cand[i, j] < W[i, j]:
+                    W[i, j] = cand[i, j]
+                    heapq.heappush(heap, (W[i, j], int(i), int(j)))
+    while heap:
+        w, i, j = heapq.heappop(heap)
+        if w > W[i, j]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                ni, nj = i + dr, j + dc
+                if 0 <= ni < nr and 0 <= nj < nc and not border[ni, nj]:
+                    cand = max(z[ni, nj], w)
+                    if cand < W[ni, nj]:
+                        W[ni, nj] = cand
+                        heapq.heappush(heap, (cand, ni, nj))
+    prev = padded[1:nr + 1, 1:nc + 1]
+    prevW = np.where(np.isnan(prev), _BIG, prev)
+    changed = int((W != prevW).sum())
+    return W, changed
+
+
+@query("fill_depressions_planchon_darboux")
+def fill_depressions_planchon_darboux(sf_dir: str):
+    """Rows-only; dense independent priority-flood equality oracle in
+    tests/test_hydro7.py."""
+    import ray.data
+
+    from ..stages.raster import stencil_k, stencil_tiles_as_input
+
+    # W0 tiles: z on the global border, +inf elsewhere
+    tcols = -(-_COLS // 64)
+    trows = -(-_ROWS // 64)
+    ids = ray.data.range(trows * tcols, override_num_blocks=4)
+
+    def gen(batch: dict) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tr, tc = int(tid) // tcols, int(tid) % tcols
+            r0, c0 = tr * 64, tc * 64
+            nr = min(64, _ROWS - r0)
+            nc = min(64, _COLS - c0)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr),
+                                 np.arange(c0, c0 + nc), indexing="ij")
+            z = _value_fn((rr.astype(np.int64) * _COLS
+                           + cc.astype(np.int64)).ravel()).reshape(nr, nc)
+            border = (rr == 0) | (rr == _ROWS - 1) | (cc == 0) \
+                | (cc == _COLS - 1)
+            w0 = np.where(border, z, _BIG)
+            out.append({"tile_id": int(tid), "trow": tr, "tcol": tc,
+                        "nrows": nr, "ncols": nc, "data": w0.ravel()})
+        return pd.DataFrame(out)
+
+    tiles = ids.map_batches(gen, batch_format="numpy")
+
+    for _round in range(64):
+        def kern_abs(padded, nr, nc, r0, c0):
+            W, changed = _tile_relax(padded, nr, nc, r0, c0)
+            row = {"trow": r0 // 64, "tcol": c0 // 64, "nrows": nr,
+                   "ncols": nc, "z": W.ravel(),
+                   "chg": np.full(nr * nc, changed, np.float64)}
+            return pd.DataFrame([row])
+
+        from ..stages.raster import window_exchange
+
+        res = window_exchange(tiles, GRID1, kern_abs, k=1).materialize()
+        chg = res.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(sum(np.asarray(v)[0] for v in df["chg"]))]}),
+            batch_format="pandas").to_pandas()["n"].sum()
+        tiles = stencil_tiles_as_input(res, GRID1, "z").materialize()
+        if int(chg) == 0:
+            break
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            frames.append(pd.DataFrame({
+                "cell_id": (rr.ravel() * _COLS + cc.ravel()),
+                "fill": np.asarray(t.data, np.float64)
+                .astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tiles.map_batches(explode, batch_format="pandas")
+
+
+@query("fill_depressions_wang_liu")
+def fill_depressions_wang_liu(sf_dir: str):
+    """FillDepressionsWangAndLiu (hydro_analysis/
+    fill_depressions_wang_and_liu.rs): the least-cost spill elevation via
+    label-correcting sweeps — the shard Pregel fill IS the distributed
+    member of this algorithm family. Rows-only; priority-flood equality in
+    tests/test_hydro7.py."""
+    from ..stages.pregel import fill_depressions_pregel
+
+    def zfn(cells: np.ndarray) -> np.ndarray:
+        return _value_fn(cells).astype(np.int64)
+
+    fill = fill_depressions_pregel(zfn, GRID1)
+    return fill.map_batches(
+        lambda df: pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
+                                 "fill": df["fill"].to_numpy(np.int64)}),
+        batch_format="pandas")
