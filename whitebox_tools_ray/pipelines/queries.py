@@ -405,3 +405,4 @@ from . import queries_image6  # noqa: E402,F401
 from . import queries_shape3  # noqa: E402,F401
 from . import queries_terrain8  # noqa: E402,F401
 from . import queries_hydro7  # noqa: E402,F401
+from . import queries_terrain9  # noqa: E402,F401

@@ -1227,12 +1227,7 @@ def laplacian_of_gaussian(sf_dir: str):
 VS_VR, VS_VC = GRID1.rows // 2, GRID1.cols // 2
 
 
-def _dda_sql(k: str, d: str, K: str) -> str:
-    """Signed integer DDA offset along one axis: sign(d) * ((2k|d| + K) //
-    (2K)) — positive-operand division only, so floor-vs-truncate division
-    semantics cannot diverge between numpy and DuckDB."""
-    return (f"(CASE WHEN {d} < 0 THEN -((2 * {k} * (-({d})) + {K}) // (2 * {K})) "
-            f"ELSE ((2 * {k} * {d} + {K}) // (2 * {K})) END)")
+from ..rasterdefs import _dda_sql  # noqa: E402
 
 
 @query(

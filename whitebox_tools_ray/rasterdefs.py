@@ -35,3 +35,11 @@ def _devmax_scale_cte(mid: int) -> str:
       SELECT cell_id, z, COUNT(*) AS n, SUM(w) AS s, SUM(w * w) AS ss
       FROM ({arms}) GROUP BY cell_id, z
     )"""
+
+
+def _dda_sql(k: str, d: str, K: str) -> str:
+    """Signed integer DDA offset along one axis: sign(d) * ((2k|d| + K) //
+    (2K)) — positive-operand division only, so floor-vs-truncate division
+    semantics cannot diverge between numpy and DuckDB."""
+    return (f"(CASE WHEN {d} < 0 THEN -((2 * {k} * (-({d})) + {K}) // (2 * {K})) "
+            f"ELSE ((2 * {k} * {d} + {K}) // (2 * {K})) END)")
