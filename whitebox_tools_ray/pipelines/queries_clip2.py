@@ -216,3 +216,38 @@ def select_tiles_by_polygon(sf_dir: str):
         return df.loc[wn != 0, ["tile_id"]]
 
     return ids.map_batches(f, batch_format="pandas")
+
+
+@query(
+    "lidar_classify_subset",
+    f"""
+    WITH {PTS_CTE},
+    lpc AS (SELECT event_id, x, y, event_id % 7 AS cls FROM pts),
+    {_ring_sql()}
+    SELECT event_id,
+           CAST(CASE WHEN {_wind_sql('p.x', 'p.y')} <> 0 THEN 13
+                     ELSE p.cls END AS BIGINT) AS cls
+    FROM lpc p
+    """,
+)
+def lidar_classify_subset(sf_dir: str):
+    """LidarClassifySubset (lidar_analysis/lidar_classify_subset.rs):
+    points inside the clip polygon take the override class (13); the same
+    broadcast-ring winding kernel as the lidar clip family."""
+    from ..sources.tables import read_points
+    from ..stages.spatial_join import _cached_get
+    import ray as _ray
+
+    ref = _ray.put(clip_ring())
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ring = _cached_get(ref)
+        e = df["event_id"].to_numpy(np.int64)
+        wn = _wind_np(ring, df["x"].to_numpy(np.float64),
+                      df["y"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "event_id": e,
+            "cls": np.where(wn != 0, np.int64(13), e % 7)})
+
+    return read_points(sf_dir, extra_cols=()).map_batches(
+        classify, batch_format="pandas")
