@@ -1,5 +1,6 @@
 """Hydro sweep #7 — the remaining depression-filling algorithms:
-FillDepressionsPlanchonAndDarboux and FillDepressionsWangAndLiu.
+FillDepressionsPlanchonAndDarboux (hydro_analysis/
+fill_depressions_planchon_and_darboux.rs) and FillDepressionsWangAndLiu.
 
 Planchon & Darboux (2001) is implemented as a genuinely DIFFERENT
 distributed algorithm from the existing priority-flood fill: the water

@@ -1,5 +1,7 @@
 """Terrain sweep #6 — the surface-normal dispersion family:
-SphericalStdDevOfNormals, AverageNormalVectorAngularDeviation, and their
+SphericalStdDevOfNormals (terrain_analysis/
+spherical_std_dev_of_normals.rs), AverageNormalVectorAngularDeviation
+(terrain_analysis/average_normal_vector_angular_deviation.rs), and their
 multiscale/signature variants (MultiscaleStdDevNormals(+Signature),
 MultiscaleRoughness(+Signature)).
 
