@@ -122,7 +122,9 @@ class FlowShard:
         self._topo = None
         self._wmode = "hops"
         # hasattr-guarded algorithm state must not leak across runs
-        for attr in ("_dsi_z", "_dsi_d", "dsi_parts",
+        for attr in ("_dsi_z", "_dsi_d", "dsi_parts", "vis_parts",
+                     "iso_pending", "iso_sum", "iso_bestkey", "iso_bestfrom",
+                     "iso_bestfa", "iso_done", "iso_outlets", "iso_target",
                      "_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
                      "fpl_parts", "bas_parts", "fd8_out", "fd8_pending",
@@ -774,6 +776,170 @@ class FlowShard:
         dest = np.concatenate([p[1] for p in self.bas_parts]) \
             if self.bas_parts else np.empty(0, np.int64)
         return pd.DataFrame({"cell_id": origin, "basin": dest})
+
+    # ---- path visit enumeration (MaxBranchLength support) ---------------
+    # Probes (origin, cur, units) walk hop-by-hop; every VISITED cell's
+    # owning shard records (visited, origin, units) — including the start
+    # (units 0) and the terminal. Visit rows therefore land sharded by the
+    # visited cell, exactly the partitioning the pair-meet join wants.
+    # Memory per shard is bounded by the total flowpath length crossing it
+    # (the same O(sum path) work the reference's marking scan performs).
+    def vis_init(self, nonpit_only: bool = False):
+        self._ensure()
+        self.vis_parts: list[np.ndarray] = []
+        seeds = self.cells_arr
+        if nonpit_only and len(seeds):
+            seeds = seeds[self.down_arr >= 0]
+        return self._vis_apply(seeds, seeds,
+                               np.zeros(len(seeds), np.int64))
+
+    def vis_round(self, msgs: list[np.ndarray]):
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 3) for a in msgs])
+        else:
+            arr = np.empty((0, 3), np.int64)
+        return self._vis_apply(arr[:, 0], arr[:, 1], arr[:, 2])
+
+    def _vis_apply(self, cur, origin, units):
+        cur = cur.astype(np.int64)
+        origin = origin.astype(np.int64)
+        units = units.astype(np.int64)
+        out_rows = []
+        while len(cur):
+            pos, present = self._lookup(cur)
+            if (~present).any():
+                out_rows.append(np.stack([cur[~present], origin[~present],
+                                          units[~present]], axis=1))
+            cur, pos = cur[present], pos[present]
+            origin, units = origin[present], units[present]
+            if not len(cur):
+                break
+            self.vis_parts.append(np.stack([cur, origin, units], axis=1))
+            down = self.down_arr[pos]
+            adv = down >= 0
+            nxt = down[adv]
+            units = units[adv] + self._vec_hops(cur[adv], nxt)
+            origin = origin[adv]
+            cur = nxt
+        if not out_rows:
+            return {}
+        rows = np.concatenate(out_rows)
+        return self._group_rows(self._vec_shard(rows[:, 0]), rows)
+
+    def vis_result(self) -> pd.DataFrame:
+        if not getattr(self, "vis_parts", None):
+            return pd.DataFrame({"cell_id": np.empty(0, np.int64),
+                                 "origin": np.empty(0, np.int64),
+                                 "units": np.empty(0, np.int64)})
+        arr = np.concatenate(self.vis_parts)
+        return pd.DataFrame({"cell_id": arr[:, 0], "origin": arr[:, 1],
+                             "units": arr[:, 2]})
+
+    # ---- isobasins (equal-area basin cutting) ----------------------------
+    # hydro_analysis/isobasins.rs pour-point scan as an in-degree-gated
+    # topological wave (the muf_* pattern): a cell fires once every
+    # inflowing contribution arrived; its carried accumulation fa is
+    # 1 + sum(contributions), and when fa >= target the basin is cut either
+    # at the largest inflowing neighbour (if that is closer to the target)
+    # or at the cell itself. Messages carry (to, from, fa) so the tie rule
+    # (strictly-greater scan in D8 order 0..7) is reproduced exactly.
+    def iso_init_load(self, indeg_df: pd.DataFrame, target: int) -> int:
+        if not hasattr(self, "iso_pending"):
+            self.iso_pending: dict[int, int] = {}
+            self.iso_sum: dict[int, int] = {}
+            self.iso_bestkey: dict[int, int] = {}
+            self.iso_bestfrom: dict[int, int] = {}
+            self.iso_bestfa: dict[int, int] = {}
+            self.iso_done: set[int] = set()
+            self.iso_outlets: list[int] = []
+        self.iso_target = int(target)
+        for c, n in zip(indeg_df["cell_id"].astype(int),
+                        indeg_df["n_inflow"].astype(int)):
+            self.iso_pending[c] = n
+        return len(indeg_df)
+
+    def _iso_d8_index(self, frm: int, to: int) -> int:
+        """D8 scan index i (0..7) of ``frm`` as seen FROM ``to`` —
+        isobasins.rs walks neighbours in the d8_pointer order."""
+        off = frm - to
+        dy, dx = 0, 0
+        for i, (ddx, ddy) in enumerate(zip((1, 1, 1, 0, -1, -1, -1, 0),
+                                           (-1, 0, 1, 1, 1, 0, -1, -1))):
+            if off == ddy * self.cols + ddx:
+                return i
+        raise ValueError(f"non-adjacent iso message {frm}->{to}")
+
+    def iso_round(self, msgs: list[np.ndarray]):
+        inbox = []
+        for arr in msgs:
+            inbox.extend((int(a), int(b), int(c))
+                         for a, b, c in arr.reshape(-1, 3))
+        return self._iso_drain(inbox)
+
+    def _iso_drain(self, inbox):
+        if not hasattr(self, "iso_pending"):  # shard holds no graph cells
+            assert not inbox
+            return {}
+
+        def recv(cell, frm, fa):
+            self.iso_sum[cell] = self.iso_sum.get(cell, 0) + fa
+            i = self._iso_d8_index(frm, cell)
+            # max fa, ties -> lowest D8 index (strict > in scan order)
+            key = fa * 8 + (7 - i)
+            if key > self.iso_bestkey.get(cell, -1):
+                self.iso_bestkey[cell] = key
+                self.iso_bestfrom[cell] = frm
+                self.iso_bestfa[cell] = fa
+            self.iso_pending[cell] -= 1
+
+        for cell, frm, fa in inbox:
+            recv(cell, frm, fa)
+        queue = [c for c, p in self.iso_pending.items() if p == 0]
+        out: dict[int, list] = {}
+        target = self.iso_target
+        while queue:
+            cell = queue.pop()
+            if cell in self.iso_done:
+                continue
+            self.iso_done.add(cell)
+            del self.iso_pending[cell]
+            fa = 1 + self.iso_sum.get(cell, 0)
+            marked_self = False
+            if fa >= target:
+                inla_mag = self.iso_bestfa.get(cell, 0)
+                if (target - inla_mag) < (fa - target):
+                    if cell in self.iso_bestfrom:
+                        self.iso_outlets.append(self.iso_bestfrom[cell])
+                        fa -= inla_mag
+                    else:
+                        self.iso_outlets.append(cell)
+                        marked_self = True
+                        fa = 1
+                else:
+                    self.iso_outlets.append(cell)
+                    marked_self = True
+                    fa = 1
+            tgt = self.down.get(cell, -1)
+            if tgt < 0:
+                if not marked_self:
+                    self.iso_outlets.append(cell)
+                continue
+            if self._shard(tgt) == self._shard(cell) and tgt in self.iso_pending:
+                recv(tgt, cell, fa)
+                if self.iso_pending[tgt] == 0:
+                    queue.append(tgt)
+            else:
+                out.setdefault(self._shard(tgt), []).append((tgt, cell, fa))
+        return {s: np.asarray(v, np.int64).reshape(-1, 3)
+                for s, v in out.items()}
+
+    def iso_result(self) -> pd.DataFrame:
+        o = np.unique(np.asarray(self.iso_outlets, np.int64)) \
+            if getattr(self, "iso_outlets", None) else np.empty(0, np.int64)
+        return pd.DataFrame({"outlet": o})
+
+    def iso_unresolved(self) -> int:
+        return len(getattr(self, "iso_pending", {}))
 
     # ---- cost distance ---------------------------------------------------
     def _seed_surface_cache(self, fn, offs) -> dict[int, int]:
@@ -1538,6 +1704,79 @@ def _hop_units(a: int, b: int, cols: int) -> int:
     ra, ca = a // cols, a % cols
     rb, cb = b // cols, b % cols
     return _HOP_DIAG if (ra != rb and ca != cb) else _HOP_STRAIGHT
+
+
+def path_visits_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
+                       tile: int = 64, n_shards: int = 8,
+                       nonpit_only: bool = False,
+                       max_rounds: int = 4096) -> ray.data.Dataset:
+    """Dataset (cell_id, origin, units): every (visited cell, start cell)
+    pair along every D8 flowpath with the fixed-point hop distance from the
+    start — the distributed equivalent of max_branch_length.rs's
+    path-marking scan (terrain_analysis/max_branch_length.rs:349-375).
+    Rows land sharded by the VISITED cell, so the downstream pair-meet
+    join groups without a second exchange. Output volume is the total
+    flowpath length (the same bound as the reference's O(n·path) scan)."""
+    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        outs = ray.get([s.vis_init.remote(nonpit_only) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.vis_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize()
+            outs = ray.get([s.vis_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("path visit walk did not converge")
+    finally:
+        _teardown(shards)
+
+
+def isobasins_pregel(down_ds: ray.data.Dataset, grid: GridSpec,
+                     target: int, *, tile: int = 64, n_shards: int = 8,
+                     max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (outlet,): the pour-point cells of the isobasins cut scan
+    (hydro_analysis/isobasins.rs:392-459) — in-degree-gated topological
+    wave; each cell fires once with its full modified accumulation and the
+    cut rule marks either the largest inflowing neighbour or the cell
+    itself. Terminals are always outlets. Basin labels follow by cutting
+    the pointer graph at these outlets and running basins_pregel."""
+    from .flow import _indeg_state
+
+    shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        indeg = _indeg_state(down_ds, grid, tile).map_batches(
+            lambda df: df.assign(shard=df["tile"].to_numpy(np.int64) % n_shards),
+            batch_format="pandas")
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            sid = int(g["shard"].iloc[0])
+            actor = ray.get_actor(f"{prefix}_{sid}", namespace="wbt")
+            ray.get(actor.iso_init_load.remote(g[["cell_id", "n_inflow"]],
+                                               target))
+            return pd.DataFrame({"n": [len(g)]})
+
+        indeg.groupby("shard").map_groups(push, batch_format="pandas").count()
+        outs = ray.get([s.iso_round.remote([]) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.iso_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("isobasins wave did not converge (cycle?)")
+        left = sum(ray.get([s.iso_unresolved.remote() for s in shards]))
+        if left:
+            raise RuntimeError(f"isobasins left {left} unresolved cells")
+        refs = [s.iso_result.remote() for s in shards]
+        out = ray.data.from_pandas_refs(refs).materialize()
+        # a cell can be marked by two different shards (own cut + a
+        # neighbour cut recorded by the deciding cell's shard) — dedup
+        return out.groupby("outlet").map_groups(
+            lambda g: g.head(1), batch_format="pandas").materialize()
+    finally:
+        _teardown(shards)
 
 
 def downslope_index_pregel(down_ds: ray.data.Dataset, z_fn, d_drop: int,
