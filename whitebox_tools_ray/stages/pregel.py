@@ -128,7 +128,8 @@ class FlowShard:
                      "_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
                      "fpl_parts", "bas_parts", "fd8_out", "fd8_pending",
-                     "fd8_mass", "fd8_acc", "best", "cells", "fill",
+                     "fd8_mass", "fd8_acc", "_mf", "_fd8_exact_weights",
+                     "best", "cells", "fill",
                      "cost_fn", "z_fn", "init_mass", "fplen", "fl_memo",
                      "basin", "memo", "_cd_costs", "_fl_zs"):
             if hasattr(self, attr):
@@ -508,6 +509,133 @@ class FlowShard:
         self.fd8_mass = dict.fromkeys(cells.tolist(), self.FD8_ONE)
         return len(self.fd8_pending)
 
+    def mf_configure(self, load_fn, eff_fp_fn, absorp_fn) -> int:
+        """Switch the (already dinf_load-ed) drain into mass-flux mode
+        (hydro_analysis/dinf_mass_flux.rs): initial mass = loading units,
+        recorded acc = loading + inflows, forwarded flux =
+        (acc - absorption) * efficiency with efficiency a 2^20 fixed-point
+        proportion (floor)."""
+        self._ensure()
+        cells = self.cells_arr
+        load = np.asarray(load_fn(cells), np.int64) if len(cells) \
+            else np.empty(0, np.int64)
+        eff = np.asarray(eff_fp_fn(cells), np.int64) if len(cells) \
+            else np.empty(0, np.int64)
+        absorp = np.asarray(absorp_fn(cells), np.int64) if len(cells) \
+            else np.empty(0, np.int64)
+        self.fd8_mass = dict(zip(cells.tolist(), load.tolist()))
+        self._mf = {int(c): (int(e), int(a)) for c, e, a in
+                    zip(cells.tolist(), eff.tolist(), absorp.tolist())}
+        return len(cells)
+
+    # MDInf facet neighbour order (mdinf_flow_accum.rs:392-403):
+    # N, NW, W, SW, S, SE, E, NE with dd = [1, sqrt2, 1, sqrt2, ...]
+    MDINF_XD = (0, -1, -1, -1, 0, 1, 1, 1)
+    MDINF_YD = (-1, -1, 0, 1, 1, 1, 0, -1)
+
+    def mdinf_load(self, z_fn, exponent: float) -> int:
+        """Populates the fd8 wave state with Seibert & McGlynn (2007)
+        MD-infinity facet weights (mdinf_flow_accum.rs:440-605). Weights are
+        2^20 fixed-point rounded; the drain runs with exact-weights mode
+        (no remainder conservation) because the reference drops the weight
+        share of facet corners that are not downslope. The reference's
+        stale r_facet/s_facet carry-over across cells (arrays reused
+        between stack pops without reinitializing unset entries) is NOT
+        reproduced — unset facets are treated as nodata; this only affects
+        raster-border cells. The convergence-threshold D8 switch is off
+        (its default)."""
+        self.fd8_out = {}
+        self.fd8_acc = {}
+        self._fd8_exact_weights = True
+        self._ensure()
+        cells = self.cells_arr
+        ONE = self.FD8_ONE
+        qpi = np.pi / 4.0
+        gr = 1.0  # grid_res = (res_x + res_y)/2 on the unit-resolution grid
+        xd, yd = self.MDINF_XD, self.MDINF_YD
+        dd = [1.0 if i % 2 == 0 else 1.4142135623730951 for i in range(8)]
+        offs = list(zip(yd, xd))
+        z0, zn, ncell = self._neighbor_z(cells, z_fn, offs)
+        n = len(cells)
+        r_facet = np.zeros((n, 8))
+        s_facet = np.full((n, 8), np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c in range(8):
+                i, ii = c, (c + 1) % 8
+                p1, p2 = zn[:, i], zn[:, ii]
+                both = ~np.isnan(p1) & ~np.isnan(p2)
+                z1 = p1 - z0
+                z2 = p2 - z0
+                nx = (yd[i] * z2 - yd[ii] * z1) * gr
+                ny = (xd[ii] * z1 - xd[i] * z2) * gr
+                nz = (xd[i] * yd[ii] - xd[ii] * yd[i]) * gr * gr
+                hr = np.where(nx == 0.0, np.where(ny >= 0.0, 0.0, np.pi),
+                              np.where(nx >= 0.0,
+                                       np.pi / 2.0 - np.arctan(ny / nx),
+                                       3.0 * np.pi / 2.0 - np.arctan(ny / nx)))
+                hs = -np.tan(np.arccos(
+                    nz / np.sqrt(nx * nx + ny * ny + nz * nz)))
+                outside = (hr < i * qpi) | (hr > (i + 1) * qpi)
+                use1 = p1 < p2
+                hr = np.where(outside, np.where(use1, i * qpi, ii * qpi), hr)
+                hs = np.where(outside,
+                              np.where(use1, (z0 - p1) / (dd[i] * gr),
+                                       (z0 - p2) / (dd[ii] * gr)), hs)
+                r_facet[:, c] = np.where(both, hr, r_facet[:, c])
+                s_facet[:, c] = np.where(both, hs, s_facet[:, c])
+                # one-sided facet (p2 off-grid): direction of p1 if downhill
+                # (the reference divides by dd[ii] here — replicated quirk)
+                one = ~both & ~np.isnan(p1) & (p1 < z0)
+                r_facet[:, c] = np.where(one, i / 4.0 * np.pi, r_facet[:, c])
+                s_facet[:, c] = np.where(one, (z0 - p1) / (dd[ii] * gr),
+                                         s_facet[:, c])
+
+            valley = np.zeros((n, 8))
+            for c in range(8):
+                i, ii, iprev = c, (c + 1) % 8, (c + 7) % 8
+                sf = s_facet[:, i]
+                rf = r_facet[:, i]
+                inside = (rf > i * qpi) & (rf < (i + 1) * qpi)
+                same = rf == r_facet[:, ii]
+                bord1 = np.isnan(s_facet[:, ii]) & (rf == (i + 1) * qpi)
+                bord2 = np.isnan(s_facet[:, iprev]) & (rf == i * qpi)
+                take = (sf > 0) & (inside | same | bord1 | bord2)
+                valley[:, c] = np.where(take, sf, 0.0)
+            if exponent != 1.0:
+                valley = valley ** exponent
+            vsum = np.zeros(n)
+            for c in range(8):
+                vsum = vsum + valley[:, c]
+            has = vsum > 0
+            valley = np.where(has[:, None], valley / vsum[:, None], 0.0)
+            rf7 = np.where(r_facet[:, 7] == 0.0, 2.0 * np.pi, r_facet[:, 7])
+            r_facet[:, 7] = rf7
+            weights = np.zeros((n, 8))
+            for c in range(8):
+                i, ii = c, (c + 1) % 8
+                v = valley[:, i]
+                pos = v > 0
+                weights[:, i] += np.where(
+                    pos, v * ((i + 1) * qpi - r_facet[:, i]) / qpi, 0.0)
+                weights[:, ii] += np.where(
+                    pos, v * (r_facet[:, i] - i * qpi) / qpi, 0.0)
+            down = ~np.isnan(zn) & (zn < z0[:, None])
+            pending = (~np.isnan(zn) & (zn > z0[:, None])).sum(axis=1)
+            w = np.where(down, np.floor(weights * ONE + 0.5), 0.0) \
+                .astype(np.int64)
+        ci, ki = np.nonzero(down)  # every downslope neighbour is an edge
+        tgts = ncell[ci, ki]
+        ws = w[ci, ki]
+        bounds = np.searchsorted(ci, np.arange(len(cells) + 1))
+        for i, c in enumerate(cells.tolist()):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                self.fd8_out[c] = list(zip(tgts[lo:hi].tolist(),
+                                           ws[lo:hi].tolist()))
+        self.fd8_pending = dict(zip(cells.tolist(), pending.tolist()))
+        self.fd8_mass = dict.fromkeys(cells.tolist(), ONE)
+        return len(self.fd8_pending)
+
     def fd8_round(self, msgs: list[np.ndarray]):
         for arr in msgs:
             for cell, units, dec in arr.reshape(-1, 3):
@@ -516,6 +644,8 @@ class FlowShard:
                 self.fd8_pending[cell] -= int(dec)
         queue = [c for c, p in self.fd8_pending.items() if p == 0]
         out: dict[int, dict[int, list]] = {}
+        mf = getattr(self, "_mf", None)
+        exact_w = getattr(self, "_fd8_exact_weights", False)
         while queue:
             cell = queue.pop()
             if cell in self.fd8_acc:
@@ -524,9 +654,19 @@ class FlowShard:
             self.fd8_acc[cell] = m
             del self.fd8_pending[cell]
             outs = self.fd8_out.pop(cell, ())
-            # exact conservation: last target takes the division remainder
+            if mf is not None:
+                # mass-flux mode (dinf_mass_flux.rs): the recorded value is
+                # loading + inflows; the forwarded flux pays the absorption
+                # then the proportional efficiency (fixed-point floor)
+                e, a = mf[cell]
+                m = (m - a) * e // self.FD8_ONE
+            # exact conservation: last target takes the division remainder.
+            # exact_w mode (MDInf) forwards floor(m*w/ONE) per edge with NO
+            # remainder correction — mdinf_flow_accum.rs drops the weight
+            # share of facet corners that are not downslope, so total
+            # outflow deliberately under-runs m exactly like the reference.
             shares = [m * w // self.FD8_ONE for _, w in outs]
-            if shares:
+            if shares and not exact_w:
                 shares[-1] = m - sum(shares[:-1])
             for (tgt, _w), units in zip(outs, shares):
                 if tgt in self.fd8_pending:
@@ -1691,6 +1831,66 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
             raise RuntimeError(f"dinf left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
+    finally:
+        _teardown(shards)
+
+
+def _facet_accum_run(shards, n_shards, max_rounds, what: str):
+    outs = ray.get([s.fd8_round.remote([]) for s in shards])
+    for _ in range(max_rounds):
+        inboxes = _route(outs, n_shards)
+        if not any(inboxes):
+            break
+        outs = ray.get([s.fd8_round.remote(inboxes[i])
+                        for i, s in enumerate(shards)])
+    else:
+        raise RuntimeError(f"{what} did not converge")
+    left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
+    if left:
+        raise RuntimeError(f"{what} left {left} unresolved cells")
+    refs = [s.fd8_result.remote() for s in shards]
+    return ray.data.from_pandas_refs(refs).materialize()
+
+
+def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
+                              tile: int = 64, n_shards: int = 8,
+                              max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, acc_units): MD-infinity flow accumulation
+    (hydro_analysis/mdinf_flow_accum.rs, Seibert & McGlynn 2007 triangular
+    facets, slope^exponent proportioning over up to 8 receivers) — the fd8
+    topological shard wave with the MDInf weight loader in exact-weights
+    (non-conserving, like the reference) mode."""
+    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
+                            "tile": _tile_of(cells, grid, tile)})
+    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.mdinf_load.remote(z_fn, exponent) for s in shards])
+        return _facet_accum_run(shards, n_shards, max_rounds, "mdinf")
+    finally:
+        _teardown(shards)
+
+
+def dinf_mass_flux_pregel(z_fn, load_fn, eff_fp_fn, absorp_fn,
+                          grid: GridSpec, *, tile: int = 64,
+                          n_shards: int = 8,
+                          max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, acc_units): D-infinity mass flux
+    (hydro_analysis/dinf_mass_flux.rs) — per cell, loading + inflows; the
+    forwarded flux is (value - absorption) * efficiency split over the
+    Tarboton facet pair. Integer loading/absorption units; efficiency a
+    2^20 fixed-point proportion; floor rounding (documented contract)."""
+    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
+    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
+                            "tile": _tile_of(cells, grid, tile)})
+    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.dinf_load.remote(z_fn) for s in shards])
+        ray.get([s.mf_configure.remote(load_fn, eff_fp_fn, absorp_fn)
+                 for s in shards])
+        return _facet_accum_run(shards, n_shards, max_rounds, "dinf mass flux")
     finally:
         _teardown(shards)
 
