@@ -411,3 +411,4 @@ from . import queries_hydro8  # noqa: E402,F401
 from . import queries_terrain10  # noqa: E402,F401
 from . import queries_hydro9  # noqa: E402,F401
 from . import queries_data4  # noqa: E402,F401
+from . import queries_mathops5  # noqa: E402,F401
