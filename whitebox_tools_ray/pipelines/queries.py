@@ -412,3 +412,5 @@ from . import queries_terrain10  # noqa: E402,F401
 from . import queries_hydro9  # noqa: E402,F401
 from . import queries_data4  # noqa: E402,F401
 from . import queries_mathops5  # noqa: E402,F401
+from . import queries_terrain11  # noqa: E402,F401
+from . import queries_lidar4  # noqa: E402,F401

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..layers import GRID1
-from ..pointdefs import PTS_CTE, _cell_sql
+from ..pointdefs import PTS_CTE, _cell_sql, _lpts_df  # noqa: F401
 from ..relational import partial_agg
 from ..sources.tables import read_points
 from .queries import query
@@ -41,22 +41,6 @@ _LPTS = f"""
                   (event_id * 97) % 4096 AS intensity
            FROM pts)
 """
-
-
-def _lpts_df(df: pd.DataFrame) -> pd.DataFrame:
-    e = df["event_id"].to_numpy(np.int64)
-    cents = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
-    x = df["x"].to_numpy(np.float64)
-    y = df["y"].to_numpy(np.float64)
-    col = np.floor((x - GRID1.west) / GRID1.res_x).astype(np.int64)
-    row = np.floor((GRID1.north - y) / GRID1.res_y).astype(np.int64)
-    nret = 1 + (e % 3)
-    return pd.DataFrame({
-        "event_id": e, "x": x, "y": y, "cents": cents,
-        "cell_id": row * GRID1.cols + col,
-        "fl": e % 4, "cls": e % 7, "angle": ((e * 13) % 41) - 20,
-        "nret": nret, "ret": 1 + ((e * 31) % nret),
-        "intensity": (e * 97) % 4096})
 
 
 def _points(sf_dir: str):
