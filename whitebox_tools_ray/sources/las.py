@@ -159,3 +159,59 @@ def ascii_lines_to_las_df(lines: pd.Series) -> pd.DataFrame:
     parts = lines.str.split(" ", expand=True).astype(np.int64)
     parts.columns = ["x_int", "y_int", "z_int", "intensity", "cls", "ret"]
     return parts
+
+
+# ---------------------------------------------------------------------------
+# zlidar (subset container): the whitebox .zlidar layout — "ZLDR" signature
+# header + one point block of per-field DEFLATE(zlib) sub-blocks, each with
+# a (field_code u8, num_bytes u64) header (whitebox-lidar/src/las.rs:
+# 1421-1600 read path, las_to_zlidar.rs / zlidar_to_las.rs converters).
+# Field payloads here are PLAIN little-endian arrays (i32 coords, u16
+# intensity, u8 class/ret/nret, i8 angle, f64 gps); the reference's
+# nibble-tag second-order delta coding of coordinates (las.rs:1640-1930) is
+# not implemented — this subset trades its extra ratio for a simple,
+# lossless, parallel-friendly container. Round trip is bit-exact.
+# ---------------------------------------------------------------------------
+_ZLDR_SIG = b"ZLDR"
+_ZLDR_FIELDS = (("x_int", "<i4", 4), ("y_int", "<i4", 5), ("z_int", "<i4", 6),
+                ("intensity", "<u2", 7), ("cls", "u1", 8), ("ret", "u1", 9),
+                ("nret", "u1", 10), ("scan_angle", "i1", 11),
+                ("gps_time", "<f8", 12))
+
+
+def write_zlidar(path: str, df: pd.DataFrame, *, level: int = 6) -> None:
+    import struct
+    import zlib
+
+    n = len(df)
+    with open(path, "wb") as f:
+        f.write(_ZLDR_SIG)
+        f.write(struct.pack("<BBBB", 1, 1, 0, level))  # version 1.1, DEFLATE
+        f.write(struct.pack("<QB", n, len(_ZLDR_FIELDS)))
+        for col, dt, code in _ZLDR_FIELDS:
+            raw = df[col].to_numpy().astype(dt).tobytes()
+            comp = zlib.compress(raw, level)
+            f.write(struct.pack("<BQ", code, len(comp)))
+            f.write(comp)
+
+
+def read_zlidar(path: str) -> pd.DataFrame:
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == _ZLDR_SIG, "not a zlidar subset file"
+    n, nf = struct.unpack_from("<QB", buf, 8)
+    pos = 17
+    bycode = {code: (col, dt) for col, dt, code in _ZLDR_FIELDS}
+    out = {}
+    for _ in range(nf):
+        code, nbytes = struct.unpack_from("<BQ", buf, pos)
+        pos += 9
+        col, dt = bycode[code]
+        arr = np.frombuffer(zlib.decompress(buf[pos:pos + nbytes]), dt)
+        assert len(arr) == n
+        out[col] = arr
+        pos += nbytes
+    return pd.DataFrame(out)
