@@ -1,0 +1,279 @@
+"""Terrain sweep #12 — the off-terrain-object pair:
+RemoveOffTerrainObjects (terrain_analysis/remove_off_terrain_objects.rs,
+Lindsay 2018) and MapOffTerrainObjects (terrain_analysis/map_otos.rs).
+
+Pipeline (shared):
+1. white top-hat: opening = dilate(erode(z)) over the filter x filter
+   square window (one FUSED k=2*mid halo exchange); tophat = z - opening —
+   INTEGER on the integer synthetic DEM.
+2. ground region grow over the top-hat (remove_off_terrain_objects.rs:
+   457-506): seeds tophat <= 1 (slope 60 deg on the unit grid: thresholds
+   tan60*len round to the integer conditions dz <= 1 cardinal / <= 2
+   diagonal); growth is monotone, so it runs as Planchon-style tile-halo
+   iterations (within-tile sweeps to local fixpoint, rounds bounded by the
+   tile-graph diameter) — the sequential stack order is immaterial because
+   reachability is order-free.
+3a. MapOffTerrainObjects analog: the non-ground mask's 8-connected blobs
+   via the clump machinery, labels canonicalized to the lowest cell id
+   (the reference's fid numbering is scan-order); ground cells emit 1.
+3b. RemoveOffTerrainObjects: ground cells keep z; non-ground cells get the
+   1/d^2-weighted IDW of z over GROUND EDGE cells (ground with a
+   non-ground 8-neighbour) within radius filter/1.5 (:514-578, the
+   squared-euclidean FRS weights) — one k=8 halo exchange, fixed offset
+   enumeration order so the float sums are deterministic.
+
+Rows-only; scalar-literal oracle in tests/test_terrain12.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..grid import GridSpec
+from ..layers import GRID1
+from ..rasterdefs import _value_fn
+from .queries import query
+
+_FILT = 11
+_MID = _FILT // 2
+_GFLAG = 1 << 20          # ground flag in the packed state channel
+_THR = tuple(2 if (dx and dy) else 1 for dx, dy in
+             zip((1, 1, 1, 0, -1, -1, -1, 0), (-1, 0, 1, 1, 1, 0, -1, -1)))
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+_RAD2 = (_FILT / 1.5) ** 2  # FRS radius^2 (squared-euclidean metric)
+_IDW_OFFS = tuple((dy, dx)
+                  for dy in range(-8, 9) for dx in range(-8, 9)
+                  if 0 < dy * dy + dx * dx <= _RAD2)
+
+
+def tophat_state_tiles(grid: GridSpec, value_fn, *, tile: int = 64):
+    """Tiles of the packed state: tophat + _GFLAG * seed(ground)."""
+    from ..stages.raster import (stencil_k, stencil_tiles_as_input,
+                                 synth_raster_tiles)
+
+    def erode(padded, nr, nc):
+        out = np.full((nr, nc), np.inf)
+        for dy in range(-_MID, _MID + 1):
+            for dx in range(-_MID, _MID + 1):
+                w = padded[_MID + dy:_MID + dy + nr, _MID + dx:_MID + dx + nc]
+                out = np.fmin(out, np.where(np.isnan(w), np.inf, w))
+        return {"ero": out}
+
+    def dilate_tophat(padded, nr, nc):
+        out = np.full((nr, nc), -np.inf)
+        for dy in range(-_MID, _MID + 1):
+            for dx in range(-_MID, _MID + 1):
+                w = padded[_MID + dy:_MID + dy + nr, _MID + dx:_MID + dx + nc]
+                out = np.fmax(out, np.where(np.isnan(w), -np.inf, w))
+        return {"open": out}
+
+    from ..stages.raster import fuse_kernels
+
+    fused = fuse_kernels(erode, "ero", dilate_tophat, _MID, _MID)
+    tiles = synth_raster_tiles(grid, value_fn, tile=tile)
+    opening = stencil_k(tiles, grid, fused, tile=tile, k=2 * _MID,
+                        output="tiles")
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * tile, int(t.tcol) * tile
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            z = value_fn((rr * grid.cols + cc).ravel()).reshape(nr, nc)
+            th = z - np.asarray(t.open, np.float64).reshape(nr, nc)
+            state = th + _GFLAG * (th <= 1)
+            rows.append({"tile_id": int(t.trow) * (-(-grid.cols // tile))
+                         + int(t.tcol), "trow": int(t.trow),
+                         "tcol": int(t.tcol), "nrows": nr, "ncols": nc,
+                         "data": state.ravel()})
+        return pd.DataFrame(rows)
+
+    return opening.map_batches(pack, batch_format="pandas")
+
+
+def grow_ground_tiles(state_tiles, grid: GridSpec, *, tile: int = 64,
+                      max_rounds: int = 64):
+    """Tile-halo fixpoint of the directional ground grow; returns tiles of
+    the packed state with the final ground flags."""
+    from ..stages.raster import stencil_tiles_as_input, window_exchange
+
+    tiles = state_tiles
+    for _round in range(max_rounds):
+        def grow_kern(padded, nr, nc, r0, c0):
+            th = np.where(np.isnan(padded), np.nan, padded % _GFLAG)
+            gr = padded >= _GFLAG
+            changed_any = 0
+            while True:
+                newg = np.zeros((nr, nc), bool)
+                for i in range(8):
+                    src = gr[1 + _DY[i]:1 + _DY[i] + nr,
+                             1 + _DX[i]:1 + _DX[i] + nc]
+                    ths = th[1 + _DY[i]:1 + _DY[i] + nr,
+                             1 + _DX[i]:1 + _DX[i] + nc]
+                    cond = src & ~gr[1:1 + nr, 1:1 + nc] \
+                        & (th[1:1 + nr, 1:1 + nc] - ths <= _THR[i])
+                    newg |= np.where(np.isnan(th[1:1 + nr, 1:1 + nc]),
+                                     False, cond)
+                if not newg.any():
+                    break
+                changed_any = 1
+                gr[1:1 + nr, 1:1 + nc] |= newg
+            state = th[1:1 + nr, 1:1 + nc] \
+                + _GFLAG * gr[1:1 + nr, 1:1 + nc]
+            row = {"trow": r0 // tile, "tcol": c0 // tile, "nrows": nr,
+                   "ncols": nc, "z": state.ravel(),
+                   "chg": np.full(nr * nc, changed_any, np.float64)}
+            return pd.DataFrame([row])
+
+        res = window_exchange(tiles, grid, grow_kern, tile=tile, k=1) \
+            .materialize()
+        chg = res.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(sum(np.asarray(v)[0] for v in df["chg"]))]}),
+            batch_format="pandas").to_pandas()["n"].sum()
+        tiles = stencil_tiles_as_input(res, grid, "z").materialize()
+        if int(chg) == 0:
+            break
+    return tiles
+
+
+@query("map_otos")
+def map_otos(sf_dir: str):
+    """MapOffTerrainObjects (terrain_analysis/map_otos.rs) analog on the
+    shared top-hat grow: output (cell_id, oto) with ground cells = 1 and
+    each 8-connected off-terrain blob labelled by its lowest cell id.
+    Rows-only; scalar oracle in tests/test_terrain12.py."""
+    return map_otos_pipeline(GRID1, _value_fn)
+
+
+def map_otos_pipeline(grid, value_fn, *, tile: int = 64):
+    import ray
+
+    from ..relational import partial_agg
+    from ..stages.clump import clump
+    from ..stages.spatial_join import _cached_get
+
+    GRID1 = grid  # noqa: N806 — closures below use the local grid
+    tiles = grow_ground_tiles(tophat_state_tiles(grid, value_fn, tile=tile),
+                              grid, tile=tile)
+
+    # non-ground mask tiles for the clump (ground -> nodata)
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["data"] = [np.where(np.asarray(v) >= _GFLAG, -32768.0, 1.0)
+                       for v in df["data"]]
+        return out
+
+    comp = clump(tiles.map_batches(mask, batch_format="pandas"), grid,
+                 tile=tile)
+    # canonical min-cell label per clump id
+    mins = partial_agg(comp, ["clump_id"],
+                       [("cell_id", "min", "mincell")]).to_pandas()
+    lab = dict(zip(mins["clump_id"].to_numpy(np.int64).tolist(),
+                   mins["mincell"].to_numpy(np.int64).tolist()))
+    lref = ray.put(lab)
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        lb = _cached_get(lref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": cid,
+            "oto": df["clump_id"].map(lb).to_numpy(np.int64)})
+
+    blobs = comp.map_batches(relabel, batch_format="pandas")
+
+    # ground rows straight from the state tiles (distributed)
+    def ground_rows(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * tile, int(t.tcol) * tile
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            st = np.asarray(t.data, np.float64)
+            m = st >= _GFLAG
+            cid = (rr * GRID1.cols + cc).ravel()[m]
+            frames.append(pd.DataFrame({
+                "cell_id": cid, "oto": np.ones(len(cid), np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    gds = tiles.map_batches(ground_rows, batch_format="pandas")
+    return blobs.union(gds)
+
+
+@query("remove_off_terrain_objects")
+def remove_off_terrain_objects(sf_dir: str):
+    """RemoveOffTerrainObjects
+    (terrain_analysis/remove_off_terrain_objects.rs:240-610): ground cells
+    keep z; off-terrain cells get the 1/d^2 IDW of z over ground-edge
+    cells within radius filter/1.5; unreachable cells emit NaN. Output
+    (cell_id, zout) float64. Rows-only; scalar oracle in
+    tests/test_terrain12.py."""
+    return remove_oto_pipeline(GRID1, _value_fn)
+
+
+def remove_oto_pipeline(grid, value_fn, *, tile: int = 64):
+    from ..stages.raster import window_exchange
+
+    GRID1 = grid  # noqa: N806 — closures below use the local grid
+    _value_fn = value_fn  # noqa: N806
+    tiles = grow_ground_tiles(tophat_state_tiles(grid, value_fn, tile=tile),
+                              grid, tile=tile)
+
+    def backfill(padded, nr, nc, r0, c0):
+        gr = padded >= _GFLAG
+        valid = ~np.isnan(padded)
+        # ground-edge: ground with any valid non-ground 8-neighbour —
+        # computed on the padded-minus-one-ring region with pure slicing
+        # (no wrap); the IDW offsets only reach radius 7 < 8, so the
+        # missing outermost ring is never consulted
+        edge = np.zeros_like(gr)
+        hh, ww = padded.shape
+        core = (slice(1, hh - 1), slice(1, ww - 1))
+        ecore = np.zeros((hh - 2, ww - 2), bool)
+        for i in range(8):
+            sl = (slice(1 + _DY[i], hh - 1 + _DY[i]),
+                  slice(1 + _DX[i], ww - 1 + _DX[i]))
+            ecore |= gr[core] & valid[sl] & ~gr[sl]
+        edge[core] = ecore
+        rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                             np.arange(c0, c0 + nc, dtype=np.int64),
+                             indexing="ij")
+        gcell = np.meshgrid(np.arange(r0 - 8, r0 + nr + 8, dtype=np.int64),
+                            np.arange(c0 - 8, c0 + nc + 8, dtype=np.int64),
+                            indexing="ij")
+        zpad = _value_fn((gcell[0] * GRID1.cols + gcell[1]).ravel()) \
+            .reshape(padded.shape)
+        wsum = np.zeros((nr, nc))
+        zsum = np.zeros((nr, nc))
+        for dy, dx in _IDW_OFFS:
+            e = edge[8 + dy:8 + dy + nr, 8 + dx:8 + dx + nc]
+            zz = zpad[8 + dy:8 + dy + nr, 8 + dx:8 + dx + nc]
+            w = 1.0 / (dy * dy + dx * dx)
+            wsum += np.where(e, w, 0.0)
+            zsum += np.where(e, zz * w, 0.0)
+        gin = gr[8:8 + nr, 8:8 + nc]
+        zin = zpad[8:8 + nr, 8:8 + nc]
+        with np.errstate(invalid="ignore"):
+            zout = np.where(gin, zin, np.where(wsum > 0.0, zsum / wsum,
+                                               np.nan))
+        return pd.DataFrame([{
+            "cell_id_arr": (rr * GRID1.cols + cc).ravel(),
+            "zout_arr": zout.ravel()}])
+
+    res = window_exchange(tiles, grid, backfill, tile=tile, k=8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"cell_id": np.asarray(t.cell_id_arr,
+                                                      np.int64),
+                                "zout": np.asarray(t.zout_arr, np.float64)})
+                  for t in df.itertuples()]
+        return pd.concat(frames, ignore_index=True)
+
+    return res.map_batches(explode, batch_format="pandas")
