@@ -1,0 +1,164 @@
+"""Hydro sweep #10: InsertDams (hydro_analysis/insert_dams.rs).
+
+For each dam point, every cell of the surrounding (dam_length)^2 window is
+tried as a dam centre in the 4 profile directions (N-S, NE-SW, E-W,
+SE-NW); the dam profile is 'filled' with the two-sided running-max rule
+(insert_dams.rs:338-358), and the candidate whose filled elevation AT the
+dam point is highest wins (strict >, row-major-then-direction scan order
+replicated). The winning profile raises the DEM via max-combine —
+order-independent across dam points — including the reference's literal
+one-row-up widening quirk (centre always, profile cells on the diagonal
+directions, :381-420).
+
+Distributed shape: dam points are embarrassingly parallel — each map task
+recomputes its local z window from the synthetic surface (zero exchange)
+and emits raised-cell rows; one partial_agg max against the base surface
+assembles the dammed DEM. Rows-only; scalar-literal oracle in
+tests/test_hydro10.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..hydrodefs import _pour_cells
+from ..layers import GRID1
+from ..rasterdefs import _value_fn
+from .queries import query
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+_PERP1 = (2, 3, 4, 1)
+_PERP2 = (6, 7, 0, 5)
+DAM_LENGTH = 15
+_HDL = DAM_LENGTH // 2  # half_dam_length
+
+
+def _zat(r: int, c: int) -> float:
+    if 0 <= r < _ROWS and 0 <= c < _COLS:
+        return float(_value_fn(np.array([r * _COLS + c], np.int64))[0])
+    return np.nan  # nodata
+
+
+def dam_cells_for_point(target: int) -> list[tuple[int, float]]:
+    """(cell_id, dam elevation) rows raised by the dam at ``target`` —
+    the reference's per-point search, literal."""
+    tr, tc = target // _COLS, target % _COLS
+    dam_z = _zat(tr, tc)
+    plen = 2 * _HDL + 1
+    best = None  # (max_height, row, col, dir, filled)
+    for row in range(tr - _HDL, tr + _HDL + 1):
+        for col in range(tc - _HDL, tc + _HDL + 1):
+            z = _zat(row, col)
+            if np.isnan(z):
+                continue
+            for d in range(4):
+                p1, p2 = _PERP1[d], _PERP2[d]
+                prof = np.zeros(plen)
+                prof[_HDL] = z
+                hit, tcell = False, 0
+                rn, cn, rn2, cn2 = row, col, row, col
+                for i in range(1, _HDL + 1):
+                    rn += _DY[p1]
+                    cn += _DX[p1]
+                    if rn == tr and cn == tc:
+                        hit, tcell = True, _HDL + i
+                    zn = _zat(rn, cn)
+                    prof[_HDL + i] = zn if not np.isnan(zn) else -np.inf
+                    rn2 += _DY[p2]
+                    cn2 += _DX[p2]
+                    if rn2 == tr and cn2 == tc:
+                        hit, tcell = True, _HDL - i
+                    zn = _zat(rn2, cn2)
+                    prof[_HDL - i] = zn if not np.isnan(zn) else -np.inf
+                if not hit:
+                    continue
+                filled = prof.copy()
+                for i in range(1, plen - 1):
+                    if filled[i - 1] > prof[i]:
+                        filled[i] = filled[i - 1]
+                for i in range(plen - 2, 0, -1):
+                    if filled[i + 1] > prof[i]:
+                        if filled[i + 1] < filled[i]:
+                            filled[i] = filled[i + 1]
+                    else:
+                        filled[i] = prof[i]
+                if best is None or filled[tcell] > best[0]:
+                    best = (filled[tcell], row, col, d, filled.copy())
+    rows: list[tuple[int, float]] = []
+    if best is None or best[0] <= dam_z:
+        return rows
+    _h, drow, dcol, ddir, filled = best
+    p1, p2 = _PERP1[ddir], _PERP2[ddir]
+
+    def raise_cell(r, c, v):
+        if 0 <= r < _ROWS and 0 <= c < _COLS:
+            rows.append((r * _COLS + c, float(v)))
+
+    raise_cell(drow, dcol, filled[_HDL])
+    raise_cell(drow - 1, dcol, filled[_HDL])  # reference widening quirk
+    rn, cn, rn2, cn2 = drow, dcol, drow, dcol
+    for i in range(1, _HDL + 1):
+        rn += _DY[p1]
+        cn += _DX[p1]
+        if not np.isnan(_zat(rn, cn)):
+            raise_cell(rn, cn, filled[_HDL + i])
+            if ddir in (0, 2):
+                raise_cell(rn - 1, cn, filled[_HDL + i])
+        rn2 += _DY[p2]
+        cn2 += _DX[p2]
+        if not np.isnan(_zat(rn2, cn2)):
+            raise_cell(rn2, cn2, filled[_HDL - i])
+            if ddir in (0, 2):
+                raise_cell(rn2 - 1, cn2, filled[_HDL - i])
+    return rows
+
+
+@query("insert_dams")
+def insert_dams(sf_dir: str):
+    """InsertDams (hydro_analysis/insert_dams.rs:248-430) at the 12 pour
+    points, dam_length 15. Output (cell_id, zdam) float64 for the FULL
+    grid (max of base z and every dam profile covering the cell).
+    Rows-only; scalar oracle in tests/test_hydro10.py."""
+    from ..relational import partial_agg
+    from ..stages.raster import synth_raster_tiles
+
+    pts = ray.data.from_pandas(pd.DataFrame({
+        "target": _pour_cells().astype(np.int64)})).repartition(4)
+
+    def per_point(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df["target"].tolist():
+            rows = dam_cells_for_point(int(t))
+            if rows:
+                cid, v = zip(*rows)
+                frames.append(pd.DataFrame({
+                    "cell_id": np.asarray(cid, np.int64),
+                    "zdam": np.asarray(v, np.float64)}))
+        if not frames:
+            return pd.DataFrame({"cell_id": np.empty(0, np.int64),
+                                 "zdam": np.empty(0, np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    raised = pts.map_batches(per_point, batch_format="pandas")
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            cid = (rr * _COLS + cc).ravel()
+            frames.append(pd.DataFrame({
+                "cell_id": cid, "zdam": np.asarray(t.data, np.float64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    base_ds = synth_raster_tiles(GRID1, _value_fn).map_batches(
+        base, batch_format="pandas")
+    return partial_agg(raised.union(base_ds), ["cell_id"],
+                       [("zdam", "max", "zdam")])
