@@ -108,3 +108,40 @@ def test_insert_dams_matches_water_level_identity(ray_session):
         exp[k] = max(exp[k], v)
     assert len(want) > 50  # the dams actually raise cells
     np.testing.assert_allclose(got["zdam"].to_numpy(), exp, rtol=0, atol=0)
+
+
+def test_impoundment_index_flood_fixpoint(ray_session):
+    from whitebox_tools_ray.pipelines.queries_hydro10 import (
+        _best_dam, _d8_down_local, impoundment_index)
+
+    got = impoundment_index("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("pour_id")
+    assert len(got) == 12
+    assert (got["area"] >= 0).all()
+
+    # whole-grid vectorized fixpoint re-derivation of the flood region
+    cells = np.arange(_ROWS * _COLS, dtype=np.int64)
+    down = _d8_down_local(cells // _COLS, cells % _COLS)
+    z = _value_fn(cells)
+    some_flood = False
+    for pid, t in enumerate(_pour_cells().astype(np.int64).tolist()):
+        best = _best_dam(int(t))
+        tz = z[t]
+        row = got[got["pour_id"] == pid].iloc[0]
+        if best is None or best[0] <= tz:
+            assert row["area"] == 0
+            continue
+        crest = best[0]
+        R = np.zeros(len(cells), bool)
+        R[t] = True
+        while True:
+            grow = ~R & (z < crest) & np.isin(down, cells[R])
+            if not grow.any():
+                break
+            R |= grow
+        assert row["area"] == int(R.sum())
+        np.testing.assert_allclose(row["volume"],
+                                   float((crest - z[R]).sum()))
+        if R.sum() > 1:
+            some_flood = True
+    assert some_flood

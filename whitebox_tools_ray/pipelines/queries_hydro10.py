@@ -162,3 +162,131 @@ def insert_dams(sf_dir: str):
         base, batch_format="pandas")
     return partial_agg(raised.union(base_ds), ["cell_id"],
                        [("zdam", "max", "zdam")])
+
+
+def _best_dam(target: int):
+    """(crest, row, col, dir, filled) of the winning dam at ``target`` —
+    shared by insert_dams and the impoundment index."""
+    # identical search loop to dam_cells_for_point, returning the winner
+    tr, tc = target // _COLS, target % _COLS
+    plen = 2 * _HDL + 1
+    best = None
+    for row in range(tr - _HDL, tr + _HDL + 1):
+        for col in range(tc - _HDL, tc + _HDL + 1):
+            z = _zat(row, col)
+            if np.isnan(z):
+                continue
+            for d in range(4):
+                p1, p2 = _PERP1[d], _PERP2[d]
+                prof = np.zeros(plen)
+                prof[_HDL] = z
+                hit, tcell = False, 0
+                rn, cn, rn2, cn2 = row, col, row, col
+                for i in range(1, _HDL + 1):
+                    rn += _DY[p1]
+                    cn += _DX[p1]
+                    if rn == tr and cn == tc:
+                        hit, tcell = True, _HDL + i
+                    zn = _zat(rn, cn)
+                    prof[_HDL + i] = zn if not np.isnan(zn) else -np.inf
+                    rn2 += _DY[p2]
+                    cn2 += _DX[p2]
+                    if rn2 == tr and cn2 == tc:
+                        hit, tcell = True, _HDL - i
+                    zn = _zat(rn2, cn2)
+                    prof[_HDL - i] = zn if not np.isnan(zn) else -np.inf
+                if not hit:
+                    continue
+                filled = prof.copy()
+                for i in range(1, plen - 1):
+                    if filled[i - 1] > prof[i]:
+                        filled[i] = filled[i - 1]
+                for i in range(plen - 2, 0, -1):
+                    if filled[i + 1] > prof[i]:
+                        if filled[i + 1] < filled[i]:
+                            filled[i] = filled[i + 1]
+                    else:
+                        filled[i] = prof[i]
+                if best is None or filled[tcell] > best[0]:
+                    best = (filled[tcell], row, col, d, filled.copy())
+    return best
+
+
+def _d8_down_local(cells_r: np.ndarray, cells_c: np.ndarray) -> np.ndarray:
+    """D8 down-cell of each (r, c) — evaluated from the synthetic surface
+    (d8_pointer.rs semantics: steepest strictly positive slope, first in
+    scan order wins)."""
+    z0 = _value_fn(cells_r * _COLS + cells_c)
+    best_s = np.full(len(cells_r), -np.inf)
+    down = np.full(len(cells_r), -1, np.int64)
+    diag = np.sqrt(2.0)
+    for i in range(8):
+        nr, nc = cells_r + _DY[i], cells_c + _DX[i]
+        ok = (nr >= 0) & (nr < _ROWS) & (nc >= 0) & (nc < _COLS)
+        zn = np.where(ok, _value_fn(np.where(ok, nr * _COLS + nc, 0)), np.nan)
+        ln = diag if (_DX[i] and _DY[i]) else 1.0
+        s = (z0 - zn) / ln
+        take = ok & ~np.isnan(zn) & (s > 0) & (s > best_s)
+        best_s = np.where(take, s, best_s)
+        down = np.where(take, nr * _COLS + nc, down)
+    return down
+
+
+@query("impoundment_index")
+def impoundment_index(sf_dir: str):
+    """ImpoundmentSizeIndex (hydro_analysis/impoundment_index.rs, Lindsay
+    2015) at the 12 sampled pour points (the sampled-viewpoint contract of
+    visibility_index): per point the winning dam crest (insert_dams
+    machinery) and the impounded region = upstream D8 BFS from the dam
+    point over cells strictly below the crest; outputs flood area (cells)
+    and volume (sum of crest - z). Each point is one parallel task; the
+    BFS evaluates pointers locally from the synthetic surface (zero
+    exchange). Rows-only; a whole-grid fixpoint re-derivation checks the
+    flood region in tests/test_hydro10.py."""
+
+    pts = ray.data.from_pandas(pd.DataFrame({
+        "pour_id": np.arange(len(_pour_cells()), dtype=np.int64),
+        "target": _pour_cells().astype(np.int64)})).repartition(4)
+
+    def isi(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, t in zip(df["pour_id"].tolist(), df["target"].tolist()):
+            best = _best_dam(int(t))
+            tz = _zat(int(t) // _COLS, int(t) % _COLS)
+            if best is None or best[0] <= tz:
+                rows.append({"pour_id": pid, "crest": tz, "area": 0,
+                             "volume": 0.0})
+                continue
+            crest = best[0]
+            flood = {int(t)}
+            frontier = [int(t)]
+            while frontier:
+                cand = []
+                for cur in frontier:
+                    r, c = cur // _COLS, cur % _COLS
+                    for i in range(8):
+                        nr, nc = r + _DY[i], c + _DX[i]
+                        if 0 <= nr < _ROWS and 0 <= nc < _COLS:
+                            u = nr * _COLS + nc
+                            if u not in flood:
+                                cand.append(u)
+                if not cand:
+                    break
+                cand = np.unique(np.asarray(cand, np.int64))
+                down = _d8_down_local(cand // _COLS, cand % _COLS)
+                zc = _value_fn(cand)
+                take = np.array([d in flood for d in down.tolist()]) \
+                    & (zc < crest)
+                nxt = cand[take]
+                if not len(nxt):
+                    break
+                flood.update(nxt.tolist())
+                frontier = nxt.tolist()
+            fl = np.fromiter(flood, np.int64, len(flood))
+            zf = _value_fn(fl)
+            rows.append({"pour_id": pid, "crest": float(crest),
+                         "area": int(len(fl)),
+                         "volume": float((crest - zf).sum())})
+        return pd.DataFrame(rows)
+
+    return pts.map_batches(isi, batch_format="pandas")
