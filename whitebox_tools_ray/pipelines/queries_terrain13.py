@@ -1,0 +1,120 @@
+"""Terrain sweep #13: EmbankmentMapping
+(terrain_analysis/embankment_mapping.rs, Van Nieuwenhuizen, Lindsay &
+DeVries 2021) — same kernel covers the plugin twin MapEmbankments
+(terrain_analysis/map_embankments.rs).
+
+The reference rasterizes a transportation vector, repositions the road
+cells onto the embankment crest, and region-grows embankment cells under
+height/width/slope constraints. The analog here: road cells from the
+shared DDA-rasterized segment layer seed a breadth-limited grow over the
+white top-hat residual (the raised-surface signal the paper uses):
+embankment = cells with tophat >= 2 reachable from a road cell through
+tophat >= 2 cells within 8 BFS steps (the max embankment width). The
+radius cap makes the grow strictly local — ONE k=8 halo exchange, no
+iteration: any qualifying path lies inside the window of the cell it
+reaches. Output (cell_id, emb) 0/1. Rows-only; vectorized whole-grid
+fixpoint oracle in tests/test_terrain13.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..layers import GRID1
+from ..rasterdefs import _value_fn
+from .queries import query
+from .queries_terrain12 import _GFLAG, tophat_state_tiles
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_HMIN = 2     # minimum top-hat residual (raised surface)
+_WMAX = 8     # max embankment width in BFS steps
+_ROAD_N = 150  # segments in the synthetic road network
+
+
+def road_cells() -> np.ndarray:
+    """Grid cell ids of the DDA-rasterized synthetic road segments."""
+    from ..stages.lines import synth_segments
+
+    seg = synth_segments(_ROAD_N, seed=4242)
+    out = []
+    cx0 = np.floor(seg["x0"].to_numpy()).astype(np.int64)
+    cy0 = np.floor(seg["y0"].to_numpy()).astype(np.int64)
+    cx1 = np.floor(seg["x1"].to_numpy()).astype(np.int64)
+    cy1 = np.floor(seg["y1"].to_numpy()).astype(np.int64)
+    adx, ady = np.abs(cx1 - cx0), np.abs(cy1 - cy0)
+    sx = np.where(cx1 >= cx0, 1, -1)
+    sy = np.where(cy1 >= cy0, 1, -1)
+    span = np.maximum(adx, ady)
+    for j in range(len(seg)):
+        i = np.arange(span[j] + 1, dtype=np.int64)
+        if adx[j] >= ady[j]:
+            cx = cx0[j] + i * sx[j]
+            cy = (np.full(i.size, cy0[j], np.int64) if adx[j] == 0 else
+                  cy0[j] + sy[j] * ((2 * i * ady[j] + adx[j])
+                                    // (2 * adx[j])))
+        else:
+            cy = cy0[j] + i * sy[j]
+            cx = cx0[j] + sx[j] * ((2 * i * adx[j] + ady[j])
+                                   // (2 * ady[j]))
+        row = 84 - cy  # GRID1: north=85, res 1 -> floor((85-y)) = 84-cy
+        col = cx + 180
+        ok = (row >= 0) & (row < _ROWS) & (col >= 0) & (col < _COLS)
+        out.append(row[ok] * _COLS + col[ok])
+    return np.unique(np.concatenate(out))
+
+
+@query("embankment_mapping")
+def embankment_mapping(sf_dir: str):
+    """EmbankmentMapping / MapEmbankments (module docstring): road-seeded
+    width-capped grow over the top-hat residual. Output (cell_id, emb)
+    int64 0/1 over the full grid."""
+    from ..stages.raster import window_exchange
+    from ..stages.spatial_join import _cached_get
+
+    tiles = tophat_state_tiles(GRID1, _value_fn)
+    roads_ref = ray.put(road_cells())
+
+    def kern(padded, nr, nc, r0, c0):
+        roads = _cached_get(roads_ref)
+        with np.errstate(invalid="ignore"):
+            th = np.where(np.isnan(padded), -1.0, padded % _GFLAG)
+        hh, ww = padded.shape
+        rr, cc = np.meshgrid(np.arange(r0 - _WMAX, r0 + nr + _WMAX,
+                                       dtype=np.int64),
+                             np.arange(c0 - _WMAX, c0 + nc + _WMAX,
+                                       dtype=np.int64), indexing="ij")
+        ingrid = (rr >= 0) & (rr < _ROWS) & (cc >= 0) & (cc < _COLS)
+        cid = np.where(ingrid, rr * _COLS + cc, -1)
+        is_road = np.isin(cid, roads) & ingrid
+        ok = th >= _HMIN
+        grown = is_road & ok
+        for _step in range(_WMAX):
+            nxt = grown.copy()
+            nxt[1:, :] |= grown[:-1, :]
+            nxt[:-1, :] |= grown[1:, :]
+            nxt[:, 1:] |= grown[:, :-1]
+            nxt[:, :-1] |= grown[:, 1:]
+            nxt[1:, 1:] |= grown[:-1, :-1]
+            nxt[1:, :-1] |= grown[:-1, 1:]
+            nxt[:-1, 1:] |= grown[1:, :-1]
+            nxt[:-1, :-1] |= grown[1:, 1:]
+            grown = nxt & ok
+        emb = grown[_WMAX:_WMAX + nr, _WMAX:_WMAX + nc]
+        rr2 = rr[_WMAX:_WMAX + nr, _WMAX:_WMAX + nc]
+        cc2 = cc[_WMAX:_WMAX + nr, _WMAX:_WMAX + nc]
+        return pd.DataFrame([{
+            "cell_id_arr": (rr2 * _COLS + cc2).ravel(),
+            "emb_arr": emb.ravel().astype(np.int64)}])
+
+    res = window_exchange(tiles, GRID1, kern, k=_WMAX)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"cell_id": np.asarray(t.cell_id_arr,
+                                                      np.int64),
+                                "emb": np.asarray(t.emb_arr, np.int64)})
+                  for t in df.itertuples()]
+        return pd.concat(frames, ignore_index=True)
+
+    return res.map_batches(explode, batch_format="pandas")
