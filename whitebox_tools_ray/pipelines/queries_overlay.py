@@ -29,7 +29,8 @@ from .queries import query
 from .sqlgen import add64, sm64
 
 from ..stardefs import (N_PAIRS, PROBE_N, STAR_DIRS, STAR_K, _SALT,  # noqa: F401
-                        _star_sql, _units, probe_grid, star_rings)
+                        PROBES_SQL as _PROBES_SQL, _star_sql, _units,
+                        probe_grid, star_rings)
 
 
 def _overlay_query(op: str):
@@ -60,42 +61,6 @@ def _overlay_query(op: str):
     return run
 
 
-_PROBES_SQL = f"""
-    bbox AS (
-      SELECT pair_id, MIN(x) AS xmin, MAX(x) AS xmax,
-             MIN(y) AS ymin, MAX(y) AS ymax
-      FROM verts GROUP BY pair_id
-    ),
-    probes AS MATERIALIZED (
-      SELECT b.pair_id, CAST(g.i AS BIGINT) AS probe_id,
-             b.xmin + ((g.i // {PROBE_N}) + 0.5) / {float(PROBE_N)!r} * (b.xmax - b.xmin) AS px,
-             b.ymin + ((g.i % {PROBE_N}) + 0.5) / {float(PROBE_N)!r} * (b.ymax - b.ymin) AS py
-      FROM bbox b, range({PROBE_N * PROBE_N}) g(i)
-    ),
-    edges AS (
-      SELECT v0.pair_id, v0.ring, v0.x AS x0, v0.y AS y0, v1.x AS x1, v1.y AS y1
-      FROM verts v0 JOIN verts v1
-        ON v1.pair_id = v0.pair_id AND v1.ring = v0.ring
-       AND v1.k = (v0.k + 1) % {STAR_K}
-    ),
-    wind AS (
-      SELECT p.pair_id, p.probe_id, e.ring,
-        SUM(CASE WHEN e.y0 <= p.py AND e.y1 > p.py
-                  AND (e.x1 - e.x0) * (p.py - e.y0) - (p.px - e.x0) * (e.y1 - e.y0) > 0
-                 THEN 1 ELSE 0 END)
-        - SUM(CASE WHEN e.y0 > p.py AND e.y1 <= p.py
-                    AND (e.x1 - e.x0) * (p.py - e.y0) - (p.px - e.x0) * (e.y1 - e.y0) < 0
-                   THEN 1 ELSE 0 END) AS wn
-      FROM probes p JOIN edges e ON e.pair_id = p.pair_id
-      GROUP BY p.pair_id, p.probe_id, e.ring
-    ),
-    membership AS (
-      SELECT pair_id, probe_id,
-             MAX(CASE WHEN ring = 0 THEN abs(wn) % 2 END) = 1 AS in_a,
-             MAX(CASE WHEN ring = 1 THEN abs(wn) % 2 END) = 1 AS in_b
-      FROM wind GROUP BY pair_id, probe_id
-    )
-"""
 
 _OP_PRED = {
     "intersect": "in_a AND in_b",
