@@ -118,3 +118,68 @@ def embankment_mapping(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return res.map_batches(explode, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# TopographicHachures (terrain_analysis/topographic_hachures.rs): the
+# reference draws slope-line strokes between contours. Analog: hachure
+# strokes seeded on a regular 8x8 lattice, each stroke tracing the D8
+# steepest-descent path for up to 6 steps — (stroke, k, cell) vertex rows,
+# SQL-exact through the shared pointer-graph CTE.
+# --------------------------------------------------------------------------
+from ..hydrodefs import _GRAPH_CTES  # noqa: E402  (leaf module)
+
+_HACH_STEPS = 6
+
+_HACH_SQL = f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    seeds AS (
+      SELECT cell_id FROM cells WHERE r % 8 = 4 AND c % 8 = 4
+    ),
+    hwalk(stroke, cell_id, k) AS (
+      SELECT cell_id, cell_id, CAST(0 AS BIGINT) FROM seeds
+      UNION ALL
+      SELECT w.stroke, g.down_id, w.k + 1
+      FROM hwalk w JOIN graph g ON g.cell_id = w.cell_id
+      WHERE g.down_id >= 0 AND w.k < {_HACH_STEPS}
+    )
+    SELECT stroke, k, cell_id FROM hwalk
+"""
+
+
+@query("topographic_hachures", _HACH_SQL)
+def topographic_hachures(sf_dir: str):
+    """TopographicHachures (terrain_analysis/topographic_hachures.rs)
+    analog: lattice-seeded steepest-descent strokes (module comment).
+    Strokes are embarrassingly parallel seed tasks with locally-evaluated
+    pointers (the insert_dams pattern — walks are <= 6 steps, zero
+    exchange). Output (stroke, k, cell_id) int64."""
+    import ray.data
+
+    from .queries_hydro10 import _d8_down_local
+
+    rr, cc = np.meshgrid(np.arange(4, _ROWS, 8, dtype=np.int64),
+                         np.arange(4, _COLS, 8, dtype=np.int64),
+                         indexing="ij")
+    seeds = (rr * _COLS + cc).ravel()
+    ds = ray.data.from_pandas(pd.DataFrame({"seed": seeds})).repartition(4)
+
+    def trace(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df["seed"].to_numpy(np.int64)
+        stroke = cur.copy()
+        frames = [pd.DataFrame({"stroke": stroke, "k": np.int64(0),
+                                "cell_id": cur})]
+        alive = np.ones(len(cur), bool)
+        for k in range(1, _HACH_STEPS + 1):
+            down = _d8_down_local(cur // _COLS, cur % _COLS)
+            alive &= down >= 0
+            if not alive.any():
+                break
+            cur = np.where(alive, down, cur)
+            frames.append(pd.DataFrame({
+                "stroke": stroke[alive],
+                "k": np.full(int(alive.sum()), k, np.int64),
+                "cell_id": cur[alive]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(trace, batch_format="pandas")
