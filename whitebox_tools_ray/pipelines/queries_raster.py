@@ -547,7 +547,22 @@ def num_inflowing_neighbours(sf_dir: str):
     return num_inflowing_ds(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
-@query("strahler_order")
+def _strahler_sql_full() -> str:
+    # the hydro3 level-set CTEs evaluated for EVERY forest cell (order >= k
+    # iff downstream-or-equal of a >= 2-children-at-(k-1) generator) —
+    # round-2 VERDICT item: convert the convertible rows-only entries
+    from .queries_hydro3 import _SB_LEVELS, _SB_ORD
+
+    return f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_SB_LEVELS}
+    SELECT g.cell_id, CAST({_SB_ORD.format(cell="g.cell_id")} AS BIGINT)
+           AS strahler
+    FROM graph g
+    """
+
+
+@query("strahler_order", _strahler_sql_full())
 def strahler_order(sf_dir: str):
     """StrahlerStreamOrder (stream_network_analysis/strahler_order.rs) over
     the D8 forest: leaves are order 1; a cell's order is the max child order,
