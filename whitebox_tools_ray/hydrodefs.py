@@ -264,3 +264,35 @@ _POUR_CTES = f"""
       ) WHERE rn = 1
     )
 """
+
+
+def _strahler_levels(kmax: int = 12) -> tuple[str, str]:
+    """(level CTE text, per-cell order expression for alias `{cell}`): the
+    level-set Strahler construction (order >= k iff downstream-or-equal of a
+    two-children-at-(k-1) generator), emitted without the final SELECT so
+    callers can join the order onto other walks. Lives in this leaf module
+    because both queries_hydro3 and queries_raster consume it at decoration
+    time (importing it cross-pipeline re-entered the pipelines.queries
+    import cycle in fresh workers — CORRECTNESS_r03 avg_upslope_flowpath)."""
+    parts = []
+    prev = None
+    sums = []
+    for k in range(2, kmax + 1):
+        member = "" if prev is None else f" JOIN {prev} s ON s.cur = p.cell_id"
+        parts.append(f"""g{k} AS MATERIALIZED (
+      SELECT g.cell_id FROM graph g
+      JOIN graph p ON p.down_id = g.cell_id{member}
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s{k}(cur) AS (
+      SELECT cell_id FROM g{k}
+      UNION
+      SELECT g.down_id FROM s{k} w JOIN graph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    )""")
+        prev = f"s{k}"
+        sums.append(f"(SELECT COUNT(*) FROM s{k} WHERE s{k}.cur = {{cell}})")
+    return ",\n    ".join(parts), "1 + " + " + ".join(sums)
+
+
+_SB_LEVELS, _SB_ORD = _strahler_levels()

@@ -23,7 +23,7 @@ from ..relational import cents, partial_agg
 from ..sources.tables import read_points
 from ..stages.spatial_join import clip_points
 from ..state.checkpoint import run_stage
-from .queries_spatial import GRID1
+from ..layers import GRID1
 
 
 def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,

@@ -88,32 +88,7 @@ def avg_upslope_flowpath(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
-def _strahler_levels(kmax: int = 12) -> tuple[str, str]:
-    """(level CTE text, per-cell order expression for alias `%s`): the same
-    level-set construction as queries_hydro2._strahler_sql, emitted without
-    the final SELECT so callers can join the order onto other walks."""
-    parts = []
-    prev = None
-    sums = []
-    for k in range(2, kmax + 1):
-        member = "" if prev is None else f" JOIN {prev} s ON s.cur = p.cell_id"
-        parts.append(f"""g{k} AS MATERIALIZED (
-      SELECT g.cell_id FROM graph g
-      JOIN graph p ON p.down_id = g.cell_id{member}
-      GROUP BY g.cell_id HAVING COUNT(*) >= 2
-    ),
-    s{k}(cur) AS (
-      SELECT cell_id FROM g{k}
-      UNION
-      SELECT g.down_id FROM s{k} w JOIN graph g ON g.cell_id = w.cur
-      WHERE g.down_id >= 0
-    )""")
-        prev = f"s{k}"
-        sums.append(f"(SELECT COUNT(*) FROM s{k} WHERE s{k}.cur = {{cell}})")
-    return ",\n    ".join(parts), "1 + " + " + ".join(sums)
-
-
-_SB_LEVELS, _SB_ORD = _strahler_levels()
+from ..hydrodefs import _SB_LEVELS, _SB_ORD  # noqa: E402 (leaf module)
 
 
 @query(

@@ -551,7 +551,7 @@ def _strahler_sql_full() -> str:
     # the hydro3 level-set CTEs evaluated for EVERY forest cell (order >= k
     # iff downstream-or-equal of a >= 2-children-at-(k-1) generator) —
     # round-2 VERDICT item: convert the convertible rows-only entries
-    from .queries_hydro3 import _SB_LEVELS, _SB_ORD
+    from ..hydrodefs import _SB_LEVELS, _SB_ORD
 
     return f"""
     WITH RECURSIVE {_GRAPH_CTES},

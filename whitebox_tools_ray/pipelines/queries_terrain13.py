@@ -23,9 +23,8 @@ import pandas as pd
 import ray
 
 from ..layers import GRID1
-from ..rasterdefs import _value_fn
+from ..rasterdefs import _GFLAG, _value_fn, tophat_state_tiles
 from .queries import query
-from .queries_terrain12 import _GFLAG, tophat_state_tiles
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
 _HMIN = 2     # minimum top-hat residual (raised surface)

@@ -5,7 +5,9 @@ pipelines.queries)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
+from .grid import GridSpec
 from .layers import GRID1
 
 
@@ -43,3 +45,65 @@ def _dda_sql(k: str, d: str, K: str) -> str:
     semantics cannot diverge between numpy and DuckDB."""
     return (f"(CASE WHEN {d} < 0 THEN -((2 * {k} * (-({d})) + {K}) // (2 * {K})) "
             f"ELSE ((2 * {k} * {d} + {K}) // (2 * {K})) END)")
+
+
+# --- off-terrain-object shared kernel (used by queries_terrain12 AND
+# queries_terrain13 at module scope; lives here so neither pipeline
+# module from-imports the other — the r03 worker import-cycle class) ---
+_FILT = 11
+_MID = _FILT // 2
+_GFLAG = 1 << 20          # ground flag in the packed state channel
+_THR = tuple(2 if (dx and dy) else 1 for dx, dy in
+             zip((1, 1, 1, 0, -1, -1, -1, 0), (-1, 0, 1, 1, 1, 0, -1, -1)))
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+def tophat_state_tiles(grid: GridSpec, value_fn, *, tile: int = 64):
+    """Tiles of the packed state: tophat + _GFLAG * seed(ground)."""
+    from .stages.raster import (stencil_k, stencil_tiles_as_input,
+                                 synth_raster_tiles)
+
+    def erode(padded, nr, nc):
+        out = np.full((nr, nc), np.inf)
+        for dy in range(-_MID, _MID + 1):
+            for dx in range(-_MID, _MID + 1):
+                w = padded[_MID + dy:_MID + dy + nr, _MID + dx:_MID + dx + nc]
+                out = np.fmin(out, np.where(np.isnan(w), np.inf, w))
+        return {"ero": out}
+
+    def dilate_tophat(padded, nr, nc):
+        out = np.full((nr, nc), -np.inf)
+        for dy in range(-_MID, _MID + 1):
+            for dx in range(-_MID, _MID + 1):
+                w = padded[_MID + dy:_MID + dy + nr, _MID + dx:_MID + dx + nc]
+                out = np.fmax(out, np.where(np.isnan(w), -np.inf, w))
+        return {"open": out}
+
+    from .stages.raster import fuse_kernels
+
+    fused = fuse_kernels(erode, "ero", dilate_tophat, _MID, _MID)
+    tiles = synth_raster_tiles(grid, value_fn, tile=tile)
+    opening = stencil_k(tiles, grid, fused, tile=tile, k=2 * _MID,
+                        output="tiles")
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in df.itertuples():
+            nr, nc = int(t.nrows), int(t.ncols)
+            r0, c0 = int(t.trow) * tile, int(t.tcol) * tile
+            rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
+                                 np.arange(c0, c0 + nc, dtype=np.int64),
+                                 indexing="ij")
+            z = value_fn((rr * grid.cols + cc).ravel()).reshape(nr, nc)
+            th = z - np.asarray(t.open, np.float64).reshape(nr, nc)
+            state = th + _GFLAG * (th <= 1)
+            rows.append({"tile_id": int(t.trow) * (-(-grid.cols // tile))
+                         + int(t.tcol), "trow": int(t.trow),
+                         "tcol": int(t.tcol), "nrows": nr, "ncols": nc,
+                         "data": state.ravel()})
+        return pd.DataFrame(rows)
+
+    return opening.map_batches(pack, batch_format="pandas")
+
+
