@@ -15,9 +15,14 @@ Shared machinery over the events point cloud (z = cents):
 2. the proximity/normal-similarity edge set — a second cell co-group with
    normals attached: (a, b) when dist <= R, |dz| <= maxzdiff and the
    normal cosine similarity >= cos(norm_diff);
-3. connected components over the edge list — driver union-find on the
-   vector-scale edge list (the stages/clump border-merge precedent),
-   labels broadcast back.
+3. connected components, fully distributed (the stages/clump
+   border-merge pattern): the same co-group that finds edges labels each
+   block's INTRA-block components locally and emits only the CROSS-block
+   edges; those are mapped to local labels with two Dataset hash joins,
+   and only the distinct label-pair graph (border components, not points)
+   reaches the driver for the union-find merge. The relabel map that goes
+   back out is label->label; per-point labels live in a Dataset and reach
+   consumers through joins, never a broadcast per-point dict.
 
 The reference's region growing visits points in stack order but the
 resulting PARTITION is exactly these connected components (similarity is
@@ -143,72 +148,171 @@ def _cos_normals(a1, b1, a2, b2):
         (a1 * a1 + b1 * b1 + 1.0) * (a2 * a2 + b2 * b2 + 1.0))
 
 
-def segment_edges(normals_ds, *, z_col: str = "cents") -> pd.DataFrame:
-    """Driver-side (a, b) edge list: dist <= R, |dz| <= maxzdiff, normal
-    cosine >= cos(10 deg). O(total edges) — vector-scale."""
+
+def _mixed_local(normals_ds, *, z_col: str = "cents"):
+    """ONE co-group pass per 3x3-block neighbourhood emitting two row
+    kinds: kind=0 (a=event_id, b=local label) — the INTRA-block connected
+    components, label = lowest member event_id — and kind=1 (a=own
+    event_id, b=cross-block neighbour event_id) — the border edges.
+    Similarity: dist <= R, |dz| <= maxzdiff, normal cosine >= cos(10 deg)."""
     cols = ["event_id", "x", "y", "cents", "cell_id", "a", "b", "planar"]
     if z_col not in cols:
         cols.append(z_col)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        own = g[g["own"] == 1]
-        if not len(own) or len(g) < 2:
-            return pd.DataFrame({"ea": np.empty(0, np.int64),
-                                 "eb": np.empty(0, np.int64)})
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        own = g["own"].to_numpy(np.int64) == 1
+        if not own.any():
+            return pd.DataFrame({"kind": np.empty(0, np.int64),
+                                 "a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
         ax = g["x"].to_numpy(np.float64)
         ay = g["y"].to_numpy(np.float64)
         az = g[z_col].to_numpy(np.float64)
         aid = g["event_id"].to_numpy(np.int64)
         aa = g["a"].to_numpy(np.float64)
         ab = g["b"].to_numpy(np.float64)
-        om = g["own"].to_numpy(np.int64) == 1
-        d2 = (ax[None, :] - ax[om][:, None]) ** 2 \
-            + (ay[None, :] - ay[om][:, None]) ** 2
-        dz = np.abs(az[None, :] - az[om][:, None])
-        cos = _cos_normals(aa[om][:, None], ab[om][:, None],
+        d2 = (ax[None, :] - ax[own][:, None]) ** 2 \
+            + (ay[None, :] - ay[own][:, None]) ** 2
+        dz = np.abs(az[None, :] - az[own][:, None])
+        cos = _cos_normals(aa[own][:, None], ab[own][:, None],
                            aa[None, :], ab[None, :])
-        ok = (d2 <= _R * _R) & (dz <= _MAXZ) & (cos >= _COS_TH)
-        # own id strictly lower dedups the edge across groups
-        ok &= aid[om][:, None] < aid[None, :]
-        i, j = np.nonzero(ok)
-        return pd.DataFrame({"ea": aid[om][i], "eb": aid[j]})
+        cond = (d2 <= _R * _R) & (dz <= _MAXZ) & (cos >= _COS_TH)
+        own_pos = np.nonzero(own)[0]
+        oid = aid[own]
+        # local union-find over the own-own subgraph (small: one block)
+        parent = list(range(len(oid)))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.nonzero(np.triu(cond[:, own_pos], 1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(len(oid))], np.int64)
+        cmin: dict[int, int] = {}
+        for i, r in enumerate(roots.tolist()):
+            v = int(oid[i])
+            cmin[r] = v if r not in cmin else min(cmin[r], v)
+        lab = np.array([cmin[r] for r in roots.tolist()], np.int64)
+        outs = [pd.DataFrame({"kind": np.zeros(len(oid), np.int64),
+                              "a": oid, "b": lab})]
+        nb_pos = np.nonzero(~own)[0]
+        if len(nb_pos):
+            bi, bj = np.nonzero(cond[:, nb_pos])
+            if len(bi):
+                outs.append(pd.DataFrame({
+                    "kind": np.ones(len(bi), np.int64),
+                    "a": oid[bi], "b": aid[nb_pos][bj]}))
+        return pd.concat(outs, ignore_index=True)
 
     rep = normals_ds.map_batches(lambda df: _replicate(df, cols),
                                  batch_format="pandas")
-    return rep.groupby("grp").map_groups(pairs, batch_format="pandas") \
-        .to_pandas().drop_duplicates()
+    return rep.groupby("grp").map_groups(kern, batch_format="pandas") \
+        .materialize()
 
 
-def _components(ids: np.ndarray, edges: pd.DataFrame) -> dict[int, int]:
-    parent = {int(i): int(i) for i in ids}
+def point_labels(normals_ds, *, z_col: str = "cents"):
+    """Dataset (event_id, segment): distributed connected components of the
+    similarity graph. Per-block local labels stay distributed; only the
+    DISTINCT cross-block label-pair graph reaches the driver for the
+    union-find merge (clump border precedent); the relabel map broadcast
+    back is label->label, never point->label."""
+    from ..relational import partial_agg
+    from ..stages.spatial_join import _cached_get
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    mixed = _mixed_local(normals_ds, z_col=z_col)
+    labels0 = mixed.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["a", "b"]]
+        .rename(columns={"a": "event_id", "b": "lab"}),
+        batch_format="pandas")
+    border = mixed.map_batches(
+        lambda df: df.loc[df["kind"] == 1, ["a", "b"]]
+        .rename(columns={"a": "ea", "b": "eb"}),
+        batch_format="pandas")
 
-    for aa, bb in zip(edges["ea"].tolist(), edges["eb"].tolist()):
-        ra, rb = find(int(aa)), find(int(bb))
+    l1 = labels0.map_batches(
+        lambda df: df.rename(columns={"event_id": "ea", "lab": "la"}),
+        batch_format="pandas")
+    j1 = border.join(l1, join_type="inner", num_partitions=8, on=("ea",))
+    l2 = labels0.map_batches(
+        lambda df: df.rename(columns={"event_id": "eb", "lab": "lb"}),
+        batch_format="pandas")
+    j2 = j1.join(l2, join_type="inner", num_partitions=8, on=("eb",))
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        la = df["la"].to_numpy(np.int64)
+        lb = df["lb"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(la, lb),
+                             "hi": np.maximum(la, lb)})
+
+    pairs = partial_agg(j2.map_batches(norm, batch_format="pandas"),
+                        ["lo", "hi"], [("lo", "count", "n")]).to_pandas()
+
+    # driver union-find over LABELS only (border component graph)
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for lo, hi in zip(pairs["lo"].tolist(), pairs["hi"].tolist()):
+        parent.setdefault(int(lo), int(lo))
+        parent.setdefault(int(hi), int(hi))
+        ra, rb = find(int(lo)), find(int(hi))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    lab = {i: find(i) for i in parent}
-    cmin: dict[int, int] = {}
-    for i, r in lab.items():
-        cmin[r] = min(cmin.get(r, i), i)
-    return {i: cmin[r] for i, r in lab.items()}
+    relab = {v: find(v) for v in list(parent)}
+    mref = ray.put(relab)
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_get(mref)
+        lab = df["lab"].to_numpy(np.int64)
+        seg = pd.Series(lab).map(m).fillna(pd.Series(lab)).to_numpy(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64),
+                             "segment": seg})
+
+    return labels0.map_batches(relabel, batch_format="pandas")
 
 
-def _segments(sf_dir: str):
-    """(normals_ds materialized, labels dict, sizes dict)."""
-    nds = point_normals(_pts(sf_dir)).materialize()
-    edges = segment_edges(nds)
-    np_ids = nds.to_pandas()["event_id"].to_numpy(np.int64)
-    labels = _components(np_ids, edges)
-    sizes: dict[int, int] = {}
-    for s in labels.values():
-        sizes[s] = sizes.get(s, 0) + 1
-    return nds, labels, sizes
+def _with_resid(nds):
+    """Attach resid = cents - min(cents over the 3x3 cell neighbourhood),
+    computed as two partial aggregates + a hash join — no driver state."""
+    from ..relational import partial_agg
+
+    def cell_mins(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
+                             "mn": df["cents"].to_numpy(np.int64)})
+
+    mins = partial_agg(nds.map_batches(cell_mins, batch_format="pandas"),
+                       ["cell_id"], [("mn", "min", "mn")])
+
+    def spread(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        mn = df["mn"].to_numpy(np.int64)
+        outs = [pd.DataFrame({"cell_id": cid + dr * 1000 + dc, "mn": mn})
+                for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+        return pd.concat(outs, ignore_index=True)
+
+    nbmin = partial_agg(mins.map_batches(spread, batch_format="pandas"),
+                        ["cell_id"], [("mn", "min", "nbmin")])
+    j = nds.join(nbmin, join_type="inner", num_partitions=8,
+                 on=("cell_id",))
+
+    def resid(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=["nbmin"]).copy()
+        out["resid"] = df["cents"].to_numpy(np.int64) \
+            - df["nbmin"].to_numpy(np.int64)
+        return out
+
+    return j.map_batches(resid, batch_format="pandas")
 
 
 @query("lidar_segmentation")
@@ -216,21 +320,18 @@ def lidar_segmentation(sf_dir: str):
     """LidarSegmentation (lidar_analysis/lidar_segmentation.rs): plane-fit
     normals + proximity/normal-similarity components (module docstring).
     Output (event_id, segment, planar) int64, segment = lowest member
-    event_id. Rows-only; brute O(n^2) oracle in tests/test_lidar4.py."""
-    from ..stages.spatial_join import _cached_get
-
-    nds, labels, _sizes = _segments(sf_dir)
-    lab_ref = ray.put(labels)
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lab = _cached_get(lab_ref)
-        e = df["event_id"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "event_id": e,
-            "segment": np.array([lab[int(i)] for i in e], np.int64),
-            "planar": df["planar"].to_numpy(np.int64)})
-
-    return nds.map_batches(attach, batch_format="pandas")
+    event_id. Distributed CC: per-block local labels + border-label-graph
+    merge; labels joined back as a Dataset. Rows-only; brute O(n^2) oracle
+    in tests/test_lidar4.py."""
+    nds = point_normals(_pts(sf_dir)).materialize()
+    labels = point_labels(nds)
+    pl = nds.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "planar": df["planar"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return labels.join(pl, join_type="inner", num_partitions=8,
+                       on=("event_id",))
 
 
 @query("lidar_segmentation_based_filter")
@@ -239,55 +340,37 @@ def lidar_segmentation_based_filter(sf_dir: str):
     (lidar_analysis/lidar_segmentation_based_filter.rs:460-555): residual =
     cents minus the neighbourhood (3x3-cell) minimum; seed points (residual
     0) grow ground through |dresidual| <= maxzdiff + normal-similarity
-    edges; class 2 = connected to a seed, else 1. Output
-    (event_id, cls). Rows-only; brute oracle in tests/test_lidar4.py."""
+    edges; class 2 = connected to a seed, else 1. Output (event_id, cls).
+    Per-segment ground flags computed by aggregate + join (no driver
+    per-point state). Rows-only; brute oracle in tests/test_lidar4.py."""
     from ..relational import partial_agg
-    from ..stages.spatial_join import _cached_get
 
     nds = point_normals(_pts(sf_dir)).materialize()
+    rds = _with_resid(nds).materialize()
+    labels = point_labels(rds, z_col="resid")
 
-    # residual: cents - min cents over the 3x3 cell neighbourhood
-    def cell_mins(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
-                             "mn": df["cents"].to_numpy(np.int64)})
-
-    mins = partial_agg(nds.map_batches(cell_mins, batch_format="pandas"),
-                       ["cell_id"], [("mn", "min", "mn")]).to_pandas()
-    mn = dict(zip(mins["cell_id"].to_numpy(np.int64).tolist(),
-                  mins["mn"].to_numpy(np.int64).tolist()))
-    nbmin: dict[int, int] = {}
-    for cid in mn:
-        best = None
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                v = mn.get(cid + dr * 1000 + dc)
-                if v is not None and (best is None or v < best):
-                    best = v
-        nbmin[cid] = best
-    mref = ray.put(nbmin)
-
-    def resid(df: pd.DataFrame) -> pd.DataFrame:
-        m = _cached_get(mref)
-        out = df.copy()
-        out["resid"] = df["cents"].to_numpy(np.int64) \
-            - np.array([m[int(c)] for c in df["cell_id"]], np.int64)
-        return out
-
-    rds = nds.map_batches(resid, batch_format="pandas").materialize()
-    edges = segment_edges(rds, z_col="resid")
-    rp = rds.to_pandas()
-    labels = _components(rp["event_id"].to_numpy(np.int64), edges)
-    seeds = rp.loc[rp["resid"] == 0, "event_id"].to_numpy(np.int64)
-    ground_segs = {labels[int(s)] for s in seeds}
-    gref = ray.put((labels, ground_segs))
+    er = rds.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "resid": df["resid"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = labels.join(er, join_type="inner", num_partitions=8,
+                    on=("event_id",)).materialize()
+    gmax = partial_agg(j.map_batches(
+        lambda df: pd.DataFrame({
+            "segment": df["segment"].to_numpy(np.int64),
+            "g": (df["resid"].to_numpy(np.int64) == 0).astype(np.int64)}),
+        batch_format="pandas"), ["segment"], [("g", "max", "g")])
+    out = j.join(gmax, join_type="inner", num_partitions=8,
+                 on=("segment",))
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        lab, gs = _cached_get(gref)
-        e = df["event_id"].to_numpy(np.int64)
-        cls = np.array([2 if lab[int(i)] in gs else 1 for i in e], np.int64)
-        return pd.DataFrame({"event_id": e, "cls": cls})
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "cls": np.where(df["g"].to_numpy(np.int64) == 1,
+                            np.int64(2), np.int64(1))})
 
-    return rds.map_batches(classify, batch_format="pandas")
+    return out.map_batches(classify, batch_format="pandas")
 
 
 _RANSAC_T = 8      # derandomized trials per cell
@@ -343,6 +426,47 @@ def lidar_ransac_planes(sf_dir: str):
         ransac, batch_format="pandas")
 
 
+def _building_flags(nds):
+    """(labels Dataset, per-segment building-flag Dataset): segments that
+    are planar throughout, >= _MIN_BLD points, and whose MINIMUM residual
+    over the 3x3-cell minimum exceeds _BLD_RESID — aggregates + joins,
+    nothing driver-side."""
+    from ..relational import partial_agg
+
+    rds = _with_resid(nds)
+    labels = point_labels(nds).materialize()
+    er = rds.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "resid": df["resid"].to_numpy(np.int64),
+            "planar": df["planar"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = labels.join(er, join_type="inner", num_partitions=8,
+                    on=("event_id",))
+    stats = partial_agg(j.map_batches(
+        lambda df: pd.DataFrame({
+            "segment": df["segment"].to_numpy(np.int64),
+            "resid": df["resid"].to_numpy(np.int64),
+            "planar": df["planar"].to_numpy(np.int64),
+            "one": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["segment"],
+        [("resid", "min", "minres"), ("planar", "min", "allplan"),
+         ("one", "sum", "n")])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bld = ((df["allplan"].to_numpy(np.int64) == 1)
+               & (df["n"].to_numpy(np.int64) >= _MIN_BLD)
+               & (df["minres"].to_numpy(np.int64) > _BLD_RESID))
+        return pd.DataFrame({"segment": df["segment"].to_numpy(np.int64),
+                             "bld": bld.astype(np.int64)})
+
+    # materialized: tiny per-segment table, and it caps the number of
+    # concurrent shuffle operators in the consumer plans (3+ joins in one
+    # streaming plan deadlock the aggregator actor pools on small clusters)
+    return labels, stats.map_batches(flag, batch_format="pandas") \
+        .materialize()
+
+
 @query("classify_buildings")
 def classify_buildings(sf_dir: str):
     """ClassifyBuildingsInLidar (lidar_analysis/classify_buildings.rs)
@@ -352,43 +476,18 @@ def classify_buildings(sf_dir: str):
     class event_id % 6 (never 6, so class 6 identifies buildings).
     Output (event_id, cls). Rows-only; compositional oracle in
     tests/test_lidar4.py."""
-    from ..stages.spatial_join import _cached_get
-
-    nds, labels, sizes = _segments(sf_dir)
-    bld = _building_segments(nds, labels, sizes)
-    bref = ray.put((labels, bld))
+    nds = point_normals(_pts(sf_dir)).materialize()
+    labels, bflag = _building_flags(nds)
+    out = labels.join(bflag, join_type="inner", num_partitions=8,
+                      on=("segment",))
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        lab, bd = _cached_get(bref)
         ee = df["event_id"].to_numpy(np.int64)
-        seg = pd.Series(ee).map(lab).to_numpy(np.int64)
-        cls = np.where(pd.Series(seg).isin(bd).to_numpy(), np.int64(6),
+        cls = np.where(df["bld"].to_numpy(np.int64) == 1, np.int64(6),
                        ee % 6)
         return pd.DataFrame({"event_id": ee, "cls": cls.astype(np.int64)})
 
-    return nds.map_batches(classify, batch_format="pandas")
-
-
-def _building_segments(nds, labels: dict[int, int],
-                       _sizes: dict[int, int]) -> set[int]:
-    """Segments that are planar throughout, >= _MIN_BLD points, and whose
-    MINIMUM residual over the 3x3-cell minimum exceeds _BLD_RESID —
-    vectorized pandas over the materialized normals frame."""
-    npd = nds.to_pandas()
-    cell = npd["cell_id"].to_numpy(np.int64)
-    mn = npd.groupby("cell_id")["cents"].min()
-    nb = pd.concat([mn.rename_axis("c").reset_index().assign(
-        c2=lambda d: d["c"] + dr * 1000 + dc)
-        for dr in (-1, 0, 1) for dc in (-1, 0, 1)])
-    nbmin = nb.groupby("c2")["cents"].min()
-    npd["resid"] = npd["cents"].to_numpy(np.int64) \
-        - pd.Series(cell).map(nbmin).to_numpy(np.int64)
-    npd["segment"] = npd["event_id"].map(labels)
-    agg = npd.groupby("segment").agg(minres=("resid", "min"),
-                                     allplan=("planar", "min"),
-                                     n=("event_id", "size"))
-    return set(agg.index[(agg["allplan"] == 1) & (agg["n"] >= _MIN_BLD)
-                         & (agg["minres"] > _BLD_RESID)].astype(int))
+    return out.map_batches(classify, batch_format="pandas")
 
 
 @query("lidar_rooftop_analysis")
@@ -397,21 +496,30 @@ def lidar_rooftop_analysis(sf_dir: str):
     analog: per building segment (classify_buildings rule) the segment-wide
     LSQ roof plane — slope in milli-units (1000*sqrt(a^2+b^2)), point
     count, mean elevation cents (floored). Output
-    (segment, n_points, slope_milli, mean_cents). Rows-only;
-    compositional oracle in tests/test_lidar4.py."""
-    nds, labels, sizes = _segments(sf_dir)
-    bld = _building_segments(nds, labels, sizes)
-    npd = nds.to_pandas()
-    seg = npd["event_id"].map(labels).to_numpy(np.int64)
+    (segment, n_points, slope_milli, mean_cents) via groupby(segment)
+    .map_groups over building points only. Rows-only; compositional oracle
+    in tests/test_lidar4.py."""
+    nds = point_normals(_pts(sf_dir)).materialize()
+    labels, bflag = _building_flags(nds)
+    xyz = nds.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "x": df["x"].to_numpy(np.float64),
+            "y": df["y"].to_numpy(np.float64),
+            "cents": df["cents"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = labels.join(xyz, join_type="inner", num_partitions=8,
+                    on=("event_id",)).materialize()
+    bj = j.join(bflag, join_type="inner", num_partitions=8,
+                on=("segment",)) \
+        .filter(lambda r: r["bld"] == 1)
 
-    x = npd["x"].to_numpy(np.float64)
-    y = npd["y"].to_numpy(np.float64)
-    cents = npd["cents"].to_numpy(np.int64)
-    rows = []
-    for s in sorted(bld):
-        m = seg == s
-        n = int(m.sum())
-        cx, cy, cz = x[m], y[m], cents[m].astype(np.float64)
+    def roof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        cx = g["x"].to_numpy(np.float64)
+        cy = g["y"].to_numpy(np.float64)
+        cz = g["cents"].to_numpy(np.float64)
+        n = len(g)
         sxm, sym, szm = cx.mean(), cy.mean(), cz.mean()
         cxx = ((cx - sxm) ** 2).sum()
         cyy = ((cy - sym) ** 2).sum()
@@ -421,13 +529,10 @@ def lidar_rooftop_analysis(sf_dir: str):
         det = cxx * cyy - cxy * cxy
         a = (cxz * cyy - cyz * cxy) / det if abs(det) > 1e-12 else 0.0
         b = (cyz * cxx - cxz * cxy) / det if abs(det) > 1e-12 else 0.0
-        rows.append({"segment": s, "n_points": n,
-                     "slope_milli": int(np.floor(
-                         1000.0 * np.sqrt(a * a + b * b))),
-                     "mean_cents": int(np.floor(szm))})
-    if not rows:
-        rows = []
-    out = pd.DataFrame(rows, columns=["segment", "n_points", "slope_milli",
-                                      "mean_cents"]).astype(np.int64,
-                                                            errors="ignore")
-    return ray.data.from_pandas(out)
+        return pd.DataFrame({
+            "segment": [int(g["segment"].iloc[0])], "n_points": [n],
+            "slope_milli": [int(np.floor(
+                1000.0 * np.sqrt(a * a + b * b)))],
+            "mean_cents": [int(np.floor(szm))]}).astype(np.int64)
+
+    return bj.groupby("segment").map_groups(roof, batch_format="pandas")
