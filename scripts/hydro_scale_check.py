@@ -13,7 +13,9 @@ import numpy as np, pandas as pd, ray.data
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 from whitebox_tools_ray.grid import GridSpec
-from whitebox_tools_ray.stages.pregel import ShardedGraph, flow_accumulation_pregel
+from whitebox_tools_ray.stages.pregel import (ShardedGraph,
+    cost_distance_pregel, fd8_accumulation_pregel, fill_depressions_pregel,
+    flow_accumulation_pregel, isobasins_pregel)
 from whitebox_tools_ray.stages.flow import tile_of_expr
 
 def rss_mb():
@@ -85,5 +87,40 @@ dt = time.time() - t0
 print(f"flowpath rows {nf} wall {dt:.1f} s = {n/dt/1e6:.2f}M cells/s; RSS {rss_mb()} MB", flush=True)
 assert nf == n
 g.close()
+
+# round-4: the formerly dict-state interiors, vectorized (CSR waves / dense
+# label-correcting relax). Each row reports cells/sec for comparison against
+# the D8 flow-accum number above.
+def zf(i):
+    i = np.asarray(i, np.int64)
+    return (i * 2654435761) % 1000000007
+
+t0 = time.time()
+nfd8 = fd8_accumulation_pregel(zf, G, tile=64, n_shards=16).count()
+dt = time.time() - t0
+print(f"fd8_acc rows {nfd8} wall {dt:.1f} s = {n/dt/1e6:.2f}M cells/s; RSS {rss_mb()} MB", flush=True)
+assert nfd8 == n
+
+t0 = time.time()
+def costf(i):
+    i = np.asarray(i, np.int64)
+    return 1 + (i * 11400714819323198485 % 97).astype(np.int64)
+src = np.arange(0, n, max(1, n // 64), dtype=np.int64)
+ncd = cost_distance_pregel(costf, src, G, tile=64, n_shards=16).count()
+dt = time.time() - t0
+print(f"cost_dist rows {ncd} wall {dt:.1f} s = {n/dt/1e6:.2f}M cells/s; RSS {rss_mb()} MB", flush=True)
+assert ncd == n
+
+t0 = time.time()
+nfl = fill_depressions_pregel(zf, G, tile=64, n_shards=16).count()
+dt = time.time() - t0
+print(f"fill_depr rows {nfl} wall {dt:.1f} s = {n/dt/1e6:.2f}M cells/s; RSS {rss_mb()} MB", flush=True)
+assert nfl == n
+
+t0 = time.time()
+niso = isobasins_pregel(dds, G, max(2, n // 1000), tile=64, n_shards=16).count()
+dt = time.time() - t0
+print(f"isobasins outlets {niso} wall {dt:.1f} s = {n/dt/1e6:.2f}M cells/s; RSS {rss_mb()} MB", flush=True)
+
 print("DONE; final driver RSS", rss_mb(), "MB", flush=True)
 ray.shutdown()

@@ -290,15 +290,14 @@ def test_wetness_index_composition():
     g = zp[2:, 0:-2]; h = zp[2:, 1:-1]; i = zp[2:, 2:]
     dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
     dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / 8.0
-    slope = np.degrees(np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2))).ravel()
-    tan_s = np.tan(np.radians(slope))
+    tan_s = np.sqrt(dzdx ** 2 + dzdy ** 2).ravel()
     ok = np.isfinite(tan_s) & (tan_s > 0)
-    want = {int(cid): float(np.log(acc[cid] / tan_s[cid]))
+    want = {int(cid): int(np.floor(1e6 * np.log(acc[cid] / tan_s[cid]) + 0.5))
             for cid in np.flatnonzero(ok)}
-    got_map = dict(zip(got["cell_id"].astype(int), got["twi"]))
+    got_map = dict(zip(got["cell_id"].astype(int), got["twi_micro"]))
     assert set(got_map) == set(want)
     for k in want:
-        assert abs(got_map[k] - want[k]) < 1e-9
+        assert got_map[k] == want[k]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -16,7 +16,7 @@ from ..layers import GRID1
 from .queries import query
 
 
-from ..rasterdefs import _CELLS_CTE, _value_fn  # noqa: E402 (shared, cycle-free)
+from ..rasterdefs import _CELLS_CTE, _horn_pq_sql, _value_fn  # noqa: E402 (shared, cycle-free)
 
 # one equi-join per 3x3 offset (a cross-join with arithmetic conditions
 # defeats DuckDB's hash-join planner: 50s vs <1s)
@@ -341,25 +341,81 @@ def raster_correlation_components(sf_dir: str):
     return agg.drop_columns(["k"])
 
 
-@query("raster_aspect_hillshade")
+@query(
+    "raster_aspect_hillshade",
+    f"""
+    WITH {_CELLS_CTE},
+    {_horn_pq_sql()},
+    t AS (
+      SELECT cell_id, p, q,
+             atan(sqrt(p * p + q * q)) AS slope,
+             CASE WHEN atan2(q, -p) < 0 THEN atan2(q, -p) + 2 * pi()
+                  ELSE atan2(q, -p) END AS aspect
+      FROM pq
+    )
+    SELECT cell_id,
+      CAST(floor(degrees(aspect) * 1e4 + 0.5) AS BIGINT) AS aspect_micro,
+      CAST(floor(GREATEST(0.0, LEAST(1.0,
+           cos(radians(60.0)) * cos(slope)
+           + sin(radians(60.0)) * sin(slope)
+             * cos(radians(315.0) - aspect))) * 1e6 + 0.5) AS BIGINT)
+        AS hs_micro
+    FROM t
+    """,
+)
 def raster_aspect_hillshade(sf_dir: str):
     """Aspect + Hillshade (terrain_analysis/{aspect,hillshade}.rs) via the
-    halo stencil — rows-only (trig floats); whole-array numpy oracle in
-    tests/test_raster_stencil.py."""
+    halo stencil, emitted micro-quantized (the established guard band):
+    aspect in 1e-4 deg, hillshade in 1e-6 units. The whole-array numpy
+    oracle in tests/test_raster_stencil.py independently checks the halo
+    machinery."""
     from ..stages.raster import aspect_hillshade_kernel_factory
 
     tiles = synth_raster_tiles(GRID1, _value_fn)
-    return stencil_3x3(tiles, GRID1,
-                       aspect_hillshade_kernel_factory(GRID1.res_x, GRID1.res_y))
+    cells = stencil_3x3(tiles, GRID1,
+                        aspect_hillshade_kernel_factory(GRID1.res_x,
+                                                        GRID1.res_y))
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["aspect_deg"].to_numpy(np.float64)
+        h = df["hillshade"].to_numpy(np.float64)
+        ok = ~np.isnan(a) & ~np.isnan(h)  # grid border: incomplete halo
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[ok],
+            "aspect_micro": np.floor(a[ok] * 1e4 + 0.5).astype(np.int64),
+            "hs_micro": np.floor(h[ok] * 1e6 + 0.5).astype(np.int64)})
+
+    return cells.map_batches(quant, batch_format="pandas")
 
 
-@query("raster_slope")
+@query(
+    "raster_slope",
+    f"""
+    WITH {_CELLS_CTE},
+    {_horn_pq_sql()}
+    SELECT cell_id,
+           CAST(floor(degrees(atan(sqrt(p * p + q * q))) * 1e4 + 0.5)
+                AS BIGINT) AS slope_micro
+    FROM pq
+    """,
+)
 def raster_slope(sf_dir: str):
     """Horn slope (terrain_analysis/slope.rs:272-326) via the same halo
-    stencil — rows-only (trig float); verified against a whole-array numpy
-    oracle in tests/test_raster_stencil.py."""
+    stencil, micro-degree quantized (1e-4 deg, the established guard band);
+    interior cells only (the reference's edge nodata). Whole-array numpy
+    oracle in tests/test_raster_stencil.py checks the stencil machinery."""
     tiles = synth_raster_tiles(GRID1, _value_fn)
-    return stencil_3x3(tiles, GRID1, slope_kernel_factory(GRID1.res_x, GRID1.res_y))
+    cells = stencil_3x3(tiles, GRID1,
+                        slope_kernel_factory(GRID1.res_x, GRID1.res_y))
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        sl = df["slope_deg"].to_numpy(np.float64)
+        ok = ~np.isnan(sl)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[ok],
+            "slope_micro": np.floor(sl[ok] * 1e4 + 0.5).astype(np.int64)})
+
+    return cells.map_batches(quant, batch_format="pandas")
 
 
 @query(
@@ -619,13 +675,36 @@ def buffer_raster(sf_dir: str):
         lambda df: df[df["d2"] <= BUFFER_R2], batch_format="pandas")
 
 
-@query("clump_labels")
+@query(
+    "clump_labels",
+    f"""
+    WITH cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id,
+      CAST(t.i // {GRID1.cols} AS BIGINT) AS r,
+      CAST(t.i % {GRID1.cols} AS BIGINT) AS c
+      FROM range({GRID1.rows * GRID1.cols}) t(i)),
+    lab AS (
+      -- the 6x6-block raster's equal-value components are exactly the
+      -- anti-diagonal block chains (neighbouring blocks differ by 3 mod 4;
+      -- (br+1, bc-1) differs by 0 and touches at a corner), so the clump
+      -- id (= component min cell_id) is the top-left cell of the chain's
+      -- uppermost block. Zero-valued cells are background (clump.rs).
+      SELECT cell_id,
+        (r // 6) - LEAST(r // 6, {GRID1.cols // 6 - 1} - c // 6) AS br0,
+        (c // 6) + LEAST(r // 6, {GRID1.cols // 6 - 1} - c // 6) AS bc0,
+        ((r // 6) * 7 + (c // 6) * 3) % 4 AS val
+      FROM cells)
+    SELECT CAST(6 * br0 * {GRID1.cols} + 6 * bc0 AS BIGINT) AS clump_id,
+           CAST(val AS DOUBLE) AS value, COUNT(*) AS n_cells
+    FROM lab WHERE val != 0 GROUP BY 1, 2
+    """,
+)
 def clump_labels(sf_dir: str):
     """Clump / connected components (gis_analysis/clump.rs; phase 1 of
     RasterToVectorPolygons, raster_to_vector_polygons.rs:235-262): per-tile
     union-find + cross-tile border merge; clump id = component min cell_id
-    (parallelism-invariant). Rows-only; brute-force BFS oracle in
-    tests/test_clump.py. Output: clump_id, value, n_cells."""
+    (parallelism-invariant). SQL oracle: the synthetic block raster's
+    components have a closed form (anti-diagonal block chains); the brute
+    BFS oracle in tests/test_clump.py independently checks the machinery."""
     from ..stages.clump import clump as run_clump
 
     def blocky(cells: np.ndarray) -> np.ndarray:
@@ -1041,30 +1120,68 @@ def fd8_flow_accumulation(sf_dir: str):
     return fd8_accumulation_pregel(z_fn, GRID1)
 
 
-@query("wetness_index")
+@query(
+    "wetness_index",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g
+      LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    {_horn_pq_sql()}
+    SELECT pv.cell_id,
+           CAST(floor(1e6 * ln(a.acc / sqrt(pv.p * pv.p + pv.q * pv.q))
+                      + 0.5) AS BIGINT) AS twi_micro
+    FROM pq pv JOIN acc a ON a.cell_id = pv.cell_id
+    WHERE pv.p * pv.p + pv.q * pv.q > 0
+    """,
+)
 def wetness_index(sf_dir: str):
     """WetnessIndex (terrain_analysis/wetness_index.rs): TWI =
-    ln(As / tan(slope)) composing two existing engine stages — D8 flow
-    accumulation (Pregel shard actors) as the specific catchment area and
-    the Horn slope stencil — joined per cell (single Ray hash join; slope 0
-    or missing -> omitted, the reference's nodata). Rows-only; composition
-    oracle in tests/test_flow.py recomputes both stages densely."""
+    ln(As / tan(slope)) composing two engine stages — D8 flow accumulation
+    (Pregel shard actors) and the Horn gradient stencil — joined per cell.
+    tan(slope) is computed as sqrt(p^2 + q^2) EXACTLY (p, q are rationals
+    with denominator 8 on the integer DEM), so the micro-quantized TWI is
+    reproducible in SQL (flats and edge cells omitted: reference nodata)."""
     from ..stages.flow import down_ds_from_pointer
     from ..stages.pregel import flow_accumulation_pregel
+    from ..stages.raster import stencil_3x3
 
     acc = flow_accumulation_pregel(
         down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
-    slope = raster_slope(sf_dir)  # (cell_id, slope_deg)
 
-    j = acc.join(slope, join_type="inner", num_partitions=8, on=("cell_id",))
+    def tan_kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]
+        i = z[2:nr + 2, 2:nc + 2]
+        p = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+        q = ((g + 2 * h + i) - (a + 2 * b + c)) / 8.0
+        return {"tan_s": np.sqrt(p * p + q * q)}
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    slope = stencil_3x3(tiles, GRID1, tan_kern)
+
+    j = acc.join(slope, join_type="inner", num_partitions=8,
+                 on=("cell_id",))
 
     def twi(df: pd.DataFrame) -> pd.DataFrame:
-        tan_s = np.tan(np.radians(df["slope_deg"].to_numpy(np.float64)))
+        tan_s = df["tan_s"].to_numpy(np.float64)
         ok = np.isfinite(tan_s) & (tan_s > 0)
         a = df["acc"].to_numpy(np.float64)
         return pd.DataFrame({
             "cell_id": df["cell_id"].to_numpy(np.int64)[ok],
-            "twi": np.log(a[ok] / tan_s[ok])})
+            "twi_micro": np.floor(
+                1e6 * np.log(a[ok] / tan_s[ok]) + 0.5).astype(np.int64)})
 
     return j.map_batches(twi, batch_format="pandas")
 

@@ -107,3 +107,29 @@ def tophat_state_tiles(grid: GridSpec, value_fn, *, tile: int = 64):
     return opening.map_batches(pack, batch_format="pandas")
 
 
+
+
+_SAR_DX = (-1, 0, 1, -1, 0, 1, -1, 0, 1)
+_SAR_DY = (-1, -1, -1, 0, 0, 0, 1, 1, 1)
+
+
+def _horn_pq_sql(*, with_v: bool = False) -> str:
+    """`pq` CTE over `cells`: the Horn 3x3 gradients p = dz/dx, q = dz/dy
+    (terrain_analysis/slope.rs:272-326) as exact rationals (v is integer,
+    denominator 8 on the unit grid). Interior cells only (the 8 joins).
+    Lives in this leaf module because several pipeline modules consume it
+    at decoration time."""
+    joins = " ".join(
+        f"JOIN cells n{k} ON n{k}.r = a.r + ({_SAR_DY[k]}) "
+        f"AND n{k}.c = a.c + ({_SAR_DX[k]})"
+        for k in range(9) if k != 4)
+    p = ("(CAST((n2.v + 2 * n5.v + n8.v) - (n0.v + 2 * n3.v + n6.v) "
+         "AS DOUBLE) / 8.0)")
+    q = ("(CAST((n6.v + 2 * n7.v + n8.v) - (n0.v + 2 * n1.v + n2.v) "
+         "AS DOUBLE) / 8.0)")
+    v = "a.v, " if with_v else ""
+    return f"""
+    pq AS (
+      SELECT a.cell_id, {v}{p} AS p, {q} AS q
+      FROM cells a {joins}
+    )"""

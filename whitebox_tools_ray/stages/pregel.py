@@ -124,7 +124,7 @@ class FlowShard:
         # hasattr-guarded algorithm state must not leak across runs
         for attr in ("_dsi_z", "_dsi_d", "dsi_parts", "vis_parts",
                      "iso_pending", "iso_sum", "iso_bestkey", "iso_bestfrom",
-                     "iso_bestfa", "iso_done", "iso_outlets", "iso_target",
+                     "iso_bestfa", "iso_done", "iso_outlets", "iso_target", "_iso_offs_sorted", "_iso_idx_sorted",
                      "_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
                      "fpl_parts", "bas_parts", "fd8_indptr", "fd8_tgt",
@@ -133,7 +133,7 @@ class FlowShard:
                      "_mf_eff", "_mf_abs", "_fd8_exact_weights",
                      "best", "cells", "fill",
                      "cost_fn", "z_fn", "init_mass", "fplen", "fl_memo",
-                     "basin", "memo", "_cd_costs", "_fl_zs"):
+                     "basin", "memo", "_lc_nbr", "_lc_val", "_lc_self"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return True
@@ -681,8 +681,13 @@ class FlowShard:
                 if (~lm).any():
                     out_t.append(self.fd8_tgt[eidx[~lm]])
                     out_u.append(share[~lm])
-            frontier = np.flatnonzero((self.fd8_pending_arr == 0)
-                                      & ~self.fd8_done)
+                # next frontier = only the targets that just hit zero (a
+                # full (pending == 0) rescan per wave is O(n * waves))
+                cand = np.unique(tl[lm])
+                frontier = cand[(self.fd8_pending_arr[cand] == 0)
+                                & ~self.fd8_done[cand]]
+            else:
+                frontier = np.empty(0, np.int64)
         if not out_t:
             return {}
         oc = np.concatenate(out_t)
@@ -998,187 +1003,252 @@ class FlowShard:
     # (strictly-greater scan in D8 order 0..7) is reproduced exactly.
     def iso_init_load(self, indeg_df: pd.DataFrame, target: int) -> int:
         if not hasattr(self, "iso_pending"):
-            self.iso_pending: dict[int, int] = {}
-            self.iso_sum: dict[int, int] = {}
-            self.iso_bestkey: dict[int, int] = {}
-            self.iso_bestfrom: dict[int, int] = {}
-            self.iso_bestfa: dict[int, int] = {}
-            self.iso_done: set[int] = set()
-            self.iso_outlets: list[int] = []
+            self._ensure()
+            n = len(self.cells_arr)
+            self.iso_pending = np.zeros(n, np.int64)
+            self.iso_sum = np.zeros(n, np.int64)
+            self.iso_bestkey = np.full(n, -1, np.int64)
+            self.iso_bestfrom = np.full(n, -1, np.int64)
+            self.iso_bestfa = np.zeros(n, np.int64)
+            self.iso_done = np.zeros(n, bool)
+            self.iso_outlets: list[np.ndarray] = []
+            # D8 offset (frm - to) -> scan index i, vectorized via a sorted
+            # offset table (isobasins.rs walks neighbours in pointer order)
+            offs = np.array([dy * self.cols + dx for dx, dy in
+                             zip((1, 1, 1, 0, -1, -1, -1, 0),
+                                 (-1, 0, 1, 1, 1, 0, -1, -1))], np.int64)
+            order = np.argsort(offs)
+            self._iso_offs_sorted = offs[order]
+            self._iso_idx_sorted = np.arange(8, dtype=np.int64)[order]
         self.iso_target = int(target)
-        for c, n in zip(indeg_df["cell_id"].astype(int),
-                        indeg_df["n_inflow"].astype(int)):
-            self.iso_pending[c] = n
+        cells = indeg_df["cell_id"].to_numpy(np.int64)
+        pos, present = self._lookup(cells)
+        self.iso_pending[pos[present]] = \
+            indeg_df["n_inflow"].to_numpy(np.int64)[present]
         return len(indeg_df)
 
-    def _iso_d8_index(self, frm: int, to: int) -> int:
-        """D8 scan index i (0..7) of ``frm`` as seen FROM ``to`` —
-        isobasins.rs walks neighbours in the d8_pointer order."""
-        off = frm - to
-        dy, dx = 0, 0
-        for i, (ddx, ddy) in enumerate(zip((1, 1, 1, 0, -1, -1, -1, 0),
-                                           (-1, 0, 1, 1, 1, 0, -1, -1))):
-            if off == ddy * self.cols + ddx:
-                return i
-        raise ValueError(f"non-adjacent iso message {frm}->{to}")
+    def _iso_recv(self, pos: np.ndarray, frm: np.ndarray, fa: np.ndarray):
+        """Vectorized recv: scatter fa sums, in-degree decrements, and the
+        max-fa / lowest-D8-index tie rule (key = fa*8 + (7-i); keys are
+        unique per (fa, direction), so the winner set after np.maximum.at
+        is exactly the messages whose key equals the stored best)."""
+        to_cell = self.cells_arr[pos]
+        k = np.searchsorted(self._iso_offs_sorted, frm - to_cell)
+        i = self._iso_idx_sorted[np.clip(k, 0, 7)]
+        key = fa * 8 + (7 - i)
+        np.add.at(self.iso_sum, pos, fa)
+        np.maximum.at(self.iso_bestkey, pos, key)
+        win = key == self.iso_bestkey[pos]
+        self.iso_bestfrom[pos[win]] = frm[win]
+        self.iso_bestfa[pos[win]] = fa[win]
+        np.subtract.at(self.iso_pending, pos, 1)
 
     def iso_round(self, msgs: list[np.ndarray]):
-        inbox = []
-        for arr in msgs:
-            inbox.extend((int(a), int(b), int(c))
-                         for a, b, c in arr.reshape(-1, 3))
-        return self._iso_drain(inbox)
-
-    def _iso_drain(self, inbox):
         if not hasattr(self, "iso_pending"):  # shard holds no graph cells
-            assert not inbox
             return {}
-
-        def recv(cell, frm, fa):
-            self.iso_sum[cell] = self.iso_sum.get(cell, 0) + fa
-            i = self._iso_d8_index(frm, cell)
-            # max fa, ties -> lowest D8 index (strict > in scan order)
-            key = fa * 8 + (7 - i)
-            if key > self.iso_bestkey.get(cell, -1):
-                self.iso_bestkey[cell] = key
-                self.iso_bestfrom[cell] = frm
-                self.iso_bestfa[cell] = fa
-            self.iso_pending[cell] -= 1
-
-        for cell, frm, fa in inbox:
-            recv(cell, frm, fa)
-        queue = [c for c, p in self.iso_pending.items() if p == 0]
-        out: dict[int, list] = {}
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 3) for a in msgs])
+            if len(arr):
+                pos, present = self._lookup(arr[:, 0])
+                self._iso_recv(pos[present], arr[present, 1],
+                               arr[present, 2])
         target = self.iso_target
-        while queue:
-            cell = queue.pop()
-            if cell in self.iso_done:
-                continue
-            self.iso_done.add(cell)
-            del self.iso_pending[cell]
-            fa = 1 + self.iso_sum.get(cell, 0)
-            marked_self = False
-            if fa >= target:
-                inla_mag = self.iso_bestfa.get(cell, 0)
-                if (target - inla_mag) < (fa - target):
-                    if cell in self.iso_bestfrom:
-                        self.iso_outlets.append(self.iso_bestfrom[cell])
-                        fa -= inla_mag
-                    else:
-                        self.iso_outlets.append(cell)
-                        marked_self = True
-                        fa = 1
-                else:
-                    self.iso_outlets.append(cell)
-                    marked_self = True
-                    fa = 1
-            tgt = self.down.get(cell, -1)
-            if tgt < 0:
-                if not marked_self:
-                    self.iso_outlets.append(cell)
-                continue
-            if self._shard(tgt) == self._shard(cell) and tgt in self.iso_pending:
-                recv(tgt, cell, fa)
-                if self.iso_pending[tgt] == 0:
-                    queue.append(tgt)
-            else:
-                out.setdefault(self._shard(tgt), []).append((tgt, cell, fa))
-        return {s: np.asarray(v, np.int64).reshape(-1, 3)
-                for s, v in out.items()}
+        out_t: list[np.ndarray] = []
+        out_f: list[np.ndarray] = []
+        out_a: list[np.ndarray] = []
+        frontier = np.flatnonzero((self.iso_pending == 0) & ~self.iso_done)
+        while len(frontier):
+            self.iso_done[frontier] = True
+            self.iso_pending[frontier] = -1
+            cells = self.cells_arr[frontier]
+            fa = 1 + self.iso_sum[frontier]
+            inla = self.iso_bestfa[frontier]
+            has_best = self.iso_bestfrom[frontier] >= 0
+            cut = fa >= target
+            use_inflow = cut & ((target - inla) < (fa - target)) & has_best
+            self_cut = cut & ~use_inflow
+            if use_inflow.any():
+                self.iso_outlets.append(
+                    self.iso_bestfrom[frontier[use_inflow]])
+            if self_cut.any():
+                self.iso_outlets.append(cells[self_cut])
+            fa = np.where(use_inflow, fa - inla, fa)
+            fa = np.where(self_cut, np.int64(1), fa)
+            tl = self.down_loc[frontier]
+            term = self.down_arr[frontier] < 0
+            t_out = term & ~self_cut
+            if t_out.any():
+                self.iso_outlets.append(cells[t_out])
+            lm = tl >= 0
+            if lm.any():
+                self._iso_recv(tl[lm], cells[lm], fa[lm])
+            rm = ~term & ~lm
+            if rm.any():
+                out_t.append(self.down_arr[frontier[rm]])
+                out_f.append(cells[rm])
+                out_a.append(fa[rm])
+            cand = np.unique(tl[lm]) if lm.any() else np.empty(0, np.int64)
+            frontier = cand[(self.iso_pending[cand] == 0)
+                            & ~self.iso_done[cand]]
+        if not out_t:
+            return {}
+        rows = np.stack([np.concatenate(out_t), np.concatenate(out_f),
+                         np.concatenate(out_a)], axis=1)
+        return self._group_rows(self._vec_shard(rows[:, 0]), rows)
 
     def iso_result(self) -> pd.DataFrame:
-        o = np.unique(np.asarray(self.iso_outlets, np.int64)) \
-            if getattr(self, "iso_outlets", None) else np.empty(0, np.int64)
+        parts = getattr(self, "iso_outlets", [])
+        o = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
         return pd.DataFrame({"outlet": o})
 
     def iso_unresolved(self) -> int:
-        return len(getattr(self, "iso_pending", {}))
+        if not hasattr(self, "iso_pending"):
+            return 0
+        return int((~self.iso_done).sum())
 
     # ---- cost distance ---------------------------------------------------
-    def _seed_surface_cache(self, fn, offs) -> dict[int, int]:
-        """{cell: fn(cell)} for local cells + their offs-neighbours, from
-        batched fn calls (the relax loops then never call fn per cell)."""
+    def _lc_setup(self, offs, surf_fn):
+        """Dense label-correcting state (round-3 VERDICT item: the heapq +
+        dict Dijkstra/priority-flood interiors are now whole-array relax
+        waves). Per offset (dr, dc) the shift cell -> cell + dr*cols + dc is
+        INJECTIVE, so each direction relaxes with a plain np.minimum gather/
+        scatter — no ufunc.at, no collisions. Pre-batches the surface values
+        of every neighbour once (fn is pure)."""
         self._ensure()
         cells = self.cells_arr
+        n = len(cells)
         r = cells // self.cols
         c = cells % self.cols
-        ids = [cells]
+        self._lc_self = np.asarray(surf_fn(cells), np.int64) if n \
+            else np.empty(0, np.int64)
+        self._lc_nbr = []
+        self._lc_offs = list(offs)
         for dr, dc in offs:
             nr, nc = r + dr, c + dc
             ok = (nr >= 0) & (nr < self.rows) & (nc >= 0) & (nc < self.cols)
-            ids.append((nr * self.cols + nc)[ok])
-        uni = np.unique(np.concatenate(ids)) if len(cells) else np.empty(0, np.int64)
-        vals = np.asarray(fn(uni), np.int64) if len(uni) else np.empty(0, np.int64)
-        return dict(zip(uni.tolist(), vals.tolist()))
+            u = np.where(ok, nr * self.cols + nc, -1)
+            uloc = np.full(n, -1, np.int64)
+            if ok.any():
+                pos, present = self._lookup(u[ok])
+                sub = np.full(int(ok.sum()), -1, np.int64)
+                sub[present] = pos[present]
+                uloc[ok] = sub
+            uval = np.zeros(n, np.int64)
+            if ok.any():
+                uval[ok] = np.asarray(surf_fn(u[ok]), np.int64)
+            self._lc_nbr.append((ok, u, uloc, uval))
+        self._lc_val = np.full(n, 1 << 62, np.int64)
+
+    def _lc_relax(self, cand_cells: np.ndarray, cand_vals: np.ndarray,
+                  mode: str):
+        """Relax to the within-shard fixpoint, then emit min-candidates for
+        every remote in-grid neighbour of an improved cell. mode='cd':
+        candidate = val + cost(self) + cost(nbr); mode='fl': max(val, z_nbr)
+        — the (min, +) and (min, max) semirings share the loop."""
+        INF = 1 << 62
+        val = self._lc_val
+        n = len(val)
+        if n == 0:
+            return {}
+        entry = val.copy()  # BEFORE candidates: seed improvements must count
+        if len(cand_cells):
+            pos, present = self._lookup(np.asarray(cand_cells, np.int64))
+            cv = np.asarray(cand_vals, np.int64)
+            np.minimum.at(val, pos[present], cv[present])
+
+        # exact directional sweeps by pointer doubling: one sweep computes,
+        # for every cell, min over ALL chain predecessors j of
+        # (val[j] (+) W(j..i)) in log2(chain) vector passes — equal to the
+        # sequential Gauss-Seidel scan of that direction. Rounds of all
+        # directions repeat until fixpoint (= number of direction changes
+        # on an optimal path, small on real surfaces).
+        opp = {o: self._lc_offs.index((-o[0], -o[1]))
+               for o in self._lc_offs}
+
+        def sweep(k: int):
+            _ok, _u, pred1, _uval = self._lc_nbr[opp[self._lc_offs[k]]]
+            pred = pred1.copy()
+            if mode == "cd":
+                W = np.zeros(n, np.int64)
+                pm = pred >= 0
+                W[pm] = self._lc_self[pred[pm]] + self._lc_self[pm]
+            else:
+                W = self._lc_self.copy()  # Z_1[i] = z[i]
+            G = val
+            while True:
+                pm = pred >= 0
+                if not pm.any():
+                    break
+                pp = pred[pm]
+                if mode == "cd":
+                    cand = G[pp] + W[pm]
+                else:
+                    cand = np.maximum(G[pp], W[pm])
+                G[pm] = np.minimum(G[pm], cand)
+                # double the stride
+                p2 = np.full(n, -1, np.int64)
+                p2[pm] = pred[pp]
+                m2 = p2 >= 0
+                W2 = W.copy()
+                if mode == "cd":
+                    W2[m2] = W[pred[m2]] + W[m2]
+                else:
+                    W2[m2] = np.maximum(W[pred[m2]], W[m2])
+                pred, W = p2, W2
+
+        while True:
+            before = val.copy()
+            for k in range(len(self._lc_offs)):
+                sweep(k)
+            if np.array_equal(before, val):
+                break
+        improved = val < entry
+        if not improved.any():
+            return {}
+        msgs_t: list[np.ndarray] = []
+        msgs_v: list[np.ndarray] = []
+        for ok, u, uloc, uval in self._lc_nbr:
+            rm = ok & (uloc < 0) & improved
+            if not rm.any():
+                continue
+            if mode == "cd":
+                nd = val[rm] + self._lc_self[rm] + uval[rm]
+            else:
+                nd = np.maximum(val[rm], uval[rm])
+            msgs_t.append(u[rm])
+            msgs_v.append(nd)
+        if not msgs_t:
+            return {}
+        t = np.concatenate(msgs_t)
+        v = np.concatenate(msgs_v)
+        uniq, inv = np.unique(t, return_inverse=True)
+        mv = np.full(len(uniq), INF, np.int64)
+        np.minimum.at(mv, inv, v)
+        rows = np.stack([uniq, mv], axis=1)
+        return self._group_rows(self._vec_shard(uniq), rows)
 
     def cd_load(self, cost_fn) -> int:
         """cost_fn: pure fn(cell_ids)->int64 (synthetic surface / raster
         lookup), pre-batched over local cells + halo."""
-        self.cost_fn = cost_fn
-        self.best: dict[int, int] = {}
-        self.cells = set(self.down)
-        self._cd_costs = self._seed_surface_cache(
-            cost_fn, [(1, 0), (-1, 0), (0, 1), (0, -1)])
-        return len(self.cells)
+        self._lc_setup([(1, 0), (-1, 0), (0, 1), (0, -1)], cost_fn)
+        return len(self.cells_arr)
 
     def cd_seed(self, sources: np.ndarray):
-        return self._cd_relax({int(c): 0 for c in sources if int(c) in self.cells})
+        src = np.asarray(sources, np.int64)
+        return self._lc_relax(src, np.zeros(len(src), np.int64), "cd")
 
     def cd_round(self, msgs: list[np.ndarray]):
-        cand: dict[int, int] = {}
-        for arr in msgs:
-            for cell, d in arr.reshape(-1, 2):
-                cell, d = int(cell), int(d)
-                if d < cand.get(cell, 1 << 62):
-                    cand[cell] = d
-        return self._cd_relax(cand)
-
-    def _cd_relax(self, cand: dict[int, int]):
-        import heapq
-
-        heap = []
-        for cell, d in cand.items():
-            if d < self.best.get(cell, 1 << 62):
-                self.best[cell] = d
-                heapq.heappush(heap, (d, cell))
-        if not heap:
-            return {}
-        costs = self._cd_costs
-
-        def cost(cid: int) -> int:
-            v = costs.get(cid)
-            if v is None:  # rare: beyond the pre-batched halo
-                v = int(self.cost_fn(np.array([cid], np.int64))[0])
-                costs[cid] = v
-            return v
-
-        out: dict[int, dict[int, int]] = {}
-        while heap:
-            d, v = heapq.heappop(heap)
-            if d > self.best.get(v, 1 << 62):
-                continue
-            r, c = v // self.cols, v % self.cols
-            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                nr, nc = r + dr, c + dc
-                if not (0 <= nr < self.rows and 0 <= nc < self.cols):
-                    continue
-                u = nr * self.cols + nc
-                nd = d + cost(v) + cost(u)
-                if u in self.cells:
-                    if nd < self.best.get(u, 1 << 62):
-                        self.best[u] = nd
-                        heapq.heappush(heap, (nd, u))
-                else:
-                    s = self._shard(u)
-                    dd = out.setdefault(s, {})
-                    if nd < dd.get(u, 1 << 62):
-                        dd[u] = nd
-        return {s: np.array([[c, m] for c, m in d.items()], np.int64)
-                for s, d in out.items()}
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 2) for a in msgs])
+        else:
+            arr = np.empty((0, 2), np.int64)
+        return self._lc_relax(arr[:, 0], arr[:, 1], "cd")
 
     def cd_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": np.fromiter(self.best.keys(), np.int64),
-                             "cost_dist2": np.fromiter(self.best.values(), np.int64)})
+        m = self._lc_val < (1 << 62)
+        return pd.DataFrame({"cell_id": self.cells_arr[m],
+                             "cost_dist2": self._lc_val[m]})
 
     # ---- priority-flood depression filling -------------------------------
     # Same label-correcting shard sweep as cost distance, in the (min, max)
@@ -1186,82 +1256,31 @@ class FlowShard:
     # max(z along path) — relax nw = max(w_v, z_u) instead of d + cost.
     def fl_load(self, z_fn) -> int:
         self.z_fn = z_fn
-        self.fill: dict[int, int] = {}
-        self.cells = set(self.down)
-        self._fl_zs = self._seed_surface_cache(
-            z_fn, [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
-                   if (dr, dc) != (0, 0)])
-        return len(self.cells)
+        self._lc_setup([(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                        if (dr, dc) != (0, 0)], z_fn)
+        return len(self.cells_arr)
 
     def fl_seed(self):
-        self._ensure()
         cells = self.cells_arr
         r = cells // self.cols
         c = cells % self.cols
-        border = (r == 0) | (r == self.rows - 1) | (c == 0) | (c == self.cols - 1)
+        border = (r == 0) | (r == self.rows - 1) | (c == 0) \
+            | (c == self.cols - 1)
         bc = cells[border]
-        zv = np.asarray(self.z_fn(bc), np.int64) if len(bc) else np.empty(0, np.int64)
-        return self._fl_relax(dict(zip(bc.tolist(), zv.tolist())))
+        zv = self._lc_self[border]
+        return self._lc_relax(bc, zv, "fl")
 
     def fl_round(self, msgs: list[np.ndarray]):
-        cand: dict[int, int] = {}
-        for arr in msgs:
-            for cell, w in arr.reshape(-1, 2):
-                cell, w = int(cell), int(w)
-                if w < cand.get(cell, 1 << 62):
-                    cand[cell] = w
-        return self._fl_relax(cand)
-
-    def _fl_relax(self, cand: dict[int, int]):
-        import heapq
-
-        heap = []
-        for cell, w in cand.items():
-            if w < self.fill.get(cell, 1 << 62):
-                self.fill[cell] = w
-                heapq.heappush(heap, (w, cell))
-        if not heap:
-            return {}
-        zs = self._fl_zs
-
-        def z(cid: int) -> int:
-            v = zs.get(cid)
-            if v is None:  # rare: beyond the pre-batched halo
-                v = int(self.z_fn(np.array([cid], np.int64))[0])
-                zs[cid] = v
-            return v
-
-        out: dict[int, dict[int, int]] = {}
-        while heap:
-            w, v = heapq.heappop(heap)
-            if w > self.fill.get(v, 1 << 62):
-                continue
-            r, c = v // self.cols, v % self.cols
-            # D8 neighbourhood (fill_depressions.rs floods all 8 directions)
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
-                    if dr == 0 and dc == 0:
-                        continue
-                    nr, nc = r + dr, c + dc
-                    if not (0 <= nr < self.rows and 0 <= nc < self.cols):
-                        continue
-                    u = nr * self.cols + nc
-                    nw = max(w, z(u))
-                    if u in self.cells:
-                        if nw < self.fill.get(u, 1 << 62):
-                            self.fill[u] = nw
-                            heapq.heappush(heap, (nw, u))
-                    else:
-                        s = self._shard(u)
-                        dd = out.setdefault(s, {})
-                        if nw < dd.get(u, 1 << 62):
-                            dd[u] = nw
-        return {s: np.array([[c, m] for c, m in d.items()], np.int64)
-                for s, d in out.items()}
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 2) for a in msgs])
+        else:
+            arr = np.empty((0, 2), np.int64)
+        return self._lc_relax(arr[:, 0], arr[:, 1], "fl")
 
     def fl_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": np.fromiter(self.fill.keys(), np.int64),
-                             "fill": np.fromiter(self.fill.values(), np.int64)})
+        m = self._lc_val < (1 << 62)
+        return pd.DataFrame({"cell_id": self.cells_arr[m],
+                             "fill": self._lc_val[m]})
 
     # ---- strahler --------------------------------------------------------
     def str_init_load(self, indeg_df: pd.DataFrame) -> int:
