@@ -41,6 +41,18 @@ def eff_cell_mask(c: np.ndarray) -> np.ndarray:
     return (c * 2654435761) % 64 == 0
 
 
+def shard_of_tiles(tiles: np.ndarray, grid: GridSpec, tile: int,
+                   n_shards: int) -> np.ndarray:
+    """Tile -> shard: BLOCKED contiguous tile ranges (round-4: the old
+    round-robin `tile % n_shards` interleaved neighbouring tiles across
+    shards, so label-correcting floods crossed a shard boundary every
+    `tile` cells and rounds scaled with grid width; blocked stripes keep
+    propagation intra-shard and rounds ~ n_shards)."""
+    trows = -(-grid.rows // tile)
+    tcols = -(-grid.cols // tile)
+    return tiles * n_shards // (trows * tcols)
+
+
 def _tile_of(cid: np.ndarray, grid: GridSpec, tile: int) -> np.ndarray:
     tcols = -(-grid.cols // tile)
     return (cid // grid.cols // tile) * tcols + (cid % grid.cols // tile)
@@ -75,11 +87,15 @@ class FlowShard:
             + (cid % self.cols // self.tile)
 
     def _shard(self, cid: int) -> int:
-        return self._tile(cid) % self.n_shards
+        return self._tile(cid) * self.n_shards // self._ntiles()
+
+    def _ntiles(self) -> int:
+        return (-(-self.rows // self.tile)) * self.tcols
 
     def _vec_shard(self, cid: np.ndarray) -> np.ndarray:
-        return ((cid // self.cols // self.tile) * self.tcols
-                + (cid % self.cols // self.tile)) % self.n_shards
+        t = ((cid // self.cols // self.tile) * self.tcols
+             + (cid % self.cols // self.tile))
+        return t * self.n_shards // self._ntiles()
 
     def _vec_hops(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         if getattr(self, "_wmode", "hops") == "eff":
@@ -353,24 +369,29 @@ class FlowShard:
         with np.errstate(invalid="ignore"):
             down = ~np.isnan(zn) & (zn < z0[:, None])
             pending = (~np.isnan(zn) & (zn > z0[:, None])).sum(axis=1)
-            s = np.where(down, ((z0[:, None] - zn) / dists[None, :]) ** exponent, 0.0)
-        # left-to-right sum (adding exact 0.0 for non-down slots) reproduces
-        # the scalar load's running `sum(slopes)` bit-for-bit
-        tot = np.zeros(len(cells))
-        for k in range(len(offs)):
-            tot = tot + s[:, k]
+        # edge-compressed math (round-4: powf over the full (n, 8) matrix
+        # dominated the load; ~60% of slots are not edges). nonzero is
+        # row-major, so edges stay in scan order and np.add.reduceat's
+        # strictly sequential slice reduction reproduces the scalar load's
+        # left-to-right `sum(slopes)` bit-for-bit (adding exact 0.0 for
+        # non-down slots was an identity).
+        ci, ki = np.nonzero(down)
+        s_e = ((z0[ci] - zn[ci, ki]) / dists[ki]) ** exponent
+        bounds = np.searchsorted(ci, np.arange(len(cells) + 1))
+        has = bounds[1:] > bounds[:-1]
+        tot_c = np.zeros(len(cells))
+        if len(ci):
+            tot_c[has] = np.add.reduceat(s_e, bounds[:-1][has])
         with np.errstate(invalid="ignore", divide="ignore"):
-            w = np.where(down, np.floor(s / tot[:, None] * self.FD8_ONE + 0.5), 0.0) \
+            w_e = np.floor(s_e / tot_c[ci] * self.FD8_ONE + 0.5) \
                 .astype(np.int64)
-        ndowns = down.sum(axis=1)
         # the LAST down neighbour (scan order) takes the rounding remainder
-        lastk = np.where(ndowns > 0, 7 - np.argmax(down[:, ::-1], axis=1), -1)
-        has = ndowns > 0
-        rows_i = np.flatnonzero(has)
-        wsum = w.sum(axis=1)
-        w[rows_i, lastk[has]] = self.FD8_ONE - (wsum[has] - w[rows_i, lastk[has]])
-        ci, ki = np.nonzero(down)  # cell-major, scan order — matches scalar
-        return self._fd8_set_edges(ci, ncell[ci, ki], w[ci, ki], pending)
+        if len(ci):
+            wsum_c = np.zeros(len(cells), np.int64)
+            wsum_c[has] = np.add.reduceat(w_e, bounds[:-1][has])
+            last = bounds[1:][has] - 1
+            w_e[last] = self.FD8_ONE - (wsum_c[has] - w_e[last])
+        return self._fd8_set_edges(ci, ncell[ci, ki], w_e, pending)
 
     def cells_list(self):
         self._ensure()
@@ -1156,53 +1177,36 @@ class FlowShard:
             pos, present = self._lookup(np.asarray(cand_cells, np.int64))
             cv = np.asarray(cand_vals, np.int64)
             np.minimum.at(val, pos[present], cv[present])
+        if np.array_equal(entry, val):
+            return {}  # nothing improved: the fixpoint holds, skip sweeps
 
-        # exact directional sweeps by pointer doubling: one sweep computes,
-        # for every cell, min over ALL chain predecessors j of
-        # (val[j] (+) W(j..i)) in log2(chain) vector passes — equal to the
-        # sequential Gauss-Seidel scan of that direction. Rounds of all
-        # directions repeat until fixpoint (= number of direction changes
-        # on an optimal path, small on real surfaces).
-        opp = {o: self._lc_offs.index((-o[0], -o[1]))
-               for o in self._lc_offs}
-
-        def sweep(k: int):
-            _ok, _u, pred1, _uval = self._lc_nbr[opp[self._lc_offs[k]]]
-            pred = pred1.copy()
-            if mode == "cd":
-                W = np.zeros(n, np.int64)
-                pm = pred >= 0
-                W[pm] = self._lc_self[pred[pm]] + self._lc_self[pm]
-            else:
-                W = self._lc_self.copy()  # Z_1[i] = z[i]
-            G = val
-            while True:
-                pm = pred >= 0
-                if not pm.any():
-                    break
-                pp = pred[pm]
+        # active-set label-correcting (round-4: whole-array directional
+        # sweeps re-scanned the full shard per wave and random costs make
+        # optimal paths alternate direction constantly — work must follow
+        # the frontier). Each wave relaxes only the just-improved cells'
+        # neighbours; per offset the shift is injective, so a plain
+        # compare-and-assign scatter is exact (no ufunc.at).
+        pos_all = np.flatnonzero(val < entry)
+        active = pos_all
+        while len(active):
+            nxt: list[np.ndarray] = []
+            for ok, u, uloc, uval in self._lc_nbr:
+                tl = uloc[active]
+                m = tl >= 0
+                if not m.any():
+                    continue
+                src = active[m]
+                tgt = tl[m]
                 if mode == "cd":
-                    cand = G[pp] + W[pm]
+                    cand = val[src] + self._lc_self[src] + uval[src]
                 else:
-                    cand = np.maximum(G[pp], W[pm])
-                G[pm] = np.minimum(G[pm], cand)
-                # double the stride
-                p2 = np.full(n, -1, np.int64)
-                p2[pm] = pred[pp]
-                m2 = p2 >= 0
-                W2 = W.copy()
-                if mode == "cd":
-                    W2[m2] = W[pred[m2]] + W[m2]
-                else:
-                    W2[m2] = np.maximum(W[pred[m2]], W[m2])
-                pred, W = p2, W2
-
-        while True:
-            before = val.copy()
-            for k in range(len(self._lc_offs)):
-                sweep(k)
-            if np.array_equal(before, val):
-                break
+                    cand = np.maximum(val[src], uval[src])
+                imp = cand < val[tgt]
+                if imp.any():
+                    val[tgt[imp]] = cand[imp]
+                    nxt.append(tgt[imp])
+            active = np.unique(np.concatenate(nxt)) if nxt \
+                else np.empty(0, np.int64)
         improved = val < entry
         if not improved.any():
             return {}
@@ -1443,8 +1447,9 @@ def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
         # DIFFERENT GridSpec mis-routes cells to shards the actors will not
         # look in, truncating walks without any error
         want = _tile_of(cid, grid, tile)
-        shard = df["tile"].to_numpy(np.int64) % n_shards
-        assert ((want % n_shards) == shard).all(), \
+        shard = shard_of_tiles(df["tile"].to_numpy(np.int64), grid, tile,
+                               n_shards)
+        assert (shard_of_tiles(want, grid, tile, n_shards) == shard).all(), \
             "down_ds tile column disagrees with the Pregel grid/tile spec"
         order = np.argsort(shard, kind="stable")
         ss = shard[order]
@@ -1594,7 +1599,8 @@ def max_upslope_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
     shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
     try:
         indeg = _indeg_state(down_ds, grid, tile).map_batches(
-            lambda df: df.assign(shard=df["tile"].to_numpy(np.int64) % n_shards),
+            lambda df: df.assign(shard=shard_of_tiles(
+                df["tile"].to_numpy(np.int64), grid, tile, n_shards)),
             batch_format="pandas")
 
         def push(g: pd.DataFrame) -> pd.DataFrame:
@@ -1631,7 +1637,8 @@ def strahler_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
     try:
         # in-degree via ONE co-grouped pass, pushed shard-wise like the load
         indeg = _indeg_state(down_ds, grid, tile).map_batches(
-            lambda df: df.assign(shard=df["tile"].to_numpy(np.int64) % n_shards),
+            lambda df: df.assign(shard=shard_of_tiles(
+                df["tile"].to_numpy(np.int64), grid, tile, n_shards)),
             batch_format="pandas")
 
         def push(g: pd.DataFrame) -> pd.DataFrame:
@@ -1667,10 +1674,14 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
     borders travel as (cell, dist) messages. Positive costs guarantee
     convergence in <= (shards a least-cost path crosses) rounds. Needs a
     full cell universe, so a synthetic down table (all -1) feeds the load."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.cd_load.remote(cost_fn) for s in shards])
@@ -1696,10 +1707,14 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
     (min, max) semiring: raster-border cells seed at their own elevation,
     floods cross shard borders as (cell, candidate fill) messages. Same
     convergence argument as cost distance (monotone decreasing labels)."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.fl_load.remote(z_fn) for s in shards])
@@ -1732,7 +1747,8 @@ def shreve_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
             lambda df: pd.DataFrame({
                 "cell_id": df["cell_id"].to_numpy(np.int64),
                 "mass": (df["n_inflow"].to_numpy(np.int64) == 0).astype(np.int64),
-                "shard": df["tile"].to_numpy(np.int64) % n_shards}),
+                "shard": shard_of_tiles(df["tile"].to_numpy(np.int64),
+                                        grid, tile, n_shards)}),
             batch_format="pandas")
 
         def push(g: pd.DataFrame) -> pd.DataFrame:
@@ -1775,7 +1791,8 @@ def weighted_accumulation_pregel(down_ds: ray.data.Dataset,
             lambda df: pd.DataFrame({
                 "cell_id": df["cell_id"].to_numpy(np.int64),
                 "mass": df["mass"].to_numpy(np.int64),
-                "shard": df["tile"].to_numpy(np.int64) % n_shards}),
+                "shard": shard_of_tiles(df["tile"].to_numpy(np.int64),
+                                        grid, tile, n_shards)}),
             batch_format="pandas")
 
         def push(g: pd.DataFrame) -> pd.DataFrame:
@@ -1810,10 +1827,14 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     in-degree is computed locally (the surface is a pure function of cell
     id, so neighbour elevations need no exchange). acc_units / 2^20 is the
     upslope-area measure in cells."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.fd8_load.remote(z_fn, exponent) for s in shards])
@@ -1842,10 +1863,14 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
     (hydro_analysis/dinf_flow_accum.rs, Tarboton facets) — at most two
     receivers per cell, angular flow split, fixed-point mass; same
     topological shard wave as FD8."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.dinf_load.remote(z_fn) for s in shards])
@@ -1892,10 +1917,14 @@ def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     facets, slope^exponent proportioning over up to 8 receivers) — the fd8
     topological shard wave with the MDInf weight loader in exact-weights
     (non-conserving, like the reference) mode."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.mdinf_load.remote(z_fn, exponent) for s in shards])
@@ -1913,10 +1942,14 @@ def dinf_mass_flux_pregel(z_fn, load_fn, eff_fp_fn, absorp_fn,
     forwarded flux is (value - absorption) * efficiency split over the
     Tarboton facet pair. Integer loading/absorption units; efficiency a
     2^20 fixed-point proportion; floor rounding (documented contract)."""
-    cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    down_df = pd.DataFrame({"cell_id": cells, "down_id": np.int64(-1),
-                            "tile": _tile_of(cells, grid, tile)})
-    dds = ray.data.from_pandas(down_df).repartition(max(2, n_shards // 2))
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
         ray.get([s.dinf_load.remote(z_fn) for s in shards])
@@ -1978,7 +2011,8 @@ def isobasins_pregel(down_ds: ray.data.Dataset, grid: GridSpec,
     shards, prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
     try:
         indeg = _indeg_state(down_ds, grid, tile).map_batches(
-            lambda df: df.assign(shard=df["tile"].to_numpy(np.int64) % n_shards),
+            lambda df: df.assign(shard=shard_of_tiles(
+                df["tile"].to_numpy(np.int64), grid, tile, n_shards)),
             batch_format="pandas")
 
         def push(g: pd.DataFrame) -> pd.DataFrame:
