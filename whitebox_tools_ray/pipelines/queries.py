@@ -418,3 +418,4 @@ from . import queries_terrain12  # noqa: E402,F401
 from . import queries_hydro10  # noqa: E402,F401
 from . import queries_terrain13  # noqa: E402,F401
 from . import queries_vector4  # noqa: E402,F401
+from . import queries_plugins  # noqa: E402,F401

@@ -1,0 +1,333 @@
+"""Plugin-crate sweep #1 (whitebox-plugins/src/): Rho8FlowAccumulation,
+OtsuThresholding, MaxUpslopeValue, EdgeContamination, ConditionalEvaluation
+and RasterCalculator — the highest-traffic members of the 24-tool plugin
+crate (round-3 VERDICT item 5).
+
+All run over the shared GRID1 synthetic DEM (v = (cell*1000003) % 1000),
+so every oracle is a pure SQL reconstruction. Rho8's random diagonal
+jitter is DERANDOMIZED with splitmix64(cell*8 + i) (the same documented
+contract as the RANSAC entry) — both numpy and DuckDB derive u in (0, 1]
+from identical uint64->double casts, so the float slope comparisons are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..hydrodefs import _D8_DX, _D8_DY, _GRAPH_CTES
+from ..layers import GRID1
+from ..rasterdefs import _CELLS_CTE, _value_fn
+from ..sources.synthetic import splitmix64
+from .queries import query
+from .sqlgen import sm64
+
+_ROWS, _COLS = GRID1.rows, GRID1.cols
+_TWO64 = 18446744073709551616.0
+
+
+def _vfn_b(cells: np.ndarray) -> np.ndarray:
+    """Second co-registered synthetic raster (the repo's 'values' layer)."""
+    return ((np.asarray(cells, np.int64) * 7919 + 13) % 1000)
+
+
+# --------------------------------------------------------------------------
+# Rho8FlowAccumulation (whitebox-plugins/src/rho8_flow_accumulation/
+# main.rs:255-300): single-flow pointer where diagonal slopes are divided
+# by (2 - U[0,1)) — derandomized to U = splitmix64(cell*8 + i) / 2^64 —
+# then the D8-style cell-count accumulation over those pointers.
+# --------------------------------------------------------------------------
+def rho8_down(cells: np.ndarray) -> np.ndarray:
+    """Vectorized rho8 pointer: down cell id or -1 (scan-order strict-max
+    tie rule, slope must be positive)."""
+    cells = np.asarray(cells, np.int64)
+    r = cells // _COLS
+    c = cells % _COLS
+    z = _value_fn(cells)
+    best = np.full(len(cells), -np.inf)
+    down = np.full(len(cells), -1, np.int64)
+    for i in range(8):
+        nr, nc = r + _D8_DY[i], c + _D8_DX[i]
+        ok = (nr >= 0) & (nr < _ROWS) & (nc >= 0) & (nc < _COLS)
+        u = np.where(ok, nr * _COLS + nc, 0)
+        zn = _value_fn(u)
+        dz = z - zn
+        if _D8_DX[i] != 0 and _D8_DY[i] != 0:  # diagonal: rho jitter
+            h = splitmix64((cells * 8 + i).astype(np.uint64))
+            uu = h.astype(np.float64) / _TWO64
+            slope = dz / (2.0 - uu)
+        else:
+            slope = dz.astype(np.float64)
+        upd = ok & (slope > best) & (slope > 0.0)
+        best = np.where(upd, slope, best)
+        down = np.where(upd, u, down)
+    return down
+
+
+def _rho8_sql() -> str:
+    arms = []
+    for i in range(8):
+        dx, dy = _D8_DX[i], _D8_DY[i]
+        guard = (f"a.r + ({dy}) >= 0 AND a.r + ({dy}) < {_ROWS} "
+                 f"AND a.c + ({dx}) >= 0 AND a.c + ({dx}) < {_COLS}")
+        if dx != 0 and dy != 0:
+            h = sm64(f"CAST(a.cell_id * 8 + {i} AS UBIGINT)")
+            slope = (f"(CAST(a.v - b.v AS DOUBLE) "
+                     f"/ (2.0 - CAST({h} AS DOUBLE) / {_TWO64!r}))")
+        else:
+            slope = "CAST(a.v - b.v AS DOUBLE)"
+        arms.append(
+            f"SELECT a.cell_id, {i} AS i, b.cell_id AS down_id, "
+            f"{slope} AS slope FROM cells a JOIN cells b "
+            f"ON b.r = a.r + ({dy}) AND b.c = a.c + ({dx}) WHERE {guard}")
+    return f"""
+    rslopes AS MATERIALIZED ({' UNION ALL '.join(arms)}),
+    rbest AS MATERIALIZED (
+      SELECT cell_id, down_id FROM rslopes WHERE slope > 0
+      QUALIFY row_number() OVER (PARTITION BY cell_id
+                                 ORDER BY slope DESC, i ASC) = 1
+    ),
+    rgraph AS MATERIALIZED (
+      SELECT c.cell_id, CAST(COALESCE(b.down_id, -1) AS BIGINT) AS down_id
+      FROM cells c LEFT JOIN rbest b ON b.cell_id = c.cell_id
+    )"""
+
+
+@query(
+    "rho8_flow_accum",
+    f"""
+    WITH RECURSIVE {_CELLS_CTE},
+    {_rho8_sql()},
+    rwalk(start, cur) AS (
+      SELECT cell_id, down_id FROM rgraph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM rwalk w
+      JOIN rgraph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+    FROM rgraph g
+    LEFT JOIN (SELECT cur, COUNT(*) AS n FROM rwalk GROUP BY cur) p
+      ON p.cur = g.cell_id
+    """,
+)
+def rho8_flow_accum(sf_dir: str):
+    """Rho8FlowAccumulation (whitebox-plugins/src/rho8_flow_accumulation/
+    main.rs): Fairfield & Leymarie stochastic single-flow pointers
+    (derandomized, module docstring) + cell-count accumulation on the
+    Pregel shard wave."""
+    from ..stages.flow import tile_of_expr
+    from ..stages.pregel import flow_accumulation_pregel
+
+    def gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": rho8_down(cid),
+                             "tile": tile_of_expr(cid, GRID1, 64)})
+
+    dds = ray.data.range(_ROWS * _COLS, override_num_blocks=8) \
+        .map_batches(gen, batch_format="numpy")
+    return flow_accumulation_pregel(dds, GRID1)
+
+
+# --------------------------------------------------------------------------
+# OtsuThresholding (whitebox-plugins/src/otsu_thresholding/main.rs:298-340):
+# histogram -> between-class variance argmax (strict >, so ties keep the
+# LOWEST bin) -> binary image. The variance ordering is computed in both
+# engines from the same exactly-representable doubles:
+# num = S0*(nt-n0) - (st-S0)*n0 (|num| < 2^53), var ~ num^2 / (n0*(nt-n0)).
+# --------------------------------------------------------------------------
+@query(
+    "otsu_thresholding",
+    f"""
+    WITH {_CELLS_CTE},
+    h AS (SELECT CAST(v AS BIGINT) AS bin, COUNT(*) AS n
+          FROM cells GROUP BY 1),
+    b AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cn,
+                 SUM(bin * n) OVER (ORDER BY bin) AS cs
+          FROM h),
+    tot AS (SELECT SUM(n) AS nt, SUM(bin * n) AS st FROM h),
+    vv AS (
+      SELECT bin,
+             pow(CAST(cs * (nt - cn) - (st - cs) * cn AS DOUBLE), 2)
+             / (CAST(cn AS DOUBLE) * (nt - cn)) AS var
+      FROM b, tot WHERE cn > 0 AND cn < nt
+    ),
+    thr AS (SELECT bin FROM vv
+            QUALIFY row_number() OVER (ORDER BY var DESC, bin ASC) = 1)
+    SELECT cell_id, CAST(v > (SELECT bin FROM thr) AS BIGINT) AS fg
+    FROM cells
+    """,
+)
+def otsu_thresholding(sf_dir: str):
+    """OtsuThresholding (whitebox-plugins/src/otsu_thresholding/main.rs):
+    distributed histogram (partial_agg over integer bins), driver-side
+    argmax over the 1000-row histogram (exact: |num| < 2^53 so the float
+    variance ordering is reproducible), binary classification per cell."""
+    from ..relational import partial_agg
+    from ..stages.raster import synth_raster_tiles
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t in df.itertuples():
+            vals, cnt = np.unique(np.asarray(t.data, np.int64),
+                                  return_counts=True)
+            outs.append(pd.DataFrame({"bin": vals, "n": cnt}))
+        return pd.concat(outs, ignore_index=True)
+
+    hdf = partial_agg(tiles.map_batches(hist, batch_format="pandas"),
+                      ["bin"], [("n", "sum", "n")]).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    n = hdf["n"].to_numpy(np.int64)
+    bins = hdf["bin"].to_numpy(np.int64)
+    cn = np.cumsum(n)
+    cs = np.cumsum(bins * n)
+    nt, st = int(cn[-1]), int(cs[-1])
+    ok = (cn > 0) & (cn < nt)
+    num = (cs * (nt - cn) - (st - cs) * cn).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = num * num / (cn.astype(np.float64) * (nt - cn))
+    var = np.where(ok, var, -np.inf)
+    t_bin = int(bins[np.argmax(var)])  # first max = lowest bin on ties
+
+    def classify(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid,
+                             "fg": (_value_fn(cid) > t_bin).astype(np.int64)})
+
+    return ray.data.range(_ROWS * _COLS, override_num_blocks=8) \
+        .map_batches(classify, batch_format="numpy")
+
+
+# --------------------------------------------------------------------------
+# MaxUpslopeValue + EdgeContamination: the (max) semiring on the D8 DAG.
+# --------------------------------------------------------------------------
+_WALK_CTE = """
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )"""
+
+
+@query(
+    "max_upslope_value",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_WALK_CTE},
+    vals AS (SELECT cell_id, (cell_id * 7919 + 13) % 1000 AS w FROM cells),
+    up AS (SELECT w.cur AS cell_id, MAX(v.w) AS mx
+           FROM walk w JOIN vals v ON v.cell_id = w.start GROUP BY w.cur)
+    SELECT v.cell_id, CAST(GREATEST(v.w, COALESCE(u.mx, v.w)) AS BIGINT)
+           AS max_up
+    FROM vals v LEFT JOIN up u ON u.cell_id = v.cell_id
+    """,
+)
+def max_upslope_value(sf_dir: str):
+    """MaxUpslopeValue (whitebox-plugins/src/max_upslope_value/main.rs:
+    276-366): output starts as the values raster and every cell pushes its
+    running max down its D8 pointer — max over upslope-or-equal cells.
+    In-degree-gated level wave in the max semiring
+    (stages/pregel.max_value_accumulation_pregel)."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import max_value_accumulation_pregel
+    from .queries_raster import d8_pointer
+
+    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1)
+    return max_value_accumulation_pregel(dds, _vfn_b, GRID1)
+
+
+@query(
+    "edge_contamination",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_WALK_CTE},
+    border AS (SELECT cell_id FROM cells
+               WHERE r = 0 OR r = {_ROWS - 1} OR c = 0 OR c = {_COLS - 1}),
+    reach AS (SELECT DISTINCT w.cur AS cell_id FROM walk w
+              JOIN border b ON b.cell_id = w.start)
+    SELECT c.cell_id,
+           CAST(b.cell_id IS NOT NULL OR rr.cell_id IS NOT NULL AS BIGINT)
+             AS contaminated
+    FROM cells c
+    LEFT JOIN border b ON b.cell_id = c.cell_id
+    LEFT JOIN reach rr ON rr.cell_id = c.cell_id
+    """,
+)
+def edge_contamination(sf_dir: str):
+    """EdgeContamination (whitebox-plugins/src/edge_contamination/main.rs):
+    cells whose upslope area touches the raster border — the same max-
+    semiring wave with the border indicator as the value layer."""
+    from ..stages.flow import down_ds_from_pointer
+    from ..stages.pregel import max_value_accumulation_pregel
+    from .queries_raster import d8_pointer
+
+    def border_fn(cells: np.ndarray) -> np.ndarray:
+        cells = np.asarray(cells, np.int64)
+        r = cells // _COLS
+        c = cells % _COLS
+        return ((r == 0) | (r == _ROWS - 1) | (c == 0)
+                | (c == _COLS - 1)).astype(np.int64)
+
+    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1)
+    out = max_value_accumulation_pregel(dds, border_fn, GRID1)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "contaminated": df["max_up"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# ConditionalEvaluation + RasterCalculator: the raster expression engine
+# (stages/rastercalc.py) on real expression strings.
+# --------------------------------------------------------------------------
+@query(
+    "conditional_evaluation",
+    f"""
+    WITH {_CELLS_CTE}
+    SELECT cell_id,
+           CAST(CASE WHEN CAST(v AS BIGINT) % 7 < 3
+                     THEN CAST(v AS BIGINT) * 2
+                     ELSE CAST(v AS BIGINT) - 500 END AS BIGINT) AS value
+    FROM cells
+    """,
+)
+def conditional_evaluation(sf_dir: str):
+    """ConditionalEvaluation (whitebox-plugins/src/conditional_evaluation/
+    main.rs): IF cond THEN a ELSE b per cell, through the tile-parallel
+    expression engine (stages/rastercalc.raster_expression) — the round-3
+    VERDICT item 'a real raster-expression entry'."""
+    from ..stages.rastercalc import raster_expression
+
+    return raster_expression(
+        GRID1, {"z": _value_fn},
+        "where(z % 7 < 3, z * 2, z - 500)")
+
+
+@query(
+    "raster_calculator",
+    f"""
+    WITH {_CELLS_CTE},
+    bb AS (SELECT cell_id, (cell_id * 7919 + 13) % 1000 AS w FROM cells)
+    SELECT c.cell_id,
+           CAST((CAST(c.v AS BIGINT) - bb.w) * 2 + CAST(c.v AS BIGINT) % 10
+                AS BIGINT) AS value
+    FROM cells c JOIN bb ON bb.cell_id = c.cell_id
+    """,
+)
+def raster_calculator(sf_dir: str):
+    """RasterCalculator (whitebox-plugins/src/raster_calculator/main.rs):
+    a multi-raster arithmetic expression through the same engine, two
+    co-registered inputs."""
+    from ..stages.rastercalc import raster_expression
+
+    def zfn(cells: np.ndarray) -> np.ndarray:
+        return _value_fn(cells).astype(np.int64)
+
+    return raster_expression(
+        GRID1, {"a": zfn, "b": _vfn_b},
+        "(a - b) * 2 + a % 10")

@@ -143,6 +143,7 @@ class FlowShard:
                      "iso_bestfa", "iso_done", "iso_outlets", "iso_target", "_iso_offs_sorted", "_iso_idx_sorted",
                      "_mass_frames", "pending", "maxc", "cntm", "order",
                      "muf_pending", "muf_best", "muf", "acc_arr", "acc_extra",
+                     "macc_arr", "macc_extra", "_macc_vals",
                      "fpl_parts", "bas_parts", "fd8_indptr", "fd8_tgt",
                      "fd8_w", "fd8_tgt_loc", "fd8_pending_arr",
                      "fd8_mass_arr", "fd8_acc_arr", "fd8_done",
@@ -311,6 +312,76 @@ class FlowShard:
             acc = np.concatenate([acc, np.fromiter(self.acc_extra.values(),
                                                    np.int64)])
         return pd.DataFrame({"cell_id": cells, "acc": acc})
+
+    # ---- max-upslope accumulation (max semiring over the D8 DAG) ---------
+    # whitebox-plugins/src/max_upslope_value/main.rs:276-366: output starts
+    # as the values raster and each cell pushes its running max down its D8
+    # pointer; = max over upslope-or-equal cells of value. Level-ordered
+    # drain like _acc_apply, in the (max) semiring (idempotent, so repeated
+    # pushes are harmless and messages carry plain candidates).
+    def macc_load(self, value_fn) -> int:
+        self._ensure()
+        self._macc_vals = np.asarray(value_fn(self.cells_arr), np.int64) \
+            if len(self.cells_arr) else np.empty(0, np.int64)
+        # start BELOW every real value so the init candidates propagate
+        # (the drain only pushes strict improvements)
+        self.macc_arr = np.full(len(self.cells_arr), -(1 << 62), np.int64)
+        self.macc_extra: dict[int, int] = {}
+        return len(self.cells_arr)
+
+    def macc_init(self):
+        self._ensure()
+        return self._macc_apply(self.cells_arr, self._macc_vals.copy())
+
+    def macc_round(self, msgs: list[np.ndarray]):
+        if msgs:
+            arr = np.concatenate([a.reshape(-1, 2) for a in msgs])
+        else:
+            arr = np.empty((0, 2), np.int64)
+        return self._macc_apply(arr[:, 0], arr[:, 1])
+
+    def _macc_apply(self, cells: np.ndarray, cand: np.ndarray):
+        self._ensure_levels()
+        pos, present = self._lookup(cells)
+        for c, m in zip(cells[~present].tolist(), cand[~present].tolist()):
+            if m > self.macc_extra.get(c, -(1 << 62)):
+                self.macc_extra[c] = m
+        n = len(self.cells_arr)
+        if n == 0:
+            return {}
+        LOW = -(1 << 62)
+        delta = np.full(n, LOW, np.int64)
+        np.maximum.at(delta, pos[present], cand[present])
+        order, bounds = self._topo
+        out_cells: list[np.ndarray] = []
+        out_max: list[np.ndarray] = []
+        for li in range(len(bounds) - 1):
+            lvl = order[bounds[li]:bounds[li + 1]]
+            imp = delta[lvl] > self.macc_arr[lvl]
+            if not imp.any():
+                continue
+            lvl = lvl[imp]
+            self.macc_arr[lvl] = delta[lvl]
+            nxt = self.down_loc[lvl]
+            lm = nxt >= 0
+            np.maximum.at(delta, nxt[lm], self.macc_arr[lvl][lm])
+            ext = nxt == -1
+            if ext.any():
+                out_cells.append(self.down_arr[lvl[ext]])
+                out_max.append(self.macc_arr[lvl[ext]])
+        if not out_cells:
+            return {}
+        oc = np.concatenate(out_cells)
+        om = np.concatenate(out_max)
+        uniq, inv = np.unique(oc, return_inverse=True)
+        mm = np.full(len(uniq), -(1 << 62), np.int64)
+        np.maximum.at(mm, inv, om)
+        rows = np.stack([uniq, mm], axis=1)
+        return self._group_rows(self._vec_shard(uniq), rows)
+
+    def macc_result(self) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": self.cells_arr,
+                             "max_up": self.macc_arr})
 
     # ---- FD8 multiple-flow-direction accumulation ------------------------
     # hydro_analysis/fd8_flow_accum.rs: flow disperses to EVERY downslope
@@ -1578,6 +1649,30 @@ def flow_accumulation_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
                              max_rounds: int = 256) -> ray.data.Dataset:
     with ShardedGraph(down_ds, grid, tile=tile, n_shards=n_shards) as g:
         return g.accumulation(max_rounds)
+
+
+def max_value_accumulation_pregel(down_ds: ray.data.Dataset, value_fn,
+                                  grid: GridSpec, *, tile: int = 64,
+                                  n_shards: int = 8,
+                                  max_rounds: int = 256) -> ray.data.Dataset:
+    """Dataset (cell_id, max_up): max over upslope-or-equal cells of
+    value_fn(cell) along the D8 graph (whitebox-plugins/src/
+    max_upslope_value/main.rs). Also serves EdgeContamination with
+    value_fn = border indicator."""
+    shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
+    try:
+        ray.get([s.macc_load.remote(value_fn) for s in shards])
+        outs = ray.get([s.macc_init.remote() for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                refs = [s.macc_result.remote() for s in shards]
+                return ray.data.from_pandas_refs(refs).materialize()
+            outs = ray.get([s.macc_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        raise RuntimeError("max accumulation did not converge")
+    finally:
+        _teardown(shards)
 
 
 def basins_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
