@@ -331,3 +331,344 @@ def raster_calculator(sf_dir: str):
     return raster_expression(
         GRID1, {"a": zfn, "b": _vfn_b},
         "(a - b) * 2 + a % 10")
+
+
+# --------------------------------------------------------------------------
+# Qin (2007) and Quinn (1995) multiple-flow-direction accumulation
+# (whitebox-plugins/src/{qin,quinn}_flow_accumulation/main.rs:470-525).
+# With the convergence threshold at its unbounded setting the weights are
+# purely local: w_i = contour_i * slope_i^f over the downslope neighbours,
+# f = max-slope-scaled exponent (Qin) or 1 (Quinn at threshold->inf).
+# The *_weights entries are the SQL gate (fixed-point shares, bit-exact:
+# both engines evaluate the same IEEE pow/div); the *_flow_accum entries
+# run the conservation wave (rows-only, dense brute oracle in
+# tests/test_plugins.py).
+# --------------------------------------------------------------------------
+_GL = tuple(1.4142135623730951 if (_D8_DX[i] and _D8_DY[i]) else 1.0
+            for i in range(8))
+_CL = tuple(0.354 if (_D8_DX[i] and _D8_DY[i]) else 0.5 for i in range(8))
+_QIN_UP_EXP = 10.0
+_QIN_LO_EXP = 1.1
+_QIN_UP_SLOPE = 1.0  # tan(45 deg)
+_ONE_FP = 1 << 20
+
+
+def _mfd_weights(cells: np.ndarray, rows: int, cols: int, kind: str):
+    """(ci, tgts, w_fp, pending): scan-ordered downslope edges with
+    fixed-point weight shares, + upslope in-degree. kind in {qin, quinn}."""
+    cells = np.asarray(cells, np.int64)
+    r = cells // cols
+    c = cells % cols
+    z = _value_fn(cells)
+    zn = np.full((len(cells), 8), np.nan)
+    ncell = np.full((len(cells), 8), -1, np.int64)
+    for i in range(8):
+        nr, nc = r + _D8_DY[i], c + _D8_DX[i]
+        ok = (nr >= 0) & (nr < rows) & (nc >= 0) & (nc < cols)
+        u = nr * cols + nc
+        ncell[ok, i] = u[ok]
+        if ok.any():
+            zn[ok, i] = _value_fn(u[ok])
+    with np.errstate(invalid="ignore"):
+        down = ~np.isnan(zn) & (zn < z[:, None])
+        pending = (~np.isnan(zn) & (zn > z[:, None])).sum(axis=1)
+        slope = (z[:, None] - zn) / np.asarray(_GL)[None, :]
+    ci, ki = np.nonzero(down)
+    s_e = slope[ci, ki]
+    if kind == "qin":
+        mx = np.where(down, slope, -np.inf).max(axis=1)
+        f_c = np.minimum(mx, _QIN_UP_SLOPE) / _QIN_UP_SLOPE \
+            * (_QIN_UP_EXP - _QIN_LO_EXP) + _QIN_LO_EXP
+        w_e = np.asarray(_CL)[ki] * s_e ** f_c[ci]
+    else:
+        w_e = np.asarray(_CL)[ki] * s_e
+    bounds = np.searchsorted(ci, np.arange(len(cells) + 1))
+    has = bounds[1:] > bounds[:-1]
+    tot = np.zeros(len(cells))
+    if len(ci):
+        tot[has] = np.add.reduceat(w_e, bounds[:-1][has])
+    w_fp = np.floor(w_e / tot[ci] * _ONE_FP + 0.5).astype(np.int64)
+    return ci, ncell[ci, ki], w_fp, pending
+
+
+def _mfd_weights_sql(kind: str) -> str:
+    arms = []
+    for i in range(8):
+        dx, dy = _D8_DX[i], _D8_DY[i]
+        arms.append(
+            f"SELECT a.cell_id, {i} AS i, b.cell_id AS tgt, "
+            f"(CAST(a.v - b.v AS DOUBLE) / {_GL[i]!r}) AS slope, "
+            f"{_CL[i]!r} AS cl "
+            f"FROM cells a JOIN cells b "
+            f"ON b.r = a.r + ({dy}) AND b.c = a.c + ({dx}) "
+            f"WHERE b.v < a.v")
+    if kind == "qin":
+        fexpr = (f"(LEAST(mx.mx, {_QIN_UP_SLOPE!r}) / {_QIN_UP_SLOPE!r} "
+                 f"* ({_QIN_UP_EXP!r} - {_QIN_LO_EXP!r}) + {_QIN_LO_EXP!r})")
+        w = f"e.cl * pow(e.slope, {fexpr})"
+        mxjoin = """,
+    mx AS (SELECT cell_id, MAX(slope) AS mx FROM edges GROUP BY cell_id)"""
+        join = " JOIN mx ON mx.cell_id = e.cell_id"
+    else:
+        w = "e.cl * e.slope"
+        mxjoin = ""
+        join = ""
+    return f"""
+    edges AS MATERIALIZED ({' UNION ALL '.join(arms)}){mxjoin},
+    wts AS (
+      SELECT e.cell_id, e.i, e.tgt, {w} AS w
+      FROM edges e{join}
+    ),
+    tw AS (SELECT cell_id, SUM(w) AS tot FROM wts GROUP BY cell_id)
+    SELECT w.cell_id, w.i,
+           CAST(floor(w.w / t.tot * {_ONE_FP} + 0.5) AS BIGINT) AS w_fp
+    FROM wts w JOIN tw t ON t.cell_id = w.cell_id
+    """
+
+
+def _weights_entry(kind: str):
+    def fn(sf_dir: str):
+        def emit(batch: dict) -> pd.DataFrame:
+            cid = batch["id"].astype(np.int64)
+            ci, tgts, w_fp, _p = _mfd_weights(cid, _ROWS, _COLS, kind)
+            # i index recovered from the target offset
+            off = tgts - cid[ci]
+            offs = np.array([dy * _COLS + dx
+                             for dx, dy in zip(_D8_DX, _D8_DY)], np.int64)
+            order = np.argsort(offs)
+            k = np.searchsorted(offs[order], off)
+            i = np.arange(8, dtype=np.int64)[order][np.clip(k, 0, 7)]
+            return pd.DataFrame({"cell_id": cid[ci], "i": i, "w_fp": w_fp})
+
+        return ray.data.range(_ROWS * _COLS, override_num_blocks=8) \
+            .map_batches(emit, batch_format="numpy")
+
+    return fn
+
+
+def _qin_sum_sql(kind: str) -> str:
+    return f"WITH {_CELLS_CTE},{_mfd_weights_sql(kind)}"
+
+
+qin_weights = query("qin_weights", _qin_sum_sql("qin"))(
+    _weights_entry("qin"))
+qin_weights.__name__ = "qin_weights"
+qin_weights.__doc__ = """QinFlowAccumulation weights
+(whitebox-plugins/src/qin_flow_accumulation/main.rs:484-506): fixed-point
+MFD shares with the max-slope-scaled exponent. SQL-exact (identical IEEE
+pow/div in both engines)."""
+
+quinn_weights = query("quinn_weights", _qin_sum_sql("quinn"))(
+    _weights_entry("quinn"))
+quinn_weights.__name__ = "quinn_weights"
+quinn_weights.__doc__ = """QuinnFlowAccumulation weights
+(whitebox-plugins/src/quinn_flow_accumulation/main.rs:417-432, threshold at
+its unbounded setting so f = 1): contour-scaled slope shares."""
+
+
+def _edge_fn_factory(kind: str):
+    def edge_fn(cells, rows, cols):
+        return _mfd_weights(cells, rows, cols, kind)
+
+    return edge_fn
+
+
+@query("qin_flow_accum")
+def qin_flow_accum(sf_dir: str):
+    """QinFlowAccumulation (whitebox-plugins/src/qin_flow_accumulation/
+    main.rs): the qin_weights shares drained on the shared conservation
+    wave (stages/pregel.mfd_accumulation_pregel; exact int64 fixed-point,
+    last-edge remainder). Rows-only; dense brute oracle in
+    tests/test_plugins.py."""
+    from ..stages.pregel import mfd_accumulation_pregel
+
+    return mfd_accumulation_pregel(_edge_fn_factory("qin"), GRID1)
+
+
+@query("quinn_flow_accum")
+def quinn_flow_accum(sf_dir: str):
+    """QuinnFlowAccumulation (whitebox-plugins/src/quinn_flow_accumulation/
+    main.rs): same wave over the quinn_weights shares. Rows-only; dense
+    brute oracle in tests/test_plugins.py."""
+    from ..stages.pregel import mfd_accumulation_pregel
+
+    return mfd_accumulation_pregel(_edge_fn_factory("quinn"), GRID1)
+
+
+# --------------------------------------------------------------------------
+# Lidar plugins over the events point cloud (established cents surface).
+# --------------------------------------------------------------------------
+_BLK = 10.0
+_TREE_R2 = 100.0   # search radius^2 (= block size, so 3x3 blocks cover it)
+_TREE_H = 500      # min height above the 3x3-block ground minimum (cents)
+
+
+def _cloud_sql() -> str:
+    from ..sources.tables import X_SQL, Y_SQL
+
+    return f"""
+    pts AS MATERIALIZED (
+      SELECT event_id, {X_SQL} AS x, {Y_SQL} AS y,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    bp AS MATERIALIZED (
+      SELECT *, CAST(floor((85.0 - y) / {_BLK!r}) AS BIGINT) * 1000
+                + CAST(floor((x + 180.0) / {_BLK!r}) AS BIGINT) AS blk
+      FROM pts
+    ),
+    mn AS (SELECT blk, MIN(cents) AS mn FROM bp GROUP BY blk),
+    nbmin AS (
+      SELECT b.blk, MIN(m.mn) AS nbmin
+      FROM (SELECT DISTINCT blk FROM bp) b
+      JOIN mn m ON m.blk IN ({", ".join(
+          f"b.blk + ({dr} * 1000 + {dc})"
+          for dr in (-1, 0, 1) for dc in (-1, 0, 1))})
+      GROUP BY b.blk
+    )"""
+
+
+def _cloud(sf_dir: str):
+    """(event_id, x, y, cents, cell_id = 10-unit block) Dataset."""
+    from ..pointdefs import _lpts_df
+    from ..sources.tables import read_points
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = _lpts_df(df)[["event_id", "x", "y", "cents"]].copy()
+        x = out["x"].to_numpy(np.float64)
+        y = out["y"].to_numpy(np.float64)
+        out["cell_id"] = (np.floor((85.0 - y) / _BLK).astype(np.int64) * 1000
+                          + np.floor((x + 180.0) / _BLK).astype(np.int64))
+        return out
+
+    return read_points(sf_dir).map_batches(conv, batch_format="pandas")
+
+
+@query(
+    "normalize_lidar",
+    f"""
+    WITH {_cloud_sql()}
+    SELECT b.event_id, CAST(b.cents - n.nbmin AS BIGINT) AS nz
+    FROM bp b JOIN nbmin n ON n.blk = b.blk
+    """,
+)
+def normalize_lidar(sf_dir: str):
+    """NormalizeLidar (whitebox-plugins/src/normalize_lidar/main.rs): z
+    above the modeled ground surface — ground = minimum elevation over the
+    3x3 10-unit block neighbourhood (the repo's established local-ground
+    model, lidar4 residual machinery): two partial aggregates + a hash
+    join, no driver state."""
+    from ..relational import partial_agg
+
+    pts = _cloud(sf_dir)
+
+    def cell_mins(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell_id": df["cell_id"].to_numpy(np.int64),
+                             "mn": df["cents"].to_numpy(np.int64)})
+
+    mins = partial_agg(pts.map_batches(cell_mins, batch_format="pandas"),
+                       ["cell_id"], [("mn", "min", "mn")])
+
+    def spread(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell_id"].to_numpy(np.int64)
+        mn = df["mn"].to_numpy(np.int64)
+        return pd.concat([pd.DataFrame({"cell_id": cid + dr * 1000 + dc,
+                                        "mn": mn})
+                          for dr in (-1, 0, 1) for dc in (-1, 0, 1)],
+                         ignore_index=True)
+
+    nbmin = partial_agg(mins.map_batches(spread, batch_format="pandas"),
+                        ["cell_id"], [("mn", "min", "nbmin")])
+    j = pts.join(nbmin, join_type="inner", num_partitions=8,
+                 on=("cell_id",))
+    return j.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "nz": df["cents"].to_numpy(np.int64)
+            - df["nbmin"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+@query(
+    "lidar_shift",
+    f"""
+    WITH {_cloud_sql()}
+    SELECT event_id, x + 2.5 AS xs, y - 1.25 AS ys,
+           CAST(cents + 150 AS BIGINT) AS zs
+    FROM pts
+    """,
+)
+def lidar_shift(sf_dir: str):
+    """LidarShift (whitebox-plugins/src/lidar_shift/main.rs): constant
+    x/y/z offsets applied per batch (trivially parallel)."""
+    pts = _cloud(sf_dir)
+    return pts.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "xs": df["x"].to_numpy(np.float64) + 2.5,
+            "ys": df["y"].to_numpy(np.float64) - 1.25,
+            "zs": df["cents"].to_numpy(np.int64) + 150}),
+        batch_format="pandas")
+
+
+@query(
+    "individual_tree_detection",
+    f"""
+    WITH {_cloud_sql()},
+    cand AS (
+      SELECT b.event_id, b.x, b.y, b.cents, b.blk
+      FROM bp b JOIN nbmin n ON n.blk = b.blk
+      WHERE b.cents - n.nbmin >= {_TREE_H}
+    )
+    SELECT c.event_id, CAST(NOT EXISTS (
+      SELECT 1 FROM bp q
+      WHERE q.blk IN ({", ".join(
+          f"c.blk + ({dr} * 1000 + {dc})"
+          for dr in (-1, 0, 1) for dc in (-1, 0, 1))})
+        AND q.event_id != c.event_id
+        AND (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y)
+            <= {_TREE_R2!r}
+        AND (q.cents > c.cents
+             OR (q.cents = c.cents AND q.event_id < c.event_id))
+    ) AS BIGINT) AS treetop
+    FROM cand c
+    """,
+)
+def individual_tree_detection(sf_dir: str):
+    """IndividualTreeDetection (whitebox-plugins/src/
+    individual_tree_detection/main.rs): treetops = points >= min_height
+    above the local ground that are the strict maximum (ties -> lowest
+    event_id) of their fixed-radius neighbourhood — one 3x3-block co-group,
+    the lidar family's replicate pattern."""
+    from ..pipelines.queries_lidar4 import _replicate
+
+    pts = _cloud(sf_dir)
+    cols = ["event_id", "x", "y", "cents", "cell_id"]
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        own = g["own"].to_numpy(np.int64) == 1
+        if not own.any():
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "treetop": np.empty(0, np.int64)})
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        z = g["cents"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        gmin = int(z.min())  # 3x3-block ground minimum for the own block
+        keep = own & (z - gmin >= _TREE_H)
+        if not keep.any():
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "treetop": np.empty(0, np.int64)})
+        d2 = (x[None, :] - x[keep][:, None]) ** 2 \
+            + (y[None, :] - y[keep][:, None]) ** 2
+        higher = (z[None, :] > z[keep][:, None]) \
+            | ((z[None, :] == z[keep][:, None])
+               & (e[None, :] < e[keep][:, None]))
+        inr = (d2 <= _TREE_R2) & (e[None, :] != e[keep][:, None])
+        beaten = (inr & higher).any(axis=1)
+        return pd.DataFrame({"event_id": e[keep],
+                             "treetop": (~beaten).astype(np.int64)})
+
+    rep = pts.map_batches(lambda df: _replicate(df, cols),
+                          batch_format="pandas")
+    return rep.groupby("grp").map_groups(kern, batch_format="pandas")

@@ -464,6 +464,16 @@ class FlowShard:
             w_e[last] = self.FD8_ONE - (wsum_c[has] - w_e[last])
         return self._fd8_set_edges(ci, ncell[ci, ki], w_e, pending)
 
+    def mfd_load(self, edge_fn) -> int:
+        """Custom-weight MFD wave state: edge_fn computes the edge list
+        (see mfd_accumulation_pregel)."""
+        self._ensure()
+        ci, tgts, ws, pending = edge_fn(self.cells_arr, self.rows, self.cols)
+        return self._fd8_set_edges(np.asarray(ci, np.int64),
+                                   np.asarray(tgts, np.int64),
+                                   np.asarray(ws, np.int64),
+                                   np.asarray(pending, np.int64))
+
     def cells_list(self):
         self._ensure()
         return self.cells_arr.tolist()
@@ -1945,6 +1955,44 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
         left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
         if left:
             raise RuntimeError(f"fd8 left {left} unresolved cells (flat ties?)")
+        refs = [s.fd8_result.remote() for s in shards]
+        return ray.data.from_pandas_refs(refs).materialize()
+    finally:
+        _teardown(shards)
+
+
+def mfd_accumulation_pregel(edge_fn, grid: GridSpec, *, tile: int = 64,
+                            n_shards: int = 8,
+                            max_rounds: int = 512) -> ray.data.Dataset:
+    """Dataset (cell_id, acc_units): generic multiple-flow-direction
+    accumulation over custom edge weights. edge_fn(cells, rows, cols) ->
+    (ci, tgts, ws, pending) computes, vectorized inside each shard actor,
+    the scan-ordered edge list (fixed-point 2^20 weights) and the upslope
+    in-degree — serves the Qin/Quinn plugin analogs on the shared fd8 wave
+    (whitebox-plugins/src/{qin,quinn}_flow_accumulation/main.rs)."""
+    def _gen(batch: dict) -> pd.DataFrame:
+        cid = batch["id"].astype(np.int64)
+        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
+                             "tile": _tile_of(cid, grid, tile)})
+
+    dds = ray.data.range(grid.rows * grid.cols,
+                         override_num_blocks=max(2, n_shards)) \
+        .map_batches(_gen, batch_format="numpy")
+    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    try:
+        ray.get([s.mfd_load.remote(edge_fn) for s in shards])
+        outs = ray.get([s.fd8_round.remote([]) for s in shards])
+        for _ in range(max_rounds):
+            inboxes = _route(outs, n_shards)
+            if not any(inboxes):
+                break
+            outs = ray.get([s.fd8_round.remote(inboxes[i])
+                            for i, s in enumerate(shards)])
+        else:
+            raise RuntimeError("mfd accumulation did not converge")
+        left = sum(ray.get([s.fd8_unresolved.remote() for s in shards]))
+        if left:
+            raise RuntimeError(f"mfd left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
         return ray.data.from_pandas_refs(refs).materialize()
     finally:
