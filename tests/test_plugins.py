@@ -78,3 +78,29 @@ def test_rho8_pointer_is_valid_neighbour(ray_session):
     assert (np.maximum(dr, dc) == 1).all()
     # derandomized jitter: pointers deterministic across calls
     np.testing.assert_array_equal(down, rho8_down(cells))
+
+
+def test_tsp_tour_is_locally_optimal_permutation(ray_session):
+    from whitebox_tools_ray.pipelines.queries_plugins import (
+        _tsp_sites, travelling_salesman_problem)
+
+    got = travelling_salesman_problem(SF).to_pandas() \
+        .sort_values("order_idx")
+    tour = got["site_id"].to_numpy(np.int64)
+    sites = _tsp_sites()
+    assert sorted(tour.tolist()) == sorted(sites["site_id"].tolist())
+    x = sites["x"].to_numpy(np.float64)
+    y = sites["y"].to_numpy(np.float64)
+
+    def d(a, b):
+        return float(np.hypot(x[a] - x[b], y[a] - y[b]))
+
+    n = len(tour)
+    # 2-opt local optimality: no single segment reversal shortens the tour
+    for i in range(1, n - 1):
+        for j in range(i + 1, n):
+            a, b = tour[i - 1], tour[i]
+            c, e = tour[j], tour[(j + 1) % n]
+            if a == e:
+                continue
+            assert d(a, c) + d(b, e) >= d(a, b) + d(c, e) - 1e-9

@@ -19,10 +19,10 @@ import ray
 
 from ..hydrodefs import _D8_DX, _D8_DY, _GRAPH_CTES
 from ..layers import GRID1
-from ..rasterdefs import _CELLS_CTE, _value_fn
+from ..rasterdefs import _CELLS_CTE, _horn_pq_sql, _value_fn
 from ..sources.synthetic import splitmix64
 from .queries import query
-from .sqlgen import sm64
+from .sqlgen import sm64, synth_segments_cte
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
 _TWO64 = 18446744073709551616.0
@@ -672,3 +672,318 @@ def individual_tree_detection(sf_dir: str):
     rep = pts.map_batches(lambda df: _replicate(df, cols),
                           batch_format="pandas")
     return rep.groupby("grp").map_groups(kern, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# LocalQuadraticRegression (whitebox-plugins/src/local_quadratic_regression/
+# main.rs:430-560, Wood 1996): z = ax^2 + by^2 + cxy + dx + ey fit over the
+# 5x5 window. The symmetric window decouples the normal equations into
+# closed-form INTEGER moment ratios (Sx2 = 50, Sx4 = 170, Sx2y2 = 100,
+# det = 170^2 - 100^2 = 18900), so both engines evaluate identical
+# rationals -> identical doubles; derived surfaces micro-quantized.
+# GoF is omitted (the reference's SST convention is mean-free — documented
+# scope boundary).
+# --------------------------------------------------------------------------
+_LQR_OFFS = [(dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)]
+
+
+def _lqr_formulas(prefix: str = "") -> dict[str, str]:
+    """Identical formula text evaluated by DuckDB; numpy mirrors it."""
+    p = prefix
+    return {
+        "aa": f"(170.0 * {p}sx2z - 100.0 * {p}sy2z) / 18900.0",
+        "bb": f"(170.0 * {p}sy2z - 100.0 * {p}sx2z) / 18900.0",
+        "cc": f"{p}sxyz / 100.0",
+        "dd": f"{p}sxz / 50.0",
+        "ee": f"{p}syz / 50.0",
+    }
+
+
+@query(
+    "local_quadratic_regression",
+    f"""
+    WITH {_CELLS_CTE},
+    arms AS (SELECT a.cell_id, n.v, 4 AS wx2, 4 AS wy2, 4 AS wxy, -2 AS wx, -2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-2) AND n.c = a.c + (-2) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 4 AS wy2, 2 AS wxy, -1 AS wx, -2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-2) AND n.c = a.c + (-1) UNION ALL SELECT a.cell_id, n.v, 0 AS wx2, 4 AS wy2, 0 AS wxy, 0 AS wx, -2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-2) AND n.c = a.c + (0) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 4 AS wy2, -2 AS wxy, 1 AS wx, -2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-2) AND n.c = a.c + (1) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 4 AS wy2, -4 AS wxy, 2 AS wx, -2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-2) AND n.c = a.c + (2) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 1 AS wy2, 2 AS wxy, -2 AS wx, -1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-1) AND n.c = a.c + (-2) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 1 AS wy2, 1 AS wxy, -1 AS wx, -1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-1) AND n.c = a.c + (-1) UNION ALL SELECT a.cell_id, n.v, 0 AS wx2, 1 AS wy2, 0 AS wxy, 0 AS wx, -1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-1) AND n.c = a.c + (0) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 1 AS wy2, -1 AS wxy, 1 AS wx, -1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-1) AND n.c = a.c + (1) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 1 AS wy2, -2 AS wxy, 2 AS wx, -1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (-1) AND n.c = a.c + (2) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 0 AS wy2, 0 AS wxy, -2 AS wx, 0 AS wy FROM cells a JOIN cells n ON n.r = a.r + (0) AND n.c = a.c + (-2) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 0 AS wy2, 0 AS wxy, -1 AS wx, 0 AS wy FROM cells a JOIN cells n ON n.r = a.r + (0) AND n.c = a.c + (-1) UNION ALL SELECT a.cell_id, n.v, 0 AS wx2, 0 AS wy2, 0 AS wxy, 0 AS wx, 0 AS wy FROM cells a JOIN cells n ON n.r = a.r + (0) AND n.c = a.c + (0) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 0 AS wy2, 0 AS wxy, 1 AS wx, 0 AS wy FROM cells a JOIN cells n ON n.r = a.r + (0) AND n.c = a.c + (1) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 0 AS wy2, 0 AS wxy, 2 AS wx, 0 AS wy FROM cells a JOIN cells n ON n.r = a.r + (0) AND n.c = a.c + (2) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 1 AS wy2, -2 AS wxy, -2 AS wx, 1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (1) AND n.c = a.c + (-2) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 1 AS wy2, -1 AS wxy, -1 AS wx, 1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (1) AND n.c = a.c + (-1) UNION ALL SELECT a.cell_id, n.v, 0 AS wx2, 1 AS wy2, 0 AS wxy, 0 AS wx, 1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (1) AND n.c = a.c + (0) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 1 AS wy2, 1 AS wxy, 1 AS wx, 1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (1) AND n.c = a.c + (1) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 1 AS wy2, 2 AS wxy, 2 AS wx, 1 AS wy FROM cells a JOIN cells n ON n.r = a.r + (1) AND n.c = a.c + (2) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 4 AS wy2, -4 AS wxy, -2 AS wx, 2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (2) AND n.c = a.c + (-2) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 4 AS wy2, -2 AS wxy, -1 AS wx, 2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (2) AND n.c = a.c + (-1) UNION ALL SELECT a.cell_id, n.v, 0 AS wx2, 4 AS wy2, 0 AS wxy, 0 AS wx, 2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (2) AND n.c = a.c + (0) UNION ALL SELECT a.cell_id, n.v, 1 AS wx2, 4 AS wy2, 2 AS wxy, 1 AS wx, 2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (2) AND n.c = a.c + (1) UNION ALL SELECT a.cell_id, n.v, 4 AS wx2, 4 AS wy2, 4 AS wxy, 2 AS wx, 2 AS wy FROM cells a JOIN cells n ON n.r = a.r + (2) AND n.c = a.c + (2)),
+    mom AS (
+      SELECT cell_id,
+             SUM(v * wx2) AS sx2z, SUM(v * wy2) AS sy2z,
+             SUM(v * wxy) AS sxyz, SUM(v * wx) AS sxz, SUM(v * wy) AS syz
+      FROM arms GROUP BY cell_id HAVING COUNT(*) = 25
+    ),
+    co AS (
+      SELECT cell_id, {_lqr_formulas()["aa"]} AS aa,
+             {_lqr_formulas()["bb"]} AS bb, {_lqr_formulas()["cc"]} AS cc,
+             {_lqr_formulas()["dd"]} AS dd, {_lqr_formulas()["ee"]} AS ee
+      FROM mom
+    )
+    SELECT cell_id,
+      CAST(floor(atan(sqrt(dd * dd + ee * ee)) * 1e6 + 0.5) AS BIGINT)
+        AS slp_micro,
+      CAST(floor(CASE WHEN ee = 0.0 OR dd = 0.0 THEN 0.0
+                      ELSE atan(ee / dd) END * 1e6 + 0.5) AS BIGINT)
+        AS asp_micro,
+      CAST(floor(CASE WHEN (-200.0 * (aa*dd*dd + bb*ee*ee + cc*dd*ee)) = 0.0
+                        OR ((ee*ee + dd*dd)
+                            * pow(1.0 + dd*dd + ee*ee, 1.5)) = 0.0
+                      THEN 0.0
+                      ELSE (-200.0 * (aa*dd*dd + bb*ee*ee + cc*dd*ee))
+                           / ((ee*ee + dd*dd)
+                              * pow(1.0 + dd*dd + ee*ee, 1.5))
+                 END * 1e6 + 0.5) AS BIGINT) AS proc_micro,
+      CAST(floor(CASE WHEN (aa*dd*dd + bb*ee*ee + cc*dd*ee) = 0.0
+                        OR (dd*dd + ee*ee) = 0.0
+                      THEN 0.0
+                      ELSE -2.0 * ((aa*dd*dd + bb*ee*ee + cc*dd*ee)
+                                   / (dd*dd + ee*ee))
+                 END * 1e6 + 0.5) AS BIGINT) AS lonc_micro,
+      CAST(floor((-aa - bb - sqrt((aa - bb) * (aa - bb) + cc * cc))
+                 * 1e6 + 0.5) AS BIGINT) AS prcm_micro
+    FROM co
+    """,
+)
+def local_quadratic_regression(sf_dir: str):
+    """LocalQuadraticRegression (whitebox-plugins/src/
+    local_quadratic_regression/main.rs): slope / aspect / profile convexity
+    / longitudinal curvature / min profile convexity of the per-cell 5x5
+    quadratic fit — a single k=2 halo stencil computing the five integer
+    moment sums, then the closed-form coefficient rationals."""
+    from ..stages.raster import stencil_k, synth_raster_tiles
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        sx2z = np.zeros((nr, nc))
+        sy2z = np.zeros((nr, nc))
+        sxyz = np.zeros((nr, nc))
+        sxz = np.zeros((nr, nc))
+        syz = np.zeros((nr, nc))
+        for dy, dx in _LQR_OFFS:
+            w = padded[2 + dy:2 + dy + nr, 2 + dx:2 + dx + nc]
+            sx2z += w * (dx * dx)
+            sy2z += w * (dy * dy)
+            sxyz += w * (dx * dy)
+            sxz += w * dx
+            syz += w * dy
+        aa = (170.0 * sx2z - 100.0 * sy2z) / 18900.0
+        bb = (170.0 * sy2z - 100.0 * sx2z) / 18900.0
+        cc = sxyz / 100.0
+        dd = sxz / 50.0
+        ee = syz / 50.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slp = np.arctan(np.sqrt(dd * dd + ee * ee))
+            asp = np.where((ee == 0.0) | (dd == 0.0), 0.0,
+                           np.arctan(ee / np.where(dd == 0.0, 1.0, dd)))
+            nu_p = -200.0 * (aa * dd * dd + bb * ee * ee + cc * dd * ee)
+            de_p = (ee * ee + dd * dd) * (1.0 + dd * dd + ee * ee) ** 1.5
+            proc = np.where((nu_p == 0.0) | (de_p == 0.0), 0.0,
+                            nu_p / np.where(de_p == 0.0, 1.0, de_p))
+            nu_l = aa * dd * dd + bb * ee * ee + cc * dd * ee
+            de_l = dd * dd + ee * ee
+            lonc = np.where((nu_l == 0.0) | (de_l == 0.0), 0.0,
+                            -2.0 * (nu_l / np.where(de_l == 0.0, 1.0, de_l)))
+            prcm = -aa - bb - np.sqrt((aa - bb) * (aa - bb) + cc * cc)
+        return {"slp_micro": np.floor(slp * 1e6 + 0.5),
+                "asp_micro": np.floor(asp * 1e6 + 0.5),
+                "proc_micro": np.floor(proc * 1e6 + 0.5),
+                "lonc_micro": np.floor(lonc * 1e6 + 0.5),
+                "prcm_micro": np.floor(prcm * 1e6 + 0.5)}
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    cells = stencil_k(tiles, GRID1, kern, k=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ok = ~df["slp_micro"].isna()
+        out = df.loc[ok, ["cell_id", "slp_micro", "asp_micro", "proc_micro",
+                          "lonc_micro", "prcm_micro"]].copy()
+        return out.astype(np.int64)
+
+    return cells.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# ExposureTowardsWindFlux (whitebox-plugins/src/exposure_towards_wind_flux/
+# main.rs): cos(E) = cos(S) sin(H) + sin(S) cos(H) cos(Az - A). Horizon
+# angle H = 0 (the documented horizontal-flux variant: max_dist unused), so
+# cos(E) = sin(S) cos(Az - A) with S, A the Horn slope/aspect.
+# --------------------------------------------------------------------------
+_WIND_AZ = 315.0
+
+
+@query(
+    "exposure_towards_wind_flux",
+    f"""
+    WITH {_CELLS_CTE},
+    {_horn_pq_sql()}
+    SELECT cell_id,
+           CAST(floor(sin(atan(sqrt(p * p + q * q)))
+                      * cos(radians({_WIND_AZ!r})
+                            - (CASE WHEN atan2(q, -p) < 0
+                                    THEN atan2(q, -p) + 2 * pi()
+                                    ELSE atan2(q, -p) END))
+                      * 1e6 + 0.5) AS BIGINT) AS expo_micro
+    FROM pq
+    """,
+)
+def exposure_towards_wind_flux(sf_dir: str):
+    """ExposureTowardsWindFlux (whitebox-plugins/src/
+    exposure_towards_wind_flux/main.rs): the horizontal-flux variant
+    (H = 0) over the Horn gradients — one 3x3 stencil, micro-quantized."""
+    from ..stages.raster import stencil_3x3, synth_raster_tiles
+
+    az = np.radians(_WIND_AZ)
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        z = padded
+        a = z[0:nr, 0:nc]; b = z[0:nr, 1:nc + 1]; c = z[0:nr, 2:nc + 2]
+        d = z[1:nr + 1, 0:nc]; f = z[1:nr + 1, 2:nc + 2]
+        g = z[2:nr + 2, 0:nc]; h = z[2:nr + 2, 1:nc + 1]
+        i = z[2:nr + 2, 2:nc + 2]
+        p = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+        q = ((g + 2 * h + i) - (a + 2 * b + c)) / 8.0
+        slope = np.arctan(np.sqrt(p * p + q * q))
+        asp = np.arctan2(q, -p)
+        asp = np.where(asp < 0, asp + 2 * np.pi, asp)
+        return {"expo_micro": np.floor(
+            np.sin(slope) * np.cos(az - asp) * 1e6 + 0.5)}
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    cells = stencil_3x3(tiles, GRID1, kern)
+    return cells.map_batches(
+        lambda df: df.dropna().astype(np.int64), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SplitVectorLines (whitebox-plugins/src/split_vector_lines/main.rs):
+# divide each line into segments of a maximum length.
+# --------------------------------------------------------------------------
+_SPLIT_LEN = 1.0
+_SPLIT_N = 400
+
+
+@query(
+    "split_vector_lines",
+    f"""
+    WITH RECURSIVE {synth_segments_cte(_SPLIT_N)},
+    lens AS (
+      SELECT seg_id, x0, y0, x1, y1,
+             sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS len
+      FROM seg
+    ),
+    ks AS (SELECT *, CAST(ceil(len / {_SPLIT_LEN!r}) AS BIGINT) AS k
+           FROM lens),
+    pieces AS (
+      SELECT seg_id, k, x0, y0, x1, y1, CAST(0 AS BIGINT) AS piece
+      FROM ks WHERE k > 0
+      UNION ALL
+      SELECT seg_id, k, x0, y0, x1, y1, piece + 1 FROM pieces
+      WHERE piece + 1 < k
+    )
+    SELECT seg_id, piece,
+           x0 + (x1 - x0) * (CAST(piece AS DOUBLE) / k) AS px0,
+           y0 + (y1 - y0) * (CAST(piece AS DOUBLE) / k) AS py0,
+           x0 + (x1 - x0) * (CAST(piece + 1 AS DOUBLE) / k) AS px1,
+           y0 + (y1 - y0) * (CAST(piece + 1 AS DOUBLE) / k) AS py1
+    FROM pieces
+    """,
+)
+def split_vector_lines(sf_dir: str):
+    """SplitVectorLines (whitebox-plugins/src/split_vector_lines/main.rs):
+    each synthetic segment is cut into ceil(len/maxlen) equal pieces with
+    linearly interpolated endpoints — embarrassingly parallel per batch;
+    the SQL twin reuses the shared synth_segments CTE bit-for-bit."""
+    from ..stages.lines import synth_segments
+
+    seg = synth_segments(_SPLIT_N, seed=42)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        x0 = df["x0"].to_numpy(np.float64)
+        y0 = df["y0"].to_numpy(np.float64)
+        x1 = df["x1"].to_numpy(np.float64)
+        y1 = df["y1"].to_numpy(np.float64)
+        ln = np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+        k = np.ceil(ln / _SPLIT_LEN).astype(np.int64)
+        rep = np.repeat(np.arange(len(df)), k)
+        csum = np.concatenate([[0], np.cumsum(k)])
+        piece = np.arange(int(k.sum()), dtype=np.int64) \
+            - np.repeat(csum[:-1], k)
+        t0 = piece.astype(np.float64) / k[rep]
+        t1 = (piece + 1).astype(np.float64) / k[rep]
+        return pd.DataFrame({
+            "seg_id": df["seg_id"].to_numpy(np.int64)[rep],
+            "piece": piece,
+            "px0": x0[rep] + (x1 - x0)[rep] * t0,
+            "py0": y0[rep] + (y1 - y0)[rep] * t0,
+            "px1": x0[rep] + (x1 - x0)[rep] * t1,
+            "py1": y0[rep] + (y1 - y0)[rep] * t1})
+
+    return ray.data.from_pandas(seg).map_batches(split,
+                                                 batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# TravellingSalesmanProblem (whitebox-plugins/src/
+# travelling_salesman_problem/main.rs): the reference runs a time-budgeted
+# randomized 2-opt; the analog is DETERMINISTIC — nearest-neighbour tour
+# (ties -> lowest site id) followed by first-improvement 2-opt passes in
+# fixed scan order to a local optimum. Rows-only; independent scalar
+# oracle + permutation/local-optimality properties in tests/test_plugins.py.
+# --------------------------------------------------------------------------
+_TSP_N = 48
+
+
+def _tsp_sites() -> pd.DataFrame:
+    ids = np.arange(_TSP_N, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(77))
+    x = (splitmix64(h + np.uint64(1)) % np.uint64(1 << 30)).astype(
+        np.float64) / float(1 << 30) * 360.0 - 180.0
+    y = (splitmix64(h + np.uint64(2)) % np.uint64(1 << 30)).astype(
+        np.float64) / float(1 << 30) * 170.0 - 85.0
+    return pd.DataFrame({"site_id": ids, "x": x, "y": y})
+
+
+def _tsp_tour(x: np.ndarray, y: np.ndarray) -> list[int]:
+    n = len(x)
+    unvisited = set(range(1, n))
+    tour = [0]
+    while unvisited:
+        cx, cy = x[tour[-1]], y[tour[-1]]
+        best = min(unvisited,
+                   key=lambda s: ((x[s] - cx) ** 2 + (y[s] - cy) ** 2, s))
+        tour.append(best)
+        unvisited.discard(best)
+
+    def d(a: int, b: int) -> float:
+        return float(np.sqrt((x[a] - x[b]) ** 2 + (y[a] - y[b]) ** 2))
+
+    improved = True
+    while improved:
+        improved = False
+        for i in range(1, n - 1):
+            for j in range(i + 1, n):
+                a, b = tour[i - 1], tour[i]
+                c, e = tour[j], tour[(j + 1) % n]
+                if a == e:
+                    continue
+                if d(a, c) + d(b, e) < d(a, b) + d(c, e) - 1e-12:
+                    tour[i:j + 1] = tour[i:j + 1][::-1]
+                    improved = True
+    return tour
+
+
+@query("travelling_salesman_problem")
+def travelling_salesman_problem(sf_dir: str):
+    """TravellingSalesmanProblem (whitebox-plugins/src/
+    travelling_salesman_problem/main.rs): deterministic NN + 2-opt tour
+    over the synthetic site set, computed inside one Ray task (the site
+    count is a bounded parameter, not data-scale). Output
+    (order_idx, site_id)."""
+    sites = _tsp_sites()
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("site_id").reset_index(drop=True)
+        tour = _tsp_tour(df["x"].to_numpy(np.float64),
+                         df["y"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "order_idx": np.arange(len(tour), dtype=np.int64),
+            "site_id": df["site_id"].to_numpy(np.int64)[tour]})
+
+    return ray.data.from_pandas(sites).repartition(1).map_batches(
+        solve, batch_format="pandas", batch_size=None)
