@@ -266,7 +266,7 @@ _POUR_CTES = f"""
 """
 
 
-def _strahler_levels(kmax: int = 12) -> tuple[str, str]:
+def _strahler_levels(kmax: int = 12, graph: str = 'graph') -> tuple[str, str]:
     """(level CTE text, per-cell order expression for alias `{cell}`): the
     level-set Strahler construction (order >= k iff downstream-or-equal of a
     two-children-at-(k-1) generator), emitted without the final SELECT so
@@ -280,14 +280,14 @@ def _strahler_levels(kmax: int = 12) -> tuple[str, str]:
     for k in range(2, kmax + 1):
         member = "" if prev is None else f" JOIN {prev} s ON s.cur = p.cell_id"
         parts.append(f"""g{k} AS MATERIALIZED (
-      SELECT g.cell_id FROM graph g
-      JOIN graph p ON p.down_id = g.cell_id{member}
+      SELECT g.cell_id FROM {graph} g
+      JOIN {graph} p ON p.down_id = g.cell_id{member}
       GROUP BY g.cell_id HAVING COUNT(*) >= 2
     ),
     s{k}(cur) AS (
       SELECT cell_id FROM g{k}
       UNION
-      SELECT g.down_id FROM s{k} w JOIN graph g ON g.cell_id = w.cur
+      SELECT g.down_id FROM s{k} w JOIN {graph} g ON g.cell_id = w.cur
       WHERE g.down_id >= 0
     )""")
         prev = f"s{k}"

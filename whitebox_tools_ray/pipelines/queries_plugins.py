@@ -987,3 +987,356 @@ def travelling_salesman_problem(sf_dir: str):
 
     return ray.data.from_pandas(sites).repartition(1).map_batches(
         solve, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# GaussianScaleSpace (whitebox-plugins/src/gaussian_scale_space/main.rs):
+# the analog computes a two-level binomial (B2, [1,2,1]/4 separable ~
+# Gaussian) scale stack and per cell the difference-of-Gaussian responses
+# and the max-|response| scale — INTEGER-exact by carrying unnormalized
+# numerators (denominators 16 and 256; |DoG1|*16 vs |DoG2| compares on the
+# common denominator). Interior cells only (margins 1 and 2).
+# --------------------------------------------------------------------------
+_B2 = [(dy, dx, (2 - abs(dy)) * (2 - abs(dx)))
+       for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _b2_arms(src: str, val: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT a.cell_id, n.{val} * {w} AS t FROM {src} a JOIN {src} n "
+        f"ON n.r = a.r + ({dy}) AND n.c = a.c + ({dx})"
+        for dy, dx, w in _B2)
+
+
+@query(
+    "gaussian_scale_space",
+    f"""
+    WITH {_CELLS_CTE},
+    v1 AS (
+      SELECT t.cell_id, CAST(SUM(t.t) AS BIGINT) AS v1,
+             ANY_VALUE(c.v) AS v0,
+             c2.r AS r, c2.c AS c
+      FROM ({_b2_arms("cells", "v")}) t
+      JOIN cells c ON c.cell_id = t.cell_id
+      JOIN cells c2 ON c2.cell_id = t.cell_id
+      GROUP BY t.cell_id, c2.r, c2.c HAVING COUNT(*) = 9
+    ),
+    v2 AS (
+      SELECT t.cell_id, CAST(SUM(t.t) AS BIGINT) AS v2
+      FROM ({_b2_arms("v1", "v1")}) t
+      GROUP BY t.cell_id HAVING COUNT(*) = 9
+    )
+    SELECT a.cell_id,
+           CAST(a.v1 - 16 * a.v0 AS BIGINT) AS dog1_num,
+           CAST(b.v2 - 16 * a.v1 AS BIGINT) AS dog2_num,
+           CAST(CASE WHEN abs(a.v1 - 16 * a.v0) * 16
+                          >= abs(b.v2 - 16 * a.v1)
+                     THEN 1 ELSE 2 END AS BIGINT) AS best_scale
+    FROM v1 a JOIN v2 b ON b.cell_id = a.cell_id
+    """,
+)
+def gaussian_scale_space(sf_dir: str):
+    """GaussianScaleSpace (whitebox-plugins/src/gaussian_scale_space/
+    main.rs): two binomial scale levels + integer DoG responses + max-
+    response scale (ties -> finer scale), via two fused halo stencils."""
+    from ..stages.raster import stencil_k, synth_raster_tiles
+
+    def kern(padded: np.ndarray, nr: int, nc: int) -> dict:
+        # level 1 evaluated on the halo-1 ring too (level 2 needs it)
+        def conv(src, nr_, nc_, pad):
+            out = np.zeros((nr_, nc_))
+            for dy, dx, w in _B2:
+                out += w * src[pad + dy:pad + dy + nr_,
+                               pad + dx:pad + dx + nc_]
+            return out
+
+        v1_full = conv(padded, nr + 2, nc + 2, 1)   # halo-1 ring kept
+        v0 = padded[2:2 + nr, 2:2 + nc]
+        v1 = v1_full[1:1 + nr, 1:1 + nc]
+        v2 = conv(v1_full, nr, nc, 1)
+        n1 = v1 - 16.0 * v0
+        n2 = v2 - 16.0 * v1
+        best = np.where(np.abs(n1) * 16.0 >= np.abs(n2), 1.0, 2.0)
+        return {"dog1_num": n1, "dog2_num": n2, "best_scale": best}
+
+    tiles = synth_raster_tiles(GRID1, _value_fn)
+    cells = stencil_k(tiles, GRID1, kern, k=2)
+    return cells.map_batches(
+        lambda df: df.dropna().astype(np.int64), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# VectorStreamNetworkAnalysis (whitebox-plugins/src/
+# vector_stream_network_analysis/main.rs): per stream LINK attributes.
+# The analog computes them on the D8-derived stream network (the repo's
+# established stream model): link id (terminal cell), cell count,
+# DIST2MOUTH (fixed-point units from the link terminal to the network
+# outlet) and the link's Strahler order. Same-kernel citation also covers
+# correct_stream_vector_direction/main.rs and
+# repair_stream_vector_topology/main.rs: on this model directions are
+# derived from the D8 pointer (always mouth-ward) and links meet exactly
+# at junction nodes, i.e. the CORRECTED/REPAIRED network is computed
+# directly rather than fixed after the fact.
+# --------------------------------------------------------------------------
+@query(
+    "vector_stream_network_analysis",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_WALK_CTE},
+    acc AS MATERIALIZED (
+      SELECT g.cell_id, 1 + COALESCE(p.n, 0) AS acc
+      FROM graph g
+      LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk GROUP BY cur) p
+        ON p.cur = g.cell_id
+    ),
+    stream AS MATERIALIZED (
+      SELECT cell_id FROM acc WHERE acc >= 5),
+    sgraph AS MATERIALIZED (
+      SELECT g.cell_id,
+             CASE WHEN t.cell_id IS NOT NULL THEN g.down_id
+                  ELSE CAST(-1 AS BIGINT) END AS down_id
+      FROM graph g
+      JOIN stream s ON s.cell_id = g.cell_id
+      LEFT JOIN stream t ON t.cell_id = g.down_id
+    ),
+    s_indeg AS MATERIALIZED (
+      SELECT s.cell_id, COUNT(p.cell_id) AS n
+      FROM stream s LEFT JOIN sgraph p ON p.down_id = s.cell_id
+      GROUP BY s.cell_id
+    ),
+    lgraph AS MATERIALIZED (
+      SELECT sg.cell_id,
+             CASE WHEN sg.down_id >= 0 AND ti.n < 2 THEN sg.down_id
+                  ELSE -1 END AS nxt
+      FROM sgraph sg LEFT JOIN s_indeg ti ON ti.cell_id = sg.down_id
+    ),
+    chase(start, cur) AS (
+      SELECT cell_id, cell_id FROM lgraph
+      UNION ALL
+      SELECT c.start, l.nxt FROM chase c
+      JOIN lgraph l ON l.cell_id = c.cur WHERE l.nxt >= 0
+    ),
+    links AS MATERIALIZED (
+      SELECT c.start AS cell_id, CAST(c.cur AS BIGINT) AS link_id
+      FROM chase c JOIN lgraph l ON l.cell_id = c.cur WHERE l.nxt < 0
+    ),
+    mouth(start, cur, units) AS (
+      SELECT cell_id, cell_id, CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT link_id AS cell_id FROM links)
+      UNION ALL
+      SELECT m.start, g.down_id,
+             m.units + CASE WHEN (m.cur // 360) <> (g.down_id // 360) AND (m.cur % 360) <> (g.down_id % 360) THEN 1482910 ELSE 1048576 END
+      FROM mouth m JOIN sgraph g ON g.cell_id = m.cur
+      WHERE g.down_id >= 0
+    ),
+    d2m AS (
+      SELECT start AS link_id, MAX(units) AS dist2mouth_units FROM mouth
+      GROUP BY start
+    ),
+    g2 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s2(cur) AS (
+      SELECT cell_id FROM g2
+      UNION
+      SELECT g.down_id FROM s2 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g3 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s2 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s3(cur) AS (
+      SELECT cell_id FROM g3
+      UNION
+      SELECT g.down_id FROM s3 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g4 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s3 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s4(cur) AS (
+      SELECT cell_id FROM g4
+      UNION
+      SELECT g.down_id FROM s4 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g5 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s4 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s5(cur) AS (
+      SELECT cell_id FROM g5
+      UNION
+      SELECT g.down_id FROM s5 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g6 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s5 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s6(cur) AS (
+      SELECT cell_id FROM g6
+      UNION
+      SELECT g.down_id FROM s6 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g7 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s6 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s7(cur) AS (
+      SELECT cell_id FROM g7
+      UNION
+      SELECT g.down_id FROM s7 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g8 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s7 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s8(cur) AS (
+      SELECT cell_id FROM g8
+      UNION
+      SELECT g.down_id FROM s8 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g9 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s8 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s9(cur) AS (
+      SELECT cell_id FROM g9
+      UNION
+      SELECT g.down_id FROM s9 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g10 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s9 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s10(cur) AS (
+      SELECT cell_id FROM g10
+      UNION
+      SELECT g.down_id FROM s10 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g11 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s10 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s11(cur) AS (
+      SELECT cell_id FROM g11
+      UNION
+      SELECT g.down_id FROM s11 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    ),
+    g12 AS MATERIALIZED (
+      SELECT g.cell_id FROM sgraph g
+      JOIN sgraph p ON p.down_id = g.cell_id JOIN s11 s ON s.cur = p.cell_id
+      GROUP BY g.cell_id HAVING COUNT(*) >= 2
+    ),
+    s12(cur) AS (
+      SELECT cell_id FROM g12
+      UNION
+      SELECT g.down_id FROM s12 w JOIN sgraph g ON g.cell_id = w.cur
+      WHERE g.down_id >= 0
+    )
+    SELECT l.link_id, COUNT(*) AS n_cells,
+           ANY_VALUE(d.dist2mouth_units) AS dist2mouth_units,
+           CAST(1 + (SELECT COUNT(*) FROM s2 WHERE s2.cur = l.link_id) + (SELECT COUNT(*) FROM s3 WHERE s3.cur = l.link_id) + (SELECT COUNT(*) FROM s4 WHERE s4.cur = l.link_id) + (SELECT COUNT(*) FROM s5 WHERE s5.cur = l.link_id) + (SELECT COUNT(*) FROM s6 WHERE s6.cur = l.link_id) + (SELECT COUNT(*) FROM s7 WHERE s7.cur = l.link_id) + (SELECT COUNT(*) FROM s8 WHERE s8.cur = l.link_id) + (SELECT COUNT(*) FROM s9 WHERE s9.cur = l.link_id) + (SELECT COUNT(*) FROM s10 WHERE s10.cur = l.link_id) + (SELECT COUNT(*) FROM s11 WHERE s11.cur = l.link_id) + (SELECT COUNT(*) FROM s12 WHERE s12.cur = l.link_id) AS BIGINT) AS strahler
+    FROM links l
+    JOIN d2m d ON d.link_id = l.link_id
+    GROUP BY l.link_id
+    """,
+)
+def vector_stream_network_analysis(sf_dir: str):
+    """VectorStreamNetworkAnalysis (whitebox-plugins/src/
+    vector_stream_network_analysis/main.rs; module-section docstring also
+    covers correct_stream_vector_direction and
+    repair_stream_vector_topology): per-link cell count, distance to the
+    network mouth and Strahler order — pure composition of verified
+    machinery: stream_link_id labels, flowpath_length over the stream-cut
+    graph, strahler_pregel over the stream graph, joined per link."""
+    from ..hydrodefs import STREAM_ACC_T
+    from ..relational import partial_agg
+    from ..stages.flow import down_ds_from_pointer, tile_of_expr
+    from ..stages.pregel import (flowpath_length_pregel, strahler_pregel)
+    from .queries_raster import d8_pointer, stream_link_id
+
+    links = stream_link_id(sf_dir).materialize()  # (cell_id, link_id)
+
+    # stream-only down graph: down kept only when the target is a stream
+    # cell (the same cut the SQL's sgraph makes)
+    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1).materialize()
+    sj = dds.join(links.map_batches(
+        lambda df: pd.DataFrame({"cell_id":
+                                 df["cell_id"].to_numpy(np.int64)}),
+        batch_format="pandas"), join_type="inner", num_partitions=8,
+        on=("cell_id",)).materialize()
+    skeys = sj.map_batches(lambda df: pd.DataFrame({
+        "k": df["cell_id"].to_numpy(np.int64)}),
+        batch_format="pandas").to_pandas()
+    sarr = np.sort(skeys["k"].to_numpy(np.int64))
+    sref = ray.put(sarr)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        ss = _cached_get(sref)
+        d = df["down_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(ss, np.abs(d)), len(ss) - 1) \
+            if len(ss) else np.zeros(len(d), np.int64)
+        keep = (d >= 0) & (len(ss) > 0) & (ss[pos] == d)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "down_id": np.where(keep, d, np.int64(-1)),
+            "tile": df["tile"].to_numpy(np.int64)})
+
+    sdds = sj.map_batches(cut, batch_format="pandas").materialize()
+
+    fpl = flowpath_length_pregel(sdds, GRID1)      # (cell_id, len_units)
+    sb = strahler_pregel(sdds, GRID1)              # (cell_id, strahler)
+
+    cnt = partial_agg(links.map_batches(
+        lambda df: pd.DataFrame({
+            "link_id": df["link_id"].to_numpy(np.int64),
+            "one": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["link_id"], [("one", "sum", "n_cells")])
+
+    # distinct link terminals: per-batch dedup is NOT global — reduce
+    term = partial_agg(links.map_batches(
+        lambda df: pd.DataFrame({
+            "cell_id": df["link_id"].to_numpy(np.int64),
+            "one": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["cell_id"], [("one", "max", "one")]) \
+        .drop_columns(["one"])
+    d2m = term.join(fpl, join_type="inner", num_partitions=8,
+                    on=("cell_id",)).map_batches(
+        lambda df: pd.DataFrame({
+            "link_id": df["cell_id"].to_numpy(np.int64),
+            "dist2mouth_units": df["len_units"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    sbl = term.join(sb, join_type="inner", num_partitions=8,
+                    on=("cell_id",)).map_batches(
+        lambda df: pd.DataFrame({
+            "link_id": df["cell_id"].to_numpy(np.int64),
+            "strahler": df["strahler"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    out = cnt.join(d2m.materialize(), join_type="inner", num_partitions=8,
+                   on=("link_id",))
+    return out.join(sbl.materialize(), join_type="inner", num_partitions=8,
+                    on=("link_id",))
