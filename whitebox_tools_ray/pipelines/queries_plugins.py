@@ -1340,3 +1340,94 @@ def vector_stream_network_analysis(sf_dir: str):
                    on=("link_id",))
     return out.join(sbl.materialize(), join_type="inner", num_partitions=8,
                     on=("link_id",))
+
+
+# --------------------------------------------------------------------------
+# ConditionedLatinHypercube (whitebox-plugins/src/conditioned_latin_hypercube/
+# main.rs): the reference anneals a random sample toward Latin-hypercube
+# stratification of the covariate distribution; the analog is its
+# DETERMINISTIC limit — n equal-rank strata of the covariate (cents), each
+# represented by its rank-median point (the sample that perfectly
+# stratifies a single covariate). Total order (cents, event_id) makes the
+# result unique and SQL row_number-exact.
+# --------------------------------------------------------------------------
+_CLHS_N = 32
+
+
+@query(
+    "conditioned_latin_hypercube",
+    f"""
+    WITH pts AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    rk AS (
+      SELECT event_id, cents,
+             row_number() OVER (ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER () AS nt
+      FROM pts
+    ),
+    st AS (SELECT *, ((rn - 1) * {_CLHS_N}) // nt AS stratum FROM rk),
+    med AS (
+      SELECT stratum, event_id, cents,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY rn) AS srn,
+             COUNT(*) OVER (PARTITION BY stratum) AS sc
+      FROM st
+    )
+    SELECT stratum, event_id, cents FROM med WHERE srn = (sc + 1) // 2
+    """,
+)
+def conditioned_latin_hypercube(sf_dir: str):
+    """ConditionedLatinHypercube (whitebox-plugins/src/
+    conditioned_latin_hypercube/main.rs) deterministic-limit analog
+    (module-section docstring): global ranks come from a broadcast
+    per-value histogram + per-value group ordinals (no global sort
+    materialization), then each stratum emits its rank-median point."""
+    from ..relational import partial_agg
+    from ..sources.tables import read_points
+    from ..stages.spatial_join import _cached_get
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["event_id"].to_numpy(np.int64)
+        cents = np.round(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({"event_id": e, "cents": cents})
+
+    pts = read_points(sf_dir).map_batches(conv, batch_format="pandas") \
+        .materialize()
+
+    hist = partial_agg(pts.map_batches(
+        lambda df: pd.DataFrame({"cents": df["cents"].to_numpy(np.int64),
+                                 "n": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["cents"], [("n", "sum", "n")]).to_pandas() \
+        .sort_values("cents").reset_index(drop=True)
+    vals = hist["cents"].to_numpy(np.int64)
+    base = np.concatenate([[0], np.cumsum(hist["n"].to_numpy(np.int64))])
+    nt = int(base[-1])
+    href = ray.put((vals, base[:-1]))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals_b, base_b = _cached_get(href)
+        g = g.sort_values("event_id")
+        c = int(g["cents"].iloc[0])
+        lo = int(base_b[np.searchsorted(vals_b, c)])
+        rn = lo + np.arange(1, len(g) + 1, dtype=np.int64)
+        out = g[["event_id", "cents"]].copy()
+        out["rn"] = rn
+        out["stratum"] = (rn - 1) * _CLHS_N // nt
+        return out
+
+    ranked = pts.groupby("cents").map_groups(rank_group,
+                                             batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rn")
+        i = (len(g) + 1) // 2 - 1
+        return pd.DataFrame({
+            "stratum": [int(g["stratum"].iloc[0])],
+            "event_id": [int(g["event_id"].iloc[i])],
+            "cents": [int(g["cents"].iloc[i])]})
+
+    return ranked.groupby("stratum").map_groups(pick,
+                                                batch_format="pandas")
