@@ -944,15 +944,16 @@ def kmeans_embeddings(sf_dir: str):
 
 @query("media_features")
 def media_features(sf_dir: str):
-    """Multimodal plumbing (driver mandate): synthetic binary media table ->
-    actor-pool feature extraction with a stubbed codec boundary (decode is a
-    deterministic fake; the libs are absent here) -> per-item feature rows.
-    Rows-only; schema/flow verified in tests/test_multimodal.py."""
+    """Multimodal decode (driver mandate): binary media table whose image
+    payloads are REAL PNGs -> actor-pool stage that DECODES the pixels
+    (pure-python codec, functions/png.py), nearest-resizes to the model
+    frame and projects to feature vectors -> per-item feature rows.
+    Rows-only; planted-image decode oracle in tests/test_multimodal.py."""
     import ray.data
 
-    from ..stages.multimodal import media_feature_pipeline, synth_media_table
+    from ..stages.multimodal import media_feature_pipeline, synth_image_table
 
-    media = ray.data.from_arrow(synth_media_table(2000))
+    media = ray.data.from_arrow(synth_image_table(2000))
     feats = media_feature_pipeline(media, batch_size=256)
     return feats.map_batches(
         lambda t: pa.table({

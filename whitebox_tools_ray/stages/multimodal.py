@@ -1,12 +1,13 @@
-"""Multimodal (image/audio/video) column plumbing — decode stubbed.
+"""Multimodal (image/audio/video) column plumbing — REAL image decode.
 
 Driver mandate: treat media as opaque ``binary`` columns with typed metadata;
 implement decode / feature-extract / resize / frame-sample as actor-pool
-``map_batches`` stages. The image/audio libraries are not in this container,
-so the codec boundary is stubbed (``decode_image`` raises NotImplementedError
-unless the deterministic fake decoder is selected) — but everything Ray-side
-is real and tested: schema, batch sizing for large binary payloads, actor
-signature, zero-copy binary handling, partitioned output layout.
+``map_batches`` stages. Round-4: the codec boundary is a real pure-python
+PNG decoder (functions/png.py — 8-bit gray/RGB/RGBA, all five scanline
+filters) plus int16-PCM interpretation for audio payloads; JPEG and real
+video codecs remain a documented NotImplementedError (no PIL/cv2/ffmpeg in
+this container). The legacy deterministic fake decoder is kept behind
+``fake=True`` for payload-integrity tests.
 
 Schema of a media table:
     {item_id: int64, url: string, media_type: string,
@@ -57,16 +58,62 @@ def synth_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096) ->
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
-    """Codec boundary. Real decode needs PIL/cv2 (absent in this container):
-    raises NotImplementedError. The deterministic fake decoder hashes payload
-    bytes into a small pseudo-image so downstream plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "(deterministic stub) or install PIL/cv2 at deployment")
-    arr = np.frombuffer(payload[: 48 * 48], dtype=np.uint8)
-    arr = np.pad(arr, (0, 48 * 48 - len(arr)))
-    return arr.reshape(48, 48)
+    """Codec boundary. PNG payloads decode for real (functions/png.py);
+    other formats raise NotImplementedError (JPEG needs a DCT codec not in
+    this container). ``fake=True`` keeps the legacy hash-stub decoder."""
+    if fake:
+        arr = np.frombuffer(payload[: 48 * 48], dtype=np.uint8)
+        arr = np.pad(arr, (0, 48 * 48 - len(arr)))
+        return arr.reshape(48, 48)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes in this environment (pure-python codec); "
+        "JPEG/video need PIL/cv2/ffmpeg at deployment")
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (real, deterministic) — the normalization
+    step before the fixed-size feature projection."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ri][:, ci]
+
+
+def synth_image_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Media rows whose image payloads are REAL PNGs (deterministic
+    gradient + hash-texture patterns, varying small sizes); width/height
+    metadata match the encoded pixels."""
+    from ..functions.png import encode_png
+    from ..sources.synthetic import splitmix64
+
+    ids = np.arange(n_rows, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    payloads, ws, hs = [], [], []
+    for i in range(n_rows):
+        hh = int(h[i] % 24) + 8
+        ww = int((h[i] >> np.uint64(8)) % np.uint64(24)) + 8
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        base = (7 * xx + 13 * yy + int(h[i] % 251)) % 256
+        tex = splitmix64((yy.astype(np.uint64) * np.uint64(ww)
+                          + xx.astype(np.uint64)) + h[i]) % np.uint64(64)
+        img = ((base + tex.astype(np.int64)) % 256).astype(np.uint8)
+        payloads.append(encode_png(img, filter_type=int(h[i] % 5)))
+        ws.append(ww)
+        hs.append(hh)
+    return pa.table({
+        "item_id": ids,
+        "url": pa.array([f"https://img{int(x) % 100}.example/{i}.png"
+                         for i, x in enumerate(h)], pa.string()),
+        "media_type": pa.array(["image"] * n_rows, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.asarray(ws, np.int32)),
+        "height": pa.array(np.asarray(hs, np.int32)),
+        "duration_ms": pa.array(np.zeros(n_rows, np.int32)),
+    }, schema=MEDIA_SCHEMA)
 
 
 class MediaFeatureExtract:
@@ -77,7 +124,7 @@ class MediaFeatureExtract:
     must be small so batch x concurrency fits worker heaps).
     """
 
-    def __init__(self, fake_decode: bool = True, feature_dim: int = 16):
+    def __init__(self, fake_decode: bool = False, feature_dim: int = 16):
         self.fake = fake_decode
         self.dim = feature_dim
         # model-load stand-in: a fixed projection matrix built once per actor
@@ -87,9 +134,22 @@ class MediaFeatureExtract:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.empty((len(batch), self.dim))
         payloads = batch["payload"].to_pylist()
-        for i, p in enumerate(payloads):
-            img = decode_image(p, fake=self.fake).astype(np.float64).ravel()
-            feats[i] = img @ self.proj
+        kinds = batch["media_type"].to_pylist()
+        for i, (p, kind) in enumerate(zip(payloads, kinds)):
+            if self.fake:
+                img = decode_image(p, fake=True).astype(np.float64)
+            elif kind == "image":
+                img = decode_image(p).astype(np.float64)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)  # luminance-ish collapse
+                img = resize_nearest(img, 48, 48)
+            else:
+                # audio payload: int16 PCM interpretation, folded into the
+                # same fixed-size frame for the shared projection
+                pcm = np.frombuffer(p[: 48 * 48 * 2], np.int16)                     .astype(np.float64) / 256.0
+                pcm = np.pad(pcm, (0, 48 * 48 - len(pcm)))
+                img = pcm.reshape(48, 48)
+            feats[i] = img.ravel() @ self.proj
         return pa.table({
             "item_id": batch["item_id"],
             "media_type": batch["media_type"],
@@ -126,7 +186,8 @@ class FrameSampler:
 
 
 def media_feature_pipeline(media: ray.data.Dataset, *, batch_size: int = 256,
-                           concurrency=None) -> ray.data.Dataset:
+                           concurrency=None,
+                           fake_decode: bool = False) -> ray.data.Dataset:
     """images/audio -> feature vectors (actor pool, small batches for wide
     binary rows), videos -> sampled frames. Returns the feature dataset."""
     import pyarrow.compute as pc
@@ -140,4 +201,6 @@ def media_feature_pipeline(media: ray.data.Dataset, *, batch_size: int = 256,
         lambda t: t.filter(pc.not_equal(t["media_type"], "video")),
         batch_format="pyarrow")
     return imgs.map_batches(MediaFeatureExtract, batch_size=batch_size,
-                            batch_format="pyarrow", concurrency=concurrency)
+                            batch_format="pyarrow", concurrency=concurrency,
+                            fn_constructor_kwargs={
+                                "fake_decode": fake_decode})
