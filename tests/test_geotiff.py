@@ -99,3 +99,25 @@ def test_geotiff_slope_query(tmp_path):
     want = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
     got = out.loc[out["cell_id"] == r * 64 + c, "slope_deg"].iloc[0]
     assert abs(got - want) < 1e-9
+
+
+def test_rgb_multiband_round_trip(ray_session):
+    import numpy as np
+
+    from whitebox_tools_ray.sources.geotiff import (geotiff_to_tiles,
+                                                    read_info, write_geotiff)
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (70, 45, 3), dtype=np.uint8)
+    path = "/tmp/wbt_test_rgb_rt.tif"
+    write_geotiff(path, rgb, west=5.0, north=70.0, res=1.0)
+    info = read_info(path)
+    assert info.spp == 3 and info.bits == 8
+    for band in range(3):
+        tiles = geotiff_to_tiles(path, tile=32, band=band).to_pandas()
+        back = np.full((70, 45), -1.0)
+        for t in tiles.itertuples():
+            r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+            back[r0:r0 + int(t.nrows), c0:c0 + int(t.ncols)] = \
+                np.asarray(t.data).reshape(int(t.nrows), int(t.ncols))
+        np.testing.assert_array_equal(back, rgb[:, :, band].astype(float))

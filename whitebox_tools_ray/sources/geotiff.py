@@ -1,14 +1,16 @@
 """Minimal GeoTIFF reader/writer -> tile Dataset importer.
 
-Scope (read): single-band baseline TIFF + the GeoTIFF georeferencing tags —
-striped or tiled layout, little/big endian, uncompressed or DEFLATE
-(Compression 8/32946), integer (8/16/32-bit) and float (32/64-bit) samples,
-ModelPixelScale + ModelTiepoint, GDAL_NODATA. This mirrors the subset of
-whitebox-raster/src/geotiff/mod.rs the reference tools actually exercise for
-DEM workflows; exotic layouts (multi-band chunky, JPEG, predictors) raise.
+Scope (read): baseline TIFF + the GeoTIFF georeferencing tags — striped or
+tiled layout, little/big endian, uncompressed or DEFLATE (Compression
+8/32946), integer (8/16/32-bit) and float (32/64-bit) samples, single-band
+OR multi-band chunky-interleaved (PlanarConfiguration 1: RGB24/RGBA32,
+whitebox-raster/src/geotiff/mod.rs:1441-1456), ModelPixelScale +
+ModelTiepoint, GDAL_NODATA. Exotic layouts (planar bands, JPEG,
+predictors) raise.
 
-Scope (write): uncompressed striped single-band (the round-trip fixture
-generator for tests; also a usable export path).
+Scope (write): uncompressed striped little-endian — single-band float64/
+int32 or multi-band chunky uint8 (RGB/RGBA) — the round-trip fixture
+generator for tests and a usable export path.
 
 The importer is DISTRIBUTED: the driver parses only the IFD (a few hundred
 bytes); workers open the file and decode their own strip/tile byte ranges
@@ -47,6 +49,7 @@ class TiffInfo:
     pixel_scale: tuple | None
     tiepoint: tuple | None
     nodata: float | None
+    spp: int = 1             # samples per pixel (bands, chunky interleaved)
 
     @property
     def dtype(self) -> np.dtype:
@@ -120,8 +123,10 @@ def read_info(path: str) -> TiffInfo:
     compression = int(tag(259, [1])[0])
     sample_format = int(tag(339, [1])[0])
     spp = int(tag(277, [1])[0])
-    if spp != 1:
-        raise NotImplementedError("multi-band GeoTIFF not supported")
+    planar = int(tag(284, [1])[0])
+    if spp != 1 and planar != 1:
+        raise NotImplementedError("planar (non-interleaved) bands "
+                                  "not supported")
     if compression not in (1, 8, 32946):
         raise NotImplementedError(f"compression {compression} not supported")
     if 322 in tags:
@@ -147,7 +152,8 @@ def read_info(path: str) -> TiffInfo:
                     chunk_h=chunk_h, offsets=[int(o) for o in offsets],
                     byte_counts=[int(b) for b in byte_counts],
                     pixel_scale=tuple(ps) if ps else None,
-                    tiepoint=tuple(tp) if tp else None, nodata=nodata)
+                    tiepoint=tuple(tp) if tp else None, nodata=nodata,
+                    spp=spp)
 
 
 def _decode_chunk(path: str, info: TiffInfo, idx: int) -> np.ndarray:
@@ -158,17 +164,26 @@ def _decode_chunk(path: str, info: TiffInfo, idx: int) -> np.ndarray:
         raw = zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=info.dtype)
     if info.tiled:
+        if info.spp > 1:
+            return arr.reshape(info.chunk_h, info.chunk_w, info.spp)
         return arr.reshape(info.chunk_h, info.chunk_w)
     rows = min(info.chunk_h, info.height - idx * info.chunk_h)
+    if info.spp > 1:
+        return arr[: rows * info.width * info.spp] \
+            .reshape(rows, info.width, info.spp)
     return arr[: rows * info.width].reshape(rows, info.width)
 
 
-def geotiff_to_tiles(path: str, *, tile: int = 64) -> ray.data.Dataset:
+def geotiff_to_tiles(path: str, *, tile: int = 64,
+                     band: int = 0) -> ray.data.Dataset:
     """Import a GeoTIFF as the engine's tile Dataset (same schema as
     stages/raster.synth_raster_tiles: tile_id/trow/tcol/nrows/ncols/data,
     nodata mapped to NaN). Workers decode only the strips/tiles overlapping
-    their output tiles — a distributed range read, no driver payload."""
+    their output tiles — a distributed range read, no driver payload.
+    ``band`` selects the plane of a multi-band (chunky) file."""
     info = read_info(path)
+    if band >= info.spp:
+        raise ValueError(f"band {band} >= samples-per-pixel {info.spp}")
     trows = -(-info.height // tile)
     tcols = -(-info.width // tile)
     ids = ray.data.range(trows * tcols, override_num_blocks=max(2, trows))
@@ -188,6 +203,8 @@ def geotiff_to_tiles(path: str, *, tile: int = 64) -> ray.data.Dataset:
                 for ri in range(ri0, ri1 + 1):
                     for ci in range(ci0, ci1 + 1):
                         chunk = _decode_chunk(path, info, ri * ctx + ci)
+                        if info.spp > 1:
+                            chunk = chunk[:, :, band]
                         cr0, cc0 = ri * info.chunk_h, ci * info.chunk_w
                         sr0 = max(r0, cr0); sr1 = min(r0 + nr, cr0 + info.chunk_h)
                         sc0 = max(c0, cc0); sc1 = min(c0 + nc, cc0 + info.chunk_w)
@@ -197,6 +214,8 @@ def geotiff_to_tiles(path: str, *, tile: int = 64) -> ray.data.Dataset:
                 si0, si1 = r0 // info.chunk_h, (r0 + nr - 1) // info.chunk_h
                 for si in range(si0, si1 + 1):
                     strip = _decode_chunk(path, info, si)
+                    if info.spp > 1:
+                        strip = strip[:, :, band]
                     sr0 = max(r0, si * info.chunk_h)
                     sr1 = min(r0 + nr, si * info.chunk_h + strip.shape[0])
                     block[sr0 - r0:sr1 - r0, :] = \
@@ -214,15 +233,23 @@ def geotiff_to_tiles(path: str, *, tile: int = 64) -> ray.data.Dataset:
 def write_geotiff(path: str, arr: np.ndarray, *, west: float = 0.0,
                   north: float = 0.0, res: float = 1.0,
                   nodata: float | None = None) -> None:
-    """Uncompressed striped single-band little-endian GeoTIFF writer
-    (float64 or int32 by array dtype) — fixture generator + export path."""
-    h, w = arr.shape
-    if arr.dtype.kind == "f":
-        data = arr.astype("<f8").tobytes()
-        bits, sfmt = 64, 3
+    """Uncompressed striped little-endian GeoTIFF writer: 2-D float64/int32
+    single-band, or 3-D uint8 (H, W, C) chunky multi-band (RGB24/RGBA32,
+    whitebox-raster/src/geotiff/mod.rs band handling) — fixture generator +
+    export path."""
+    if arr.ndim == 3:
+        h, w, spp = arr.shape
+        data = np.ascontiguousarray(arr, "<u1").tobytes()
+        bits, sfmt = 8, 1
     else:
-        data = arr.astype("<i4").tobytes()
-        bits, sfmt = 32, 2
+        spp = 1
+        h, w = arr.shape
+        if arr.dtype.kind == "f":
+            data = arr.astype("<f8").tobytes()
+            bits, sfmt = 64, 3
+        else:
+            data = arr.astype("<i4").tobytes()
+            bits, sfmt = 32, 2
     entries = []
     extra: list[bytes] = []
 
@@ -237,14 +264,16 @@ def write_geotiff(path: str, arr: np.ndarray, *, west: float = 0.0,
     data_off_placeholder = 0
     add(256, 4, [w], "I")
     add(257, 4, [h], "I")
-    add(258, 3, [bits], "H")
+    add(258, 3, [bits] * spp, "H")
     add(259, 3, [1], "H")
-    add(262, 3, [1], "H")
+    add(262, 3, [2 if spp >= 3 else 1], "H")
     add(273, 4, [data_off_placeholder], "I")   # patched below
-    add(277, 3, [1], "H")
+    add(277, 3, [spp], "H")
+    if spp > 1:
+        add(284, 3, [1], "H")  # chunky interleaved
     add(278, 4, [h], "I")
     add(279, 4, [len(data)], "I")
-    add(339, 3, [sfmt], "H")
+    add(339, 3, [sfmt] * spp, "H")
     add(33550, 12, [res, res, 0.0], "d")
     add(33922, 12, [0.0, 0.0, 0.0, west, north, 0.0], "d")
     if nodata is not None:
