@@ -95,3 +95,119 @@ def test_greiner_hormann_containment_cases():
     assert greiner_hormann(sq, far, "intersect") == []
     assert (region_inside(greiner_hormann(sq, far, "union"), px, py)
             == [True, True, True, False]).all()
+
+
+def test_overlay_ring_outputs_match_region_and_structure(ray_session):
+    """The ring-emitting entries: every ring is closed-form valid (>= 3
+    vertices, nonzero area) and the encoded region matches the input
+    region algebra on a dense sample grid."""
+    import numpy as np
+
+    from whitebox_tools_ray.pipelines.queries_overlay import (
+        _OP_PRED, star_rings)
+    from whitebox_tools_ray.pipelines.queries import QUERIES
+    from whitebox_tools_ray.stages.overlay import region_inside
+
+    sf = "/root/testdata/sf0.001"
+    pids = np.arange(12, dtype=np.int64)
+    A, B = star_rings(pids)
+    preds = {
+        "intersect": lambda a, b: a & b,
+        "union": lambda a, b: a | b,
+        "difference": lambda a, b: a & ~b,
+        "symdiff": lambda a, b: a != b,
+    }
+    for op in _OP_PRED:
+        df = QUERIES[f"overlay_{op}_rings"](sf).to_pandas()
+        df = df[df["pair_id"] < 12]
+        for pid in range(12):
+            sub = df[df["pair_id"] == pid]
+            rings = []
+            for ri, g in sub.groupby("ring_idx"):
+                g = g.sort_values("vtx_idx")
+                assert len(g) >= 3
+                ring = np.column_stack([
+                    g["x_micro"].to_numpy(np.float64) / 1e6,
+                    g["y_micro"].to_numpy(np.float64) / 1e6])
+                x, y = ring[:, 0], ring[:, 1]
+                a2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+                assert abs(a2) > 0
+                assert int(g["area2_sign"].iloc[0]) == int(np.sign(a2))
+                rings.append(ring)
+            # dense region check vs input algebra (away from boundaries)
+            rng = np.random.default_rng(pid)
+            px = rng.uniform(-3.2, 3.2, 400) + A[pid][:, 0].mean()
+            py = rng.uniform(-3.2, 3.2, 400) + A[pid][:, 1].mean()
+            in_a = region_inside([A[pid]], px, py)
+            in_b = region_inside([B[pid]], px, py)
+            want = preds[op](in_a, in_b)
+            got = region_inside(rings, px, py)
+            # micro-quantization can flip points razor-close to an edge;
+            # tolerate <1% disagreement at the boundary band
+            assert (got != want).mean() < 0.01
+
+
+def test_split_rings_cover_the_polygon(ray_session):
+    """Piece rings: disjoint on either side of the line, union covers A."""
+    import numpy as np
+
+    from whitebox_tools_ray.pipelines.queries import QUERIES
+    from whitebox_tools_ray.pipelines.queries_overlay import star_rings
+    from whitebox_tools_ray.stages.overlay import region_inside
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["split_with_lines_rings"](sf).to_pandas()
+    pids = np.arange(8, dtype=np.int64)
+    A, _B = star_rings(pids)
+    for pid in range(8):
+        sub = df[df["pair_id"] == pid]
+        rings = {}
+        for piece, g in sub.groupby("piece"):
+            g = g.sort_values("vtx_idx")
+            rings[piece] = np.column_stack([
+                g["x_micro"].to_numpy(np.float64) / 1e6,
+                g["y_micro"].to_numpy(np.float64) / 1e6])
+        rng = np.random.default_rng(100 + pid)
+        px = rng.uniform(-3.2, 3.2, 300) + A[pid][:, 0].mean()
+        py = rng.uniform(-3.2, 3.2, 300) + A[pid][:, 1].mean()
+        in_a = region_inside([A[pid]], px, py)
+        got = np.zeros(len(px), bool)
+        overlap = np.zeros(len(px), np.int64)
+        for ring in rings.values():
+            m = region_inside([ring], px, py)
+            got |= m
+            overlap += m.astype(np.int64)
+        assert (got != in_a).mean() < 0.01     # union covers A
+        assert (overlap > 1).mean() < 0.01     # pieces essentially disjoint
+
+
+def test_buffer_rings_encode_the_capsule_region(ray_session):
+    import numpy as np
+
+    from whitebox_tools_ray.pipelines.queries import QUERIES
+    from whitebox_tools_ray.pipelines.queries_vector2 import (
+        BUF_R, buffer_lines, capsule_inside)
+    from whitebox_tools_ray.stages.overlay import region_inside
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["vector_buffer_rings"](sf).to_pandas()
+    lids = np.arange(6, dtype=np.int64)
+    v = buffer_lines(lids)
+    for li in range(6):
+        sub = df[df["line_id"] == li]
+        assert len(sub) > 0
+        rings = []
+        for _ri, g in sub.groupby("ring_idx"):
+            g = g.sort_values("vtx_idx")
+            rings.append(np.column_stack([
+                g["x_micro"].to_numpy(np.float64) / 1e6,
+                g["y_micro"].to_numpy(np.float64) / 1e6]))
+        rng = np.random.default_rng(li)
+        px = rng.uniform(v[li, :, 0].min() - 2 * BUF_R,
+                         v[li, :, 0].max() + 2 * BUF_R, 500)
+        py = rng.uniform(v[li, :, 1].min() - 2 * BUF_R,
+                         v[li, :, 1].max() + 2 * BUF_R, 500)
+        want = capsule_inside(v[li:li + 1], px[None, :], py[None, :])[0]
+        got = region_inside(rings, px, py)
+        # raster-resolution boundary: tolerate a thin disagreement band
+        assert (got != want).mean() < 0.06

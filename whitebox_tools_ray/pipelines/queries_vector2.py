@@ -353,3 +353,63 @@ def shapefile_pip_clip(sf_dir: str):
     polys = packed_from_shapefile(shp)
     return clip_points(read_points(sf_dir, extra_cols=()), polys) \
         .select_columns(["event_id"])
+
+
+@query("vector_buffer_rings")
+def vector_buffer_rings(sf_dir: str):
+    """BufferVector RING OUTPUT (gis_analysis/buffer_vector.rs ring
+    reassembly; round-3 VERDICT item 6): the dissolved buffer boundary per
+    line as (line_id, ring_idx, vtx_idx, x_micro, y_micro, is_hole) rows.
+    The region is the exact capsule union evaluated on a fine local grid
+    (res = BUF_R/12) and the boundary comes from the SAME ring tracer the
+    RasterToVectorPolygons family uses (stages/polygonize._trace_rings) —
+    the standard raster-resolution buffer-outline extraction. Rows-only;
+    region-equivalence oracle vs capsule_inside in tests/test_overlay.py."""
+    import ray.data
+
+    from ..stages.polygonize import _trace_rings
+
+    ids = ray.data.range(N_LINES, override_num_blocks=4)
+    res = BUF_R / 12.0
+
+    def per_line(batch: dict) -> pd.DataFrame:
+        lids = batch["id"].astype(np.int64)
+        v = buffer_lines(lids)
+        frames = []
+        for i, lid in enumerate(lids):
+            xmin = v[i, :, 0].min() - BUF_R - 2 * res
+            ymax = v[i, :, 1].max() + BUF_R + 2 * res
+            w = int(np.ceil((v[i, :, 0].max() + BUF_R + 2 * res - xmin)
+                            / res)) + 1
+            hgt = int(np.ceil((ymax - (v[i, :, 1].min() - BUF_R - 2 * res))
+                              / res)) + 1
+            cx = xmin + (np.arange(w) + 0.5) * res
+            cy = ymax - (np.arange(hgt) + 0.5) * res
+            gx, gy = np.meshgrid(cx, cy)
+            inside = capsule_inside(v[i:i + 1], gx.ravel()[None, :],
+                                    gy.ravel()[None, :])[0] \
+                .reshape(hgt, w)
+            rr, cc = np.nonzero(inside)
+            rings = _trace_rings(rr, cc)
+            for ri, ring in enumerate(rings):
+                r_arr = np.array([p[0] for p in ring], np.float64)
+                c_arr = np.array([p[1] for p in ring], np.float64)
+                xs = xmin + c_arr * res
+                ys = ymax - r_arr * res
+                area = 0.5 * float(np.sum(xs[:-1] * ys[1:]
+                                          - xs[1:] * ys[:-1]))
+                frames.append(pd.DataFrame({
+                    "line_id": np.full(len(xs), lid, np.int64),
+                    "ring_idx": np.full(len(xs), ri, np.int64),
+                    "vtx_idx": np.arange(len(xs), dtype=np.int64),
+                    "x_micro": np.floor(xs * 1e6 + 0.5).astype(np.int64),
+                    "y_micro": np.floor(ys * 1e6 + 0.5).astype(np.int64),
+                    "is_hole": np.full(len(xs), int(area > 0.0), np.int64),
+                }))
+        if not frames:
+            return pd.DataFrame({k: np.empty(0, np.int64) for k in
+                                 ("line_id", "ring_idx", "vtx_idx",
+                                  "x_micro", "y_micro", "is_hole")})
+        return pd.concat(frames, ignore_index=True)
+
+    return ids.map_batches(per_line, batch_format="numpy")

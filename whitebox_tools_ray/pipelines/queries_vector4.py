@@ -88,3 +88,57 @@ def split_with_lines(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return ids.map_batches(per_pair, batch_format="numpy")
+
+
+@query("split_with_lines_rings")
+def split_with_lines_rings(sf_dir: str):
+    """SplitWithLines RING OUTPUT (gis_analysis/split_with_lines.rs;
+    round-3 VERDICT item 6): the two Sutherland-Hodgman piece rings as
+    (pair_id, piece, vtx_idx, x_micro, y_micro) rows — the same rings
+    whose region the SQL-backed split_with_lines entry verifies. Rows-only;
+    ring-structure oracle in tests/test_overlay.py."""
+    import ray.data
+
+    from ..geometry import clip_polygon_convex
+
+    ids = ray.data.range(N_PAIRS, override_num_blocks=8)
+    big = 1000.0
+
+    def per_pair(batch: dict) -> pd.DataFrame:
+        pids = batch["id"].astype(np.int64)
+        A, _B = star_rings(pids)
+        h = splitmix64(pids.astype(np.uint64) + np.uint64(_SALT))
+        cxa = _units(h, 1) * 300.0 - 150.0
+        cya = _units(h, 2) * 140.0 - 70.0
+        frames = []
+        for i, pid in enumerate(pids):
+            ux, uy = STAR_DIRS[int(pid) % STAR_K]
+            cx, cy = cxa[i], cya[i]
+            p0 = np.array([cx - big * ux, cy - big * uy])
+            p1 = np.array([cx + big * ux, cy + big * uy])
+            nv = np.array([-uy, ux])
+
+            def halfplane_rect(sign: float) -> np.ndarray:
+                ring = np.array([p0, p1, p1 + sign * big * nv,
+                                 p0 + sign * big * nv, p0])
+                return ring[::-1] if sign > 0 else ring
+
+            for piece, sign in ((1, +1.0), (2, -1.0)):
+                ring = clip_polygon_convex(A[i], halfplane_rect(sign))
+                if not len(ring):
+                    continue
+                frames.append(pd.DataFrame({
+                    "pair_id": np.full(len(ring), pid, np.int64),
+                    "piece": np.full(len(ring), piece, np.int64),
+                    "vtx_idx": np.arange(len(ring), dtype=np.int64),
+                    "x_micro": np.floor(ring[:, 0] * 1e6 + 0.5)
+                    .astype(np.int64),
+                    "y_micro": np.floor(ring[:, 1] * 1e6 + 0.5)
+                    .astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({k: np.empty(0, np.int64) for k in
+                                 ("pair_id", "piece", "vtx_idx",
+                                  "x_micro", "y_micro")})
+        return pd.concat(frames, ignore_index=True)
+
+    return ids.map_batches(per_pair, batch_format="numpy")
