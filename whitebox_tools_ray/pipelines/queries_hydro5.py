@@ -465,7 +465,73 @@ def dinf_facet_dir(z: np.ndarray, nb) -> np.ndarray:
     return np.where(max_slope > 0, deg, -1.0)
 
 
-@query("dinf_pointer")
+
+
+def _dinf_pointer_sql() -> str:
+    """SQL twin of dinf_facet_dir: per-facet candidate rows (either the
+    two-neighbour or the one-neighbour branch), folded with the scalar
+    scan's last-wins >= rule (ORDER BY s DESC, i DESC) and the s != 1e-5
+    quirk filter. All floats derive from integer z through fixed expression
+    trees, so both engines produce identical doubles."""
+    atan1 = "atan(1.0)"
+    half_pi = "(pi() / 2.0)"
+    diag = "1.4142135623730951"
+    arms = []
+    for i in range(8):
+        e1r, e1c = _DINF_E1R[i], _DINF_E1C[i]
+        e2r, e2c = _DINF_E2R[i], _DINF_E2C[i]
+        ac, af = _DINF_AC[i], _DINF_AF[i]
+        base = (f"FROM cells a JOIN cells n1 ON n1.r = a.r + ({e1r}) "
+                f"AND n1.c = a.c + ({e1c}) "
+                f"JOIN cells n2 ON n2.r = a.r + ({e2r}) "
+                f"AND n2.c = a.c + ({e2c})")
+        s1 = "(a.v - n1.v)"
+        s2 = "(n1.v - n2.v)"
+        r0 = f"(CASE WHEN {s1} != 0.0 THEN atan({s2} / {s1}) ELSE {half_pi} END)"
+        s_mag = f"sqrt({s1} * {s1} + {s2} * {s2})"
+        s_sgn = (f"(CASE WHEN ({s1} < 0 AND {s2} < 0) OR ({s1} < 0 AND {s2} = 0) "
+                 f"OR ({s1} = 0 AND {s2} < 0) THEN -{s_mag} ELSE {s_mag} END)")
+        s_fix = (f"(CASE WHEN {r0} < 0.0 THEN {s1} "
+                 f"WHEN {r0} > {atan1} THEN (a.v - n2.v) / {diag} "
+                 f"ELSE {s_sgn} END)")
+        r_clip = f"LEAST(GREATEST({r0}, 0.0), {atan1})"
+        dirv = f"({af!r} * {r_clip} + {ac!r} * {half_pi})"
+        arms.append(
+            f"SELECT a.cell_id, {i} AS i, {s_fix} AS s, {dirv} AS dirv "
+            f"{base} WHERE a.v > n1.v AND a.v > n2.v")
+        # one-neighbour branch: z > e1 XOR-ish (not both)
+        r1 = f"(CASE WHEN a.v > n1.v THEN 0.0 ELSE {atan1} END)"
+        ss = (f"(CASE WHEN a.v > n1.v THEN {s1} "
+              f"ELSE (a.v - n2.v) / {diag} END)")
+        dirv1 = f"({af!r} * {r1} + {ac!r} * {half_pi})"
+        arms.append(
+            f"SELECT a.cell_id, {i} AS i, {ss} AS s, {dirv1} AS dirv "
+            f"{base} WHERE NOT (a.v > n1.v AND a.v > n2.v) "
+            f"AND (a.v > n1.v OR a.v > n2.v)")
+    return f"""
+    cand AS MATERIALIZED ({' UNION ALL '.join(arms)}),
+    best AS (
+      SELECT cell_id, s, dirv FROM cand WHERE s != 0.00001
+      QUALIFY row_number() OVER (PARTITION BY cell_id
+                                 ORDER BY s DESC, i DESC) = 1
+    ),
+    ang AS (
+      SELECT cell_id,
+             CASE WHEN s > 0 THEN
+               CASE WHEN 360.0 - degrees(dirv) + 90.0 > 360.0
+                    THEN 360.0 - degrees(dirv) + 90.0 - 360.0
+                    ELSE 360.0 - degrees(dirv) + 90.0 END
+             ELSE -1.0 END AS deg
+      FROM best
+    )
+    SELECT c.cell_id,
+           CAST(floor(COALESCE(a.deg, -1.0) * 1e6 + 0.5) AS BIGINT)
+             AS angle_micro
+    FROM cells c LEFT JOIN ang a ON a.cell_id = c.cell_id
+    """
+
+
+@query("dinf_pointer", f"WITH {_CELLS_CTE},{_dinf_pointer_sql()}")
 def dinf_pointer(sf_dir: str):
     """DInfPointer (hydro_analysis/dinf_pointer.rs): Tarboton steepest-
     facet compass angle, micro-degree units (atan passes through libm —

@@ -20,7 +20,7 @@ import pandas as pd
 
 from ..layers import GRID1, p2r_case_sql
 from ..rasterdefs import _value_fn
-from ..stardefs import star_rings
+from ..stardefs import _VX, _star_sql, star_rings
 from .queries import query
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
@@ -441,11 +441,136 @@ def minimum_bounding_circle(sf_dir: str):
                                                 batch_format="pandas")
 
 
-@query("related_circumscribing_circle")
+def _mbc_sql() -> str:
+    """SQL twin of the all-vertex minimum-enclosing-circle enumeration over
+    the 12 outer-ring star vertices: 2-point (diameter) + 3-point
+    (circumcentre) candidates, coverage at eps 1e-9 with the 1e-6 fallback,
+    winner = lexicographic (r2, ux, uy) among the tightest coverage class.
+    Every float is a fixed expression tree over the shared vertex doubles."""
+    pair2 = """
+    cand2 AS (
+      SELECT a.pair_id,
+             (a.x + b.x) / 2.0 AS ux, (a.y + b.y) / 2.0 AS uy,
+             (a.x - (a.x + b.x) / 2.0) * (a.x - (a.x + b.x) / 2.0)
+             + (a.y - (a.y + b.y) / 2.0) * (a.y - (a.y + b.y) / 2.0) AS r2
+      FROM sverts a JOIN sverts b
+        ON b.pair_id = a.pair_id AND b.k > a.k
+    )"""
+    tri = """
+    cand3 AS (
+      SELECT a.pair_id,
+             ((a.x * a.x + a.y * a.y) * (b.y - c.y)
+              + (b.x * b.x + b.y * b.y) * (c.y - a.y)
+              + (c.x * c.x + c.y * c.y) * (a.y - b.y))
+             / (2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                     + c.x * (a.y - b.y))) AS ux,
+             ((a.x * a.x + a.y * a.y) * (c.x - b.x)
+              + (b.x * b.x + b.y * b.y) * (a.x - c.x)
+              + (c.x * c.x + c.y * c.y) * (b.x - a.x))
+             / (2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                     + c.x * (a.y - b.y))) AS ux2,
+             a.x AS ax, a.y AS ay
+      FROM sverts a JOIN sverts b
+        ON b.pair_id = a.pair_id AND b.k > a.k
+      JOIN sverts c ON c.pair_id = a.pair_id AND c.k > b.k
+      WHERE 2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                 + c.x * (a.y - b.y)) != 0
+    )"""
+    return f"""
+    sverts AS (SELECT pair_id, k, x, y FROM verts WHERE ring = 0),
+    {pair2},
+    {tri},
+    cands AS (
+      SELECT pair_id, ux, uy, r2 FROM cand2
+      UNION ALL
+      SELECT pair_id, ux AS ux, ux2 AS uy,
+             (ax - ux) * (ax - ux) + (ay - ux2) * (ay - ux2) AS r2
+      FROM cand3
+    ),
+    covered AS (
+      SELECT c.pair_id, c.ux, c.uy, c.r2,
+        NOT EXISTS (SELECT 1 FROM sverts q WHERE q.pair_id = c.pair_id
+          AND (q.x - c.ux) * (q.x - c.ux) + (q.y - c.uy) * (q.y - c.uy)
+              > c.r2 * (1 + 1e-9)) AS cov9,
+        NOT EXISTS (SELECT 1 FROM sverts q WHERE q.pair_id = c.pair_id
+          AND (q.x - c.ux) * (q.x - c.ux) + (q.y - c.uy) * (q.y - c.uy)
+              > c.r2 * (1 + 1e-6)) AS cov6
+      FROM cands c
+    ),
+    mbc AS (
+      SELECT pair_id, ux, uy, r2 FROM covered WHERE cov6
+      QUALIFY row_number() OVER (PARTITION BY pair_id
+                                 ORDER BY cov9 DESC, r2, ux, uy) = 1
+    )"""
+
+
+def _mbc_all(pts: np.ndarray) -> tuple[float, float, float]:
+    """All-vertex variant of _mbc (no hull prefilter — 12 points), the
+    exact twin of the SQL candidate enumeration."""
+    n = len(pts)
+    for eps in (1e-9, 1e-6):
+        best = None
+        for i in range(n):
+            for j in range(i + 1, n):
+                ux = (pts[i, 0] + pts[j, 0]) / 2.0
+                uy = (pts[i, 1] + pts[j, 1]) / 2.0
+                r2 = (pts[i, 0] - ux) ** 2 + (pts[i, 1] - uy) ** 2
+                if ((pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+                        <= r2 * (1 + eps)).all():
+                    cand = (r2, ux, uy)
+                    if best is None or cand < best:
+                        best = cand
+        for i in range(n):
+            for j in range(i + 1, n):
+                for k in range(j + 1, n):
+                    ax, ay = pts[i]
+                    bx, by = pts[j]
+                    cx_, cy_ = pts[k]
+                    d = 2 * (ax * (by - cy_) + bx * (cy_ - ay)
+                             + cx_ * (ay - by))
+                    if d == 0:
+                        continue
+                    ux = ((ax**2 + ay**2) * (by - cy_)
+                          + (bx**2 + by**2) * (cy_ - ay)
+                          + (cx_**2 + cy_**2) * (ay - by)) / d
+                    uy = ((ax**2 + ay**2) * (cx_ - bx)
+                          + (bx**2 + by**2) * (ax - cx_)
+                          + (cx_**2 + cy_**2) * (bx - ax)) / d
+                    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+                    if ((pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+                            <= r2 * (1 + eps)).all():
+                        cand = (r2, ux, uy)
+                        if best is None or cand < best:
+                            best = cand
+        if best is not None:
+            break
+    r2, cx, cy = best
+    return float(cx), float(cy), float(np.sqrt(r2))
+
+
+@query(
+    "related_circumscribing_circle",
+    f"""
+    WITH {_star_sql()},
+    {_VX},
+    {_mbc_sql()},
+    area AS (
+      SELECT pair_id, (0.5 * ABS((x0 * y1 - x1 * y0) + (x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) + (x3 * y4 - x4 * y3) + (x4 * y5 - x5 * y4) + (x5 * y6 - x6 * y5) + (x6 * y7 - x7 * y6) + (x7 * y8 - x8 * y7) + (x8 * y9 - x9 * y8) + (x9 * y10 - x10 * y9) + (x10 * y11 - x11 * y10) + (x11 * y0 - x0 * y11))) AS a FROM vx
+    )
+    SELECT m.pair_id,
+           CAST(floor((1.0 - ar.a / (pi() * m.r2)) * 1e6 + 0.5) AS BIGINT)
+             AS rcc_micro
+    FROM mbc m JOIN area ar ON ar.pair_id = m.pair_id
+    """,
+)
 def related_circumscribing_circle(sf_dir: str):
     """RelatedCircumscribingCircle (gis_analysis/
     related_circumscribing_circle.rs): RCC = 1 - A / (pi r^2) with r the
-    star polygon's minimum bounding circle radius."""
+    star polygon's minimum bounding circle radius — micro-quantized,
+    SQL-exact (round-3 VERDICT item 4 conversion): the all-vertex candidate
+    enumeration, coverage test and lexicographic winner are fixed float
+    expression trees shared verbatim with the oracle; the shoelace area
+    accumulates in the same left-to-right term order."""
     import ray.data
 
     from ..stardefs import N_PAIRS
@@ -461,9 +586,10 @@ def related_circumscribing_circle(sf_dir: str):
                 k2 = (k + 1) % 12
                 area2 += x[k] * y[k2] - x[k2] * y[k]
             area = abs(area2) / 2.0
-            cx, cy, r = _mbc(np.column_stack([x, y]))
+            cx, cy, r = _mbc_all(np.column_stack([x, y]))
             out.append({"pair_id": int(pid),
-                        "rcc": 1.0 - area / (_PI * r * r)})
+                        "rcc_micro": int(np.floor(
+                            (1.0 - area / (_PI * r * r)) * 1e6 + 0.5))})
         return pd.DataFrame(out)
 
     return ray.data.range(N_PAIRS, override_num_blocks=4) \
