@@ -84,6 +84,7 @@ def run_bench() -> dict:
         "n_tiles": head["n_tiles"],
         "sf": SF_DIR,
         "num_cpus": NCPU,
+        "env_calibration": env_calibration(),
     }
     ray.shutdown()
     return result
@@ -163,8 +164,39 @@ def run_scaling() -> dict:
     }
 
 
+def env_calibration() -> dict:
+    """Fixed-work CPU/DRAM calibration recorded alongside every bench run
+    (round-3 VERDICT item 8: r02->r03 showed ~1.5-2x wall variance on
+    UNCHANGED compute-bound entries across driver runs on this VM; this
+    pins each run's machine speed so regressions separate from weather).
+    Two single-process probes: a compute-bound integer hash sweep and a
+    bandwidth-bound big-array reduction."""
+    import numpy as np
+
+    a = np.arange(40_000_000, dtype=np.uint64)
+    t0 = time.time()
+    h = a.copy()
+    for _ in range(3):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    compute_s = time.time() - t0
+    big = np.zeros(200_000_000, np.uint8)
+    t0 = time.time()
+    sink = 0
+    for _ in range(3):
+        sink += int(big.sum())
+    bw_s = time.time() - t0
+    return {
+        "hash_sweep_sec": round(compute_s, 3),
+        "mem_reduce_sec": round(bw_s, 3),
+        "hash_mitem_per_sec": round(40 * 3 / compute_s, 1),
+        "mem_gb_per_sec": round(0.2 * 3 / bw_s, 2),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--verify-env" in sys.argv:
+        print(json.dumps({"env_calibration": env_calibration()}))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--pages-one" in sys.argv:
         res = run_pages(NCPU)

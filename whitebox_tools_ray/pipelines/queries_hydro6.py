@@ -16,6 +16,7 @@ import ray
 from ..layers import GRID1
 from ..rasterdefs import _CELLS_CTE, _value_fn
 from .queries import query
+from ..linedefs import _dda_walk_sql
 from .sqlgen import synth_segments_cte
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
@@ -50,40 +51,6 @@ def _dda_cells(n: int, seed: int = 42) -> np.ndarray:
         ok = (cy >= -85) & (cy <= 84) & (cx >= -180) & (cx <= 179)
         cells.append((84 - cy[ok]) * _COLS + (cx[ok] + 180))
     return np.unique(np.concatenate(cells))
-
-
-def _dda_walk_sql(n: int, seed: int, name: str) -> str:
-    """CTE ``{name}`` of distinct rasterized cell ids for a seeded layer."""
-    return f"""
-    {name}_snap AS (
-      SELECT seg_id, CAST(floor(x0) AS BIGINT) AS cx0,
-             CAST(floor(y0) AS BIGINT) AS cy0,
-             CAST(floor(x1) AS BIGINT) AS cx1,
-             CAST(floor(y1) AS BIGINT) AS cy1
-      FROM {name}_seg),
-    {name}_par AS (
-      SELECT seg_id, cx0, cy0, cx1, cy1,
-             GREATEST(ABS(cx1 - cx0), ABS(cy1 - cy0)) AS span,
-             ABS(cx1 - cx0) AS adx, ABS(cy1 - cy0) AS ady,
-             CASE WHEN cx1 >= cx0 THEN 1 ELSE -1 END AS sx,
-             CASE WHEN cy1 >= cy0 THEN 1 ELSE -1 END AS sy
-      FROM {name}_snap),
-    {name}_steps AS (SELECT p.*, CAST(g.i AS BIGINT) AS i
-                     FROM {name}_par p JOIN range(0, 20) g(i)
-                     ON g.i <= p.span),
-    {name}_walk AS (SELECT
-        CASE WHEN adx >= ady THEN cx0 + i * sx
-             ELSE cx0 + sx * ((2 * i * adx + ady) // (2 * ady)) END AS cx,
-        CASE WHEN adx >= ady THEN
-             CASE WHEN adx = 0 THEN cy0
-                  ELSE cy0 + sy * ((2 * i * ady + adx) // (2 * adx)) END
-             ELSE cy0 + i * sy END AS cy
-      FROM {name}_steps),
-    {name} AS MATERIALIZED (
-      SELECT DISTINCT (84 - cy) * {_COLS} + (cx + 180) AS cell_id
-      FROM {name}_walk
-      WHERE cy BETWEEN -85 AND 84 AND cx BETWEEN -180 AND 179)
-    """
 
 
 def _burn_sql() -> str:

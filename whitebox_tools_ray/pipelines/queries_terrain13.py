@@ -64,11 +64,73 @@ def road_cells() -> np.ndarray:
     return np.unique(np.concatenate(out))
 
 
-@query("embankment_mapping")
+
+
+def _emb_sql() -> str:
+    """SQL twin of the embankment grow: truncated-window 11x11 white
+    top-hat (erode-then-dilate arm unions), the shared DDA road layer, and
+    the width-capped region grow unrolled as 8 masked 8-dilations (the
+    radius cap makes the fixpoint a bounded morphology, so the oracle needs
+    no recursion)."""
+    from ..linedefs import _dda_walk_sql
+    from .sqlgen import synth_segments_cte
+
+    roads_seg = synth_segments_cte(_ROAD_N, seed=4242) \
+        .replace("seg_h", "road_seg_h").replace("seg_u", "road_seg_u") \
+        .replace("seg AS", "road_seg AS")
+    ero_arms = " UNION ALL ".join(
+        f"SELECT a.cell_id, b.v AS w FROM cells a JOIN cells b "
+        f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+        for dr in range(-5, 6) for dc in range(-5, 6))
+    opn_arms = " UNION ALL ".join(
+        f"SELECT a.cell_id, e.e AS w FROM cells a JOIN ero e "
+        f"ON e.r = a.r + ({dr}) AND e.c = a.c + ({dc})"
+        for dr in range(-5, 6) for dc in range(-5, 6))
+    dil = []
+    g_prev = "g0"
+    for step in range(1, _WMAX + 1):
+        arms = " UNION ALL ".join(
+            f"SELECT m.cell_id, m.r, m.c FROM mask m JOIN {g_prev} g "
+            f"ON g.r = m.r + ({dr}) AND g.c = m.c + ({dc})"
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+        dil.append(f"""g{step} AS MATERIALIZED (
+      SELECT DISTINCT cell_id, r, c FROM ({arms}) t)""")
+        g_prev = f"g{step}"
+    from ..rasterdefs import _CELLS_CTE
+
+    return f"""
+    WITH {_CELLS_CTE},
+    {roads_seg},
+    {_dda_walk_sql(_ROAD_N, 4242, "road")},
+    ero AS MATERIALIZED (
+      SELECT t.cell_id, c2.r, c2.c, MIN(t.w) AS e
+      FROM ({ero_arms}) t JOIN cells c2 ON c2.cell_id = t.cell_id
+      GROUP BY t.cell_id, c2.r, c2.c
+    ),
+    opn AS MATERIALIZED (
+      SELECT cell_id, MAX(w) AS o FROM ({opn_arms}) GROUP BY cell_id
+    ),
+    th AS MATERIALIZED (
+      SELECT c.cell_id, c.r, c.c, c.v - o.o AS th
+      FROM cells c JOIN opn o ON o.cell_id = c.cell_id
+    ),
+    mask AS MATERIALIZED (SELECT cell_id, r, c FROM th WHERE th >= {_HMIN}),
+    g0 AS MATERIALIZED (
+      SELECT m.cell_id, m.r, m.c FROM mask m
+      JOIN road rd ON rd.cell_id = m.cell_id
+    ),
+    {",".join(dil)}
+    SELECT c.cell_id, CAST(g.cell_id IS NOT NULL AS BIGINT) AS emb
+    FROM cells c LEFT JOIN g{_WMAX} g ON g.cell_id = c.cell_id
+    """
+
+
+@query("embankment_mapping", _emb_sql())
 def embankment_mapping(sf_dir: str):
     """EmbankmentMapping / MapEmbankments (module docstring): road-seeded
     width-capped grow over the top-hat residual. Output (cell_id, emb)
-    int64 0/1 over the full grid."""
+    int64 0/1 over the full grid. SQL-exact (round-4 conversion): the
+    bounded grow unrolls as 8 masked dilations in the oracle."""
     from ..stages.raster import window_exchange
     from ..stages.spatial_join import _cached_get
 
