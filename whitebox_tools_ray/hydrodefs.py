@@ -266,6 +266,96 @@ _POUR_CTES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Priority-flood fill as SQL (FillDepressions, hydro_analysis/
+# fill_depressions.rs semantics; Barnes et al. 2014 fixed point):
+#   W = max(z, min over 8-neighbours W),  W = z on the grid border,
+# iterated from W0 = +inf by Jacobi relaxation. The fixed registered dems
+# all converge in <= 180 steps (measured; equality with an independent
+# global heapq priority flood is asserted per-dem in tests/test_fill_sql.py,
+# so a too-small step budget can never ship silently). The 8-neighbour min
+# is separable: one horizontal min3/min2 window layer, then a vertical
+# LAG/LEAD(cols) layer — 4 window evaluations per step instead of 8.
+# ---------------------------------------------------------------------------
+_FILL_BIG = 1 << 40
+
+
+def _fill_step_select(src: str, zs: list[str]) -> str:
+    """One Jacobi step over every w-lane in `zs` (list of (wcol, zcol))."""
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    border = (f"(cid < {cols} OR cid >= {n - cols} OR cid % {cols} = 0 "
+              f"OR cid % {cols} = {cols - 1})")
+    keep = "iter, cid, " + ", ".join(z for _, z in zs)
+    h_terms, v_terms = [], []
+    for w, z in zs:
+        lft = (f"COALESCE(CASE WHEN (cid % {cols}) > 0 THEN LAG({w}, 1) "
+               f"OVER (ORDER BY cid) END, {_FILL_BIG})")
+        rgt = (f"COALESCE(CASE WHEN (cid % {cols}) < {cols - 1} THEN "
+               f"LEAD({w}, 1) OVER (ORDER BY cid) END, {_FILL_BIG})")
+        h_terms.append(f"LEAST({lft}, {w}, {rgt}) AS h3_{w}, "
+                       f"LEAST({lft}, {rgt}) AS h2_{w}")
+        up = f"COALESCE(LAG(h3_{w}, {cols}) OVER (ORDER BY cid), {_FILL_BIG})"
+        dn = f"COALESCE(LEAD(h3_{w}, {cols}) OVER (ORDER BY cid), {_FILL_BIG})"
+        v_terms.append(f"CASE WHEN {border} THEN {z} ELSE "
+                       f"GREATEST({z}, LEAST({up}, h2_{w}, {dn})) END AS {w}")
+    l1 = f"SELECT {keep}, " + ", ".join(h_terms) + f" FROM ({src})"
+    return f"SELECT {keep}, " + ", ".join(v_terms) + f" FROM ({l1})"
+
+
+def _fill_cte(dem_exprs, outer: int, steps: int = 4, name: str = "fillw") -> str:
+    """CTE text computing the filled surface(s) for one or more integer dem
+    expressions over `cid` (BIGINT cell id, row-major over GRID1). Single
+    dem -> columns (cell_id, z, fill); a list of k dems -> (cell_id, z0,
+    fill0, ..). `outer*steps` Jacobi steps run lock-step for every lane.
+    Requires WITH RECURSIVE in the enclosing query."""
+    if isinstance(dem_exprs, str):
+        dem_exprs = [dem_exprs]
+        single = True
+    else:
+        single = False
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    border0 = (f"(t.i < {cols} OR t.i >= {n - cols} OR t.i % {cols} = 0 "
+               f"OR t.i % {cols} = {cols - 1})")
+    zs = [(f"w{k}", f"z{k}") for k in range(len(dem_exprs))]
+    init_cols = []
+    for k, expr in enumerate(dem_exprs):
+        demi = expr.replace("cid", "CAST(t.i AS BIGINT)")
+        init_cols.append(f"({demi}) AS z{k}")
+        init_cols.append(f"CASE WHEN {border0} THEN ({demi}) "
+                         f"ELSE {_FILL_BIG} END AS w{k}")
+    src = (f"SELECT iter, cid, "
+           + ", ".join(f"{z}, {w}" for w, z in zs)
+           + f" FROM relax_{name} WHERE iter < {outer}")
+    for _ in range(steps):
+        src = _fill_step_select(src, zs)
+    decl = ", ".join(f"{z}, {w}" for w, z in zs)
+    out = ("z0 AS z, w0 AS fill" if single else
+           ", ".join(f"z{k}, w{k} AS fill{k}" for k in range(len(dem_exprs))))
+    return f"""relax_{name}(iter, cid, {decl}) AS (
+      SELECT 0, CAST(t.i AS BIGINT), {", ".join(init_cols)}
+      FROM range({n}) t(i)
+      UNION ALL
+      SELECT iter+1, cid, {decl} FROM ({src}) s
+    ),
+    {name} AS MATERIALIZED (
+      SELECT cid AS cell_id, {out} FROM relax_{name}
+      WHERE iter = {outer}
+    )"""
+
+
+# the two dems shared by fill-family entries across modules (leaf-resident:
+# queries_raster and queries_hydro8 both consume the planted-pit dem at
+# decoration time)
+_FILL_DEM_VALUE = "(cid*1000003)%1000"  # == rasterdefs._value_fn as int64
+_FILL_DEM_PITS = (
+    f"CASE WHEN (cid//{GRID1.cols} > 40 AND cid//{GRID1.cols} < 50 "
+    f"AND cid%{GRID1.cols} > 60 AND cid%{GRID1.cols} < 75) "
+    f"OR (cid//{GRID1.cols} > 100 AND cid//{GRID1.cols} < 115 "
+    f"AND cid%{GRID1.cols} > 200 AND cid%{GRID1.cols} < 220) "
+    f"THEN 5 ELSE 100 + (cid*7919)%400 END"
+)
+
+
 def _strahler_levels(kmax: int = 12, graph: str = 'graph') -> tuple[str, str]:
     """(level CTE text, per-cell order expression for alias `{cell}`): the
     level-set Strahler construction (order >= k iff downstream-or-equal of a

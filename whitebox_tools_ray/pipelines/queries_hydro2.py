@@ -12,7 +12,7 @@ import ray
 
 from ..hydrodefs import (STREAM_ACC_T, _GRAPH_CTES, _LINK_CTES, _STREAM_CTES,
                          _WALK_UNITS_CTE, _d8_pointer, _dest_in_stream,
-                         _stream_cut_graphs)
+                         _fill_cte, _stream_cut_graphs)
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
@@ -853,12 +853,17 @@ def long_profile(sf_dir: str):
     return j.map_batches(addz, batch_format="pandas")
 
 
-@query("depth_in_sink")
+@query(
+    "depth_in_sink",
+    f"WITH RECURSIVE {_fill_cte('(cid*2654435761)%1000003', 48)} "
+    "SELECT cell_id, (fill - z) AS depth FROM fillw",
+)
 def depth_in_sink(sf_dir: str):
     """DepthInSink (hydro_analysis/depth_in_sink.rs): fill elevation minus
     surface elevation per cell (0 outside depressions) — pure composition of
-    the priority-flood fill stage. Rows-only (fill is iterative); the fill
-    itself is brute-force verified in tests/test_flow.py."""
+    the priority-flood fill stage. SQL oracle: hydrodefs._fill_cte Jacobi
+    relaxation (192 steps; converges at 169 on this dem,
+    tests/test_fill_sql.py)."""
     from ..stages.pregel import fill_depressions_pregel
 
     def z_fn(cids: np.ndarray) -> np.ndarray:

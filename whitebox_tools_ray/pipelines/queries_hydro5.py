@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import _GRAPH_CTES, _WALK_UNITS_CTE, _d8_pointer
+from ..hydrodefs import (_FILL_DEM_VALUE, _GRAPH_CTES, _WALK_UNITS_CTE,
+                         _d8_pointer, _fill_cte)
 from ..layers import GRID1
 from ..rasterdefs import _CELLS_CTE, _value_fn
 from .queries import query
@@ -376,10 +377,31 @@ def unnest_basins(sf_dir: str):
 # UpslopeDepressionStorage (hydro_analysis/upslope_depression_storage.rs):
 # mean upslope (fill - z) depth — the priority-flood fill composed with
 # TWO weighted accumulations (depth sum in fixed units; upslope cell
-# count), exact integers. Rows-only (fill is not SQL-expressible); dense
-# composition oracle in tests/test_hydro5.py.
+# count), exact integers. SQL oracle: the hydrodefs._fill_cte relaxation
+# (depth = fill - z) summed over the D8 walk closure; the dense
+# composition oracle in tests/test_hydro5.py stays as a cross-check.
 # --------------------------------------------------------------------------
-@query("upslope_depression_storage")
+@query(
+    "upslope_depression_storage",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_fill_cte(_FILL_DEM_VALUE, 50)},
+    dep AS MATERIALIZED (SELECT cell_id, fill - z AS d FROM fillw),
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    ),
+    up AS (
+      SELECT w.cur AS cell_id, SUM(d.d) AS ds, COUNT(*) AS n
+      FROM walk w JOIN dep d ON d.cell_id = w.start GROUP BY w.cur
+    )
+    SELECT dp.cell_id, CAST(dp.d + COALESCE(u.ds, 0) AS BIGINT) AS depth_sum,
+           CAST(1 + COALESCE(u.n, 0) AS BIGINT) AS n_up
+    FROM dep dp LEFT JOIN up u ON u.cell_id = dp.cell_id
+    """,
+)
 def upslope_depression_storage(sf_dir: str):
     from ..stages.flow import down_ds_from_pointer, tile_of_expr
     from ..stages.pregel import (fill_depressions_pregel,

@@ -27,9 +27,16 @@ import heapq
 import numpy as np
 import pandas as pd
 
+from ..hydrodefs import _FILL_DEM_VALUE, _fill_cte
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
+
+# both fill entries share one SQL oracle: the Jacobi minimax relaxation
+# (hydrodefs._fill_cte, 200 steps; convergence at 180 on this dem verified
+# against the independent global priority flood in tests/test_fill_sql.py)
+_FILL_VALUE_SQL = (f"WITH RECURSIVE {_fill_cte(_FILL_DEM_VALUE, 50)} "
+                   "SELECT cell_id, fill FROM fillw")
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
 _BIG = float(1 << 40)
@@ -86,10 +93,11 @@ def _tile_relax(padded: np.ndarray, nr: int, nc: int, r0: int, c0: int
     return W, changed
 
 
-@query("fill_depressions_planchon_darboux")
+@query("fill_depressions_planchon_darboux", _FILL_VALUE_SQL)
 def fill_depressions_planchon_darboux(sf_dir: str):
-    """Rows-only; dense independent priority-flood equality oracle in
-    tests/test_hydro7.py."""
+    """SQL-exact (shared _FILL_VALUE_SQL relaxation oracle); the dense
+    independent priority-flood equality oracle in tests/test_hydro7.py
+    stays as a second cross-check."""
     import ray.data
 
     from ..stages.raster import stencil_k, stencil_tiles_as_input
@@ -155,13 +163,13 @@ def fill_depressions_planchon_darboux(sf_dir: str):
     return tiles.map_batches(explode, batch_format="pandas")
 
 
-@query("fill_depressions_wang_liu")
+@query("fill_depressions_wang_liu", _FILL_VALUE_SQL)
 def fill_depressions_wang_liu(sf_dir: str):
     """FillDepressionsWangAndLiu (hydro_analysis/
     fill_depressions_wang_and_liu.rs): the least-cost spill elevation via
     label-correcting sweeps — the shard Pregel fill IS the distributed
-    member of this algorithm family. Rows-only; priority-flood equality in
-    tests/test_hydro7.py."""
+    member of that algorithm family. SQL-exact (shared _FILL_VALUE_SQL);
+    priority-flood equality also in tests/test_hydro7.py."""
     from ..stages.pregel import fill_depressions_pregel
 
     def zfn(cells: np.ndarray) -> np.ndarray:

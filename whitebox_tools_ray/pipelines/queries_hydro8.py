@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import _GRAPH_CTES, _WALK_UNITS_CTE, _d8_pointer
+from ..hydrodefs import (_FILL_DEM_PITS, _GRAPH_CTES, _WALK_UNITS_CTE,
+                         _d8_pointer, _fill_cte)
 from ..layers import GRID1
 from .queries import query
 
@@ -56,15 +57,21 @@ def _fo_zfn(cids: np.ndarray) -> np.ndarray:
     return np.where(pit1 | pit2, 5, z).astype(np.int64)
 
 
-@query("flood_order")
+@query(
+    "flood_order",
+    f"WITH RECURSIVE {_fill_cte(_FILL_DEM_PITS, 40)} "
+    "SELECT cell_id, ROW_NUMBER() OVER (ORDER BY fill, cell_id) "
+    "AS flood_ord FROM fillw",
+)
 def flood_order(sf_dir: str):
     """FloodOrder (hydro_analysis/flood_order.rs:293-335): each cell's
     1-based position in the edge-inward inundation sequence. Spill
     elevations from the sharded priority-flood fill; the global rank is a
     tiny per-level offset table (distinct spill values, driver-side cumsum,
     bounded by the value alphabet) plus a per-level groupby rank by cell id
-    (plateau groups; the tie canonicalization documented above). Output
-    (cell_id, flood_ord) int64."""
+    (plateau groups; the tie canonicalization documented above). SQL
+    oracle: the hydrodefs._fill_cte relaxation ranked by (fill, cell_id).
+    Output (cell_id, flood_ord) int64."""
     from ..relational import partial_agg
     from ..stages.pregel import fill_depressions_pregel
 

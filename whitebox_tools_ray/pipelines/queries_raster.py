@@ -483,6 +483,8 @@ from ..hydrodefs import (  # noqa: E402
     _d8_len,
     _hop_sql,
     STREAM_ACC_T,
+    _FILL_DEM_PITS,
+    _fill_cte,
 )
 
 
@@ -998,15 +1000,20 @@ def raster_summary_stats(sf_dir: str):
     return agg.drop_columns(["k"])
 
 
-@query("fill_depressions")
+@query(
+    "fill_depressions",
+    f"WITH RECURSIVE {_fill_cte(_FILL_DEM_PITS, 40)} "
+    "SELECT cell_id, fill FROM fillw",
+)
 def fill_depressions(sf_dir: str):
     """FillDepressions (hydro_analysis/fill_depressions.rs): raise every
     cell to its spill elevation via parallel priority-flood — sharded
     label-correcting sweep in the (min, max) semiring with raster-border
     seeds (stages/pregel.fill_depressions_pregel, Barnes et al. 2014
     priority-flood semantics, D8 connectivity). Planted pits guarantee a
-    non-trivial fill. Rows-only; exact global priority-flood oracle in
-    tests/test_flow.py. Output: (cell_id, fill) int64."""
+    non-trivial fill. SQL oracle: hydrodefs._fill_cte Jacobi relaxation
+    (160 steps; convergence at 143 verified against the global heapq
+    priority flood in tests/test_fill_sql.py). Output: (cell_id, fill)."""
     from ..stages.pregel import fill_depressions_pregel
 
     def z_fn(cids: np.ndarray) -> np.ndarray:
