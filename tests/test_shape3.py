@@ -66,15 +66,18 @@ def test_minimum_bounding_circle_entry(ray_session):
         minimum_bounding_circle
     from whitebox_tools_ray.sources.tables import read_points
 
-    res = minimum_bounding_circle(SF).to_pandas()
+    res = minimum_bounding_circle(SF)
     pts = read_points(SF, extra_cols=("event_type",)).to_pandas()
     assert set(res["event_type"]) == set(pts["event_type"])
     for _, row in res.iterrows():
         g = pts[pts["event_type"] == row["event_type"]]
-        d = np.sqrt((g["x"] - row["cx"]) ** 2 + (g["y"] - row["cy"]) ** 2)
-        assert (d <= row["radius"] * (1 + 1e-6)).all()
+        cx, cy = row["cx_u"] / 1e6, row["cy_u"] / 1e6
+        r = row["r_u"] / 1e6
+        d = np.sqrt((g["x"] - cx) ** 2 + (g["y"] - cy) ** 2)
+        assert (d <= r * (1 + 1e-5)).all()
         # minimality: at least 2 support points on the boundary
-        assert (d >= row["radius"] * (1 - 1e-6)).sum() >= 2
+        assert (d >= r * (1 - 1e-5)).sum() >= 2
+        assert row["n"] == len(g)
 
 
 def test_related_circumscribing_circle(ray_session):

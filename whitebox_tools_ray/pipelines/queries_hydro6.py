@@ -13,11 +13,12 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..hydrodefs import _fill_cte
 from ..layers import GRID1
 from ..rasterdefs import _CELLS_CTE, _value_fn
 from .queries import query
 from ..linedefs import _dda_walk_sql
-from .sqlgen import synth_segments_cte
+from .sqlgen import sm64, synth_segments_cte
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
 _STREAM_N, _ROAD_N, _ROAD_SEED = 400, 150, 99
@@ -159,13 +160,27 @@ def _sda_noise(cells: np.ndarray, i: int) -> np.ndarray:
     return (h % np.uint64(7)).astype(np.int64) - 3
 
 
-@query("stochastic_depression_analysis")
+def _sda_dem_sql(i: int) -> str:
+    noise = sm64(f"CAST(cid*{_SDA_N} + {i} + {_SDA_SEED} AS UBIGINT)")
+    return (f"((cid*1000003)%1000)*4 + CAST({noise} % 7 AS BIGINT) - 3")
+
+
+@query(
+    "stochastic_depression_analysis",
+    f"WITH RECURSIVE {_fill_cte([_sda_dem_sql(i) for i in range(_SDA_N)], 95)} "
+    "SELECT cell_id, CAST("
+    + " + ".join(f"CASE WHEN fill{i} > z{i} THEN 1 ELSE 0 END"
+                 for i in range(_SDA_N))
+    + " AS BIGINT) AS ndep FROM fillw",
+)
 def stochastic_depression_analysis(sf_dir: str):
     """StochasticDepressionAnalysis (hydro_analysis/
     stochastic_depression_analysis.rs), derandomized: N=4 splitmix64 noise
     realizations; ndep(cell) = number of realizations where the filled
     noisy surface exceeds the noisy surface (cell in a depression).
-    Rows-only; dense 4x priority-flood oracle in tests/test_hydro6.py."""
+    SQL oracle: a 4-lane hydrodefs._fill_cte relaxation (380 steps lock-
+    step; lanes converge at <=346, priority-flood equality in
+    tests/test_hydro6.py stays as the cross-check)."""
     from ..stages.pregel import fill_depressions_pregel
 
     outs = []

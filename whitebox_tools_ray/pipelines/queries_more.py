@@ -417,7 +417,7 @@ def props_extract_stats(sf_dir: str):
 # rotated minimum bounding boxes (lidar_analysis + gis_analysis families)
 # --------------------------------------------------------------------------
 
-from ..pointdefs import PTS_CTE, _cid1  # noqa: E402 (cycle-free)
+from ..pointdefs import EXT_CTES, PTS_CTE, PTS_T_CTE, _cid1  # noqa: E402 (cycle-free)
 
 @query(
     "block_min_max_gridding",
@@ -541,30 +541,128 @@ def centroid_by_type(sf_dir: str):
                         ("sy_q", "sum", "sy_q")])
 
 
-@query("mbb_by_type")
+_MBB_SQL = f"""
+    WITH {PTS_T_CTE},
+    {EXT_CTES},
+    prs AS (
+      SELECT a.event_type, a.k AS ka, b.k AS kb,
+             b.x - a.x AS dx, b.y - a.y AS dy
+      FROM ext a JOIN ext b ON b.event_type = a.event_type AND b.k > a.k
+      WHERE b.x - a.x != 0 OR b.y - a.y != 0
+    ),
+    proj AS (
+      SELECT r.event_type, r.ka, r.kb, r.dx, r.dy,
+             MIN(p.x*r.dx + p.y*r.dy) AS umin,
+             MAX(p.x*r.dx + p.y*r.dy) AS umax,
+             MIN(-(p.x*r.dy) + p.y*r.dx) AS vmin,
+             MAX(-(p.x*r.dy) + p.y*r.dx) AS vmax
+      FROM prs r JOIN pts p ON p.event_type = r.event_type
+      GROUP BY r.event_type, r.ka, r.kb, r.dx, r.dy
+    ),
+    scored AS (
+      SELECT event_type, ka, kb, dx, dy,
+             umax - umin AS w, vmax - vmin AS h,
+             (umax - umin) * (vmax - vmin) / (dx*dx + dy*dy) AS area_s
+      FROM proj
+    ),
+    nn AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type)
+    SELECT s.event_type, nn.n,
+           CAST(FLOOR(LEAST(s.w, s.h) / SQRT(s.dx*s.dx + s.dy*s.dy)
+                      * 1e6 + 0.5) AS BIGINT) AS short_u,
+           CAST(FLOOR(GREATEST(s.w, s.h) / SQRT(s.dx*s.dx + s.dy*s.dy)
+                      * 1e6 + 0.5) AS BIGINT) AS long_u
+    FROM (SELECT * FROM scored
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                    ORDER BY area_s, ka, kb) = 1) s
+    JOIN nn USING (event_type)
+"""
+
+
+@query("mbb_by_type", _MBB_SQL)
 def mbb_by_type(sf_dir: str):
     """MinimumBoundingBox (whitebox-common/src/algorithms/
     minimum_bounding_box.rs, MinimizationCriterion::Area) per event type:
-    short/long axes of the minimum-area rotated box over each type's points
-    (= the PolygonLongAxis / PolygonShortAxis outputs,
-    gis_analysis/polygon_long_axis.rs, polygon_short_axis.rs).
-    Rows-only (rotating-calipers trig is float); brute-force rotation-scan
-    oracle in tests/test_geometry.py guards the kernel."""
-    from ..geometry import min_area_bbox_axes
+    short/long axes of the minimum-area rotated box (= the
+    PolygonLongAxis / PolygonShortAxis outputs, gis_analysis/
+    polygon_long_axis.rs, polygon_short_axis.rs), as a deterministic-limit
+    analog: candidate orientations are the pair directions of the
+    32-direction extreme subset (pointdefs.EXT_DIRS — supersets the hull
+    edges that matter on scattered points), extents are exact min/max
+    projections over ALL points (associative partials, no full-group
+    pull), winner = lexicographic (area, ka, kb). Output
+    (event_type, n, short_u, long_u) micro-quantized int64."""
+    import ray
+
+    from ..pointdefs import type_extremes
+    from ..relational import partial_agg
     from ..sources.tables import read_points
 
-    ds = read_points(sf_dir, extra_cols=("event_type",))
+    ext = type_extremes(sf_dir)
+    pairs = {}
+    for t, g in ext.groupby("event_type", sort=True):
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        ka, kb, dx, dy = [], [], [], []
+        n = len(x)
+        for i in range(n):
+            for j in range(i + 1, n):
+                ddx, ddy = x[j] - x[i], y[j] - y[i]
+                if ddx != 0 or ddy != 0:
+                    ka.append(i + 1)  # 1-based like the SQL ext.k
+                    kb.append(j + 1)
+                    dx.append(ddx)
+                    dy.append(ddy)
+        pairs[t] = (np.asarray(ka, np.int64), np.asarray(kb, np.int64),
+                    np.asarray(dx, np.float64), np.asarray(dy, np.float64))
+    pair_ref = ray.put(pairs)
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        pts = np.column_stack([g["x"].to_numpy(np.float64),
-                               g["y"].to_numpy(np.float64)])
-        s, l = min_area_bbox_axes(pts)
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "short_axis": [s], "long_axis": [l],
-                             "n": [np.int64(len(g))]})
+    pts = read_points(sf_dir, extra_cols=("event_type",))
 
-    # 5 types -> tiny groupby; the hull reduces each group to O(hull) points
-    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    def proj_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        pp = _cached_get(pair_ref)
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        et = df["event_type"].to_numpy()
+        frames = []
+        for t in np.unique(et):
+            m = et == t
+            xm, ym = x[m], y[m]
+            ka, kb, dx, dy = pp[t]
+            u = xm[:, None] * dx[None, :] + ym[:, None] * dy[None, :]
+            v = -(xm[:, None] * dy[None, :]) + ym[:, None] * dx[None, :]
+            frames.append(pd.DataFrame({
+                "event_type": t, "ka": ka, "kb": kb,
+                "umin": u.min(axis=0), "umax": u.max(axis=0),
+                "vmin": v.min(axis=0), "vmax": v.max(axis=0),
+                "n": np.int64(m.sum())}))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = partial_agg(pts.map_batches(proj_part, batch_format="pandas"),
+                      ["event_type", "ka", "kb"],
+                      [("umin", "min", "umin"), ("umax", "max", "umax"),
+                       ("vmin", "min", "vmin"), ("vmax", "max", "vmax"),
+                       ("n", "sum", "n")]).to_pandas()
+
+    rows = []
+    for t, g in agg.groupby("event_type", sort=True):
+        ka, kb, dx, dy = pairs[t]
+        key = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(ka, kb))}
+        idx = np.asarray([key[(int(a), int(b))]
+                          for a, b in zip(g["ka"], g["kb"])], np.int64)
+        w = g["umax"].to_numpy() - g["umin"].to_numpy()
+        h = g["vmax"].to_numpy() - g["vmin"].to_numpy()
+        area_s = w * h / (dx[idx] * dx[idx] + dy[idx] * dy[idx])
+        order = sorted(range(len(area_s)),
+                       key=lambda i: (area_s[i], ka[idx[i]], kb[idx[i]]))
+        i = order[0]
+        ln = np.sqrt(dx[idx[i]] * dx[idx[i]] + dy[idx[i]] * dy[idx[i]])
+        rows.append((t, int(g["n"].iloc[0]),
+                     int(np.floor(min(w[i], h[i]) / ln * 1e6 + 0.5)),
+                     int(np.floor(max(w[i], h[i]) / ln * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["event_type", "n", "short_u",
+                                       "long_u"])
 
 
 @query("quantile_sketch_value")

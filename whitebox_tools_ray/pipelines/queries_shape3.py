@@ -421,24 +421,168 @@ def _mbc(pts: np.ndarray) -> tuple[float, float, float]:
     return float(cx), float(cy), float(np.sqrt(r2))
 
 
-@query("minimum_bounding_circle")
+def _mbc_candidates(ex: np.ndarray, ey: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ux, uy, r2) candidate circles from a small extreme-point set:
+    every pair's diameter circle + every non-degenerate triple's
+    circumcircle — the exact expression trees of the SQL cand2/cand3."""
+    ux, uy, r2 = [], [], []
+    n = len(ex)
+    for i in range(n):
+        for j in range(i + 1, n):
+            cx = (ex[i] + ex[j]) / 2.0
+            cy = (ey[i] + ey[j]) / 2.0
+            ux.append(cx)
+            uy.append(cy)
+            r2.append((ex[i] - cx) ** 2 + (ey[i] - cy) ** 2)
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                ax, ay = ex[i], ey[i]
+                bx, by = ex[j], ey[j]
+                cx_, cy_ = ex[k], ey[k]
+                d = 2 * (ax * (by - cy_) + bx * (cy_ - ay)
+                         + cx_ * (ay - by))
+                if d == 0:
+                    continue
+                px = ((ax * ax + ay * ay) * (by - cy_)
+                      + (bx * bx + by * by) * (cy_ - ay)
+                      + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+                py = ((ax * ax + ay * ay) * (cx_ - bx)
+                      + (bx * bx + by * by) * (ax - cx_)
+                      + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+                ux.append(px)
+                uy.append(py)
+                r2.append((ax - px) ** 2 + (ay - py) ** 2)
+    return (np.asarray(ux, np.float64), np.asarray(uy, np.float64),
+            np.asarray(r2, np.float64))
+
+
+from ..pointdefs import EXT_CTES, PTS_T_CTE  # noqa: E402 (leaf, cycle-free)
+
+_MBC_EVENTS_SQL = f"""
+    WITH {PTS_T_CTE},
+    {EXT_CTES},
+    cand2 AS (
+      SELECT a.event_type, (a.x+b.x)/2.0 AS ux, (a.y+b.y)/2.0 AS uy,
+             (a.x-(a.x+b.x)/2.0)*(a.x-(a.x+b.x)/2.0)
+             + (a.y-(a.y+b.y)/2.0)*(a.y-(a.y+b.y)/2.0) AS r2
+      FROM ext a JOIN ext b ON b.event_type = a.event_type AND b.k > a.k
+    ),
+    cand3 AS (
+      SELECT a.event_type,
+        ((a.x*a.x+a.y*a.y)*(b.y-c.y) + (b.x*b.x+b.y*b.y)*(c.y-a.y)
+         + (c.x*c.x+c.y*c.y)*(a.y-b.y))
+          / (2*(a.x*(b.y-c.y) + b.x*(c.y-a.y) + c.x*(a.y-b.y))) AS ux,
+        ((a.x*a.x+a.y*a.y)*(c.x-b.x) + (b.x*b.x+b.y*b.y)*(a.x-c.x)
+         + (c.x*c.x+c.y*c.y)*(b.x-a.x))
+          / (2*(a.x*(b.y-c.y) + b.x*(c.y-a.y) + c.x*(a.y-b.y))) AS uy,
+        a.x AS ax, a.y AS ay
+      FROM ext a JOIN ext b ON b.event_type = a.event_type AND b.k > a.k
+      JOIN ext c ON c.event_type = a.event_type AND c.k > b.k
+      WHERE 2*(a.x*(b.y-c.y) + b.x*(c.y-a.y) + c.x*(a.y-b.y)) != 0
+    ),
+    cands AS (
+      SELECT event_type, ux, uy, r2 FROM cand2
+      UNION ALL
+      SELECT event_type, ux, uy,
+             (ax-ux)*(ax-ux) + (ay-uy)*(ay-uy) AS r2 FROM cand3
+    ),
+    covered AS (
+      SELECT c.event_type, c.ux, c.uy, c.r2,
+        NOT EXISTS (SELECT 1 FROM pts q WHERE q.event_type = c.event_type
+          AND (q.x-c.ux)*(q.x-c.ux) + (q.y-c.uy)*(q.y-c.uy)
+              > c.r2*(1+1e-9)) AS cov9,
+        NOT EXISTS (SELECT 1 FROM pts q WHERE q.event_type = c.event_type
+          AND (q.x-c.ux)*(q.x-c.ux) + (q.y-c.uy)*(q.y-c.uy)
+              > c.r2*(1+1e-6)) AS cov6
+      FROM cands c
+    ),
+    nn AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type)
+    SELECT m.event_type, nn.n,
+           CAST(FLOOR(m.ux*1e6 + 0.5) AS BIGINT) AS cx_u,
+           CAST(FLOOR(m.uy*1e6 + 0.5) AS BIGINT) AS cy_u,
+           CAST(FLOOR(SQRT(m.r2)*1e6 + 0.5) AS BIGINT) AS r_u
+    FROM (SELECT event_type, ux, uy, r2 FROM covered WHERE cov6
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                    ORDER BY cov9 DESC, r2, ux, uy) = 1) m
+    JOIN nn USING (event_type)
+"""
+
+
+@query("minimum_bounding_circle", _MBC_EVENTS_SQL)
 def minimum_bounding_circle(sf_dir: str):
     """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs) per
-    event type — hull-candidate enumeration (deterministic tie-break);
-    all-points brute oracle in tests/test_shape3.py."""
-    from ..sources.tables import read_points, read_table
+    event type, as a deterministic-limit analog (the CLHS/derandomized-
+    RANSAC precedent): candidate circles are enumerated from the 32-
+    direction extreme subset (pointdefs.EXT_DIRS), each candidate is
+    validated against EVERY point of the type (eps 1e-9 with the 1e-6
+    fallback), winner = lexicographic (cov9 DESC, r2, ux, uy). Three
+    bounded passes, no full-group pull: extreme partials -> tiny (type,
+    dir) groupby; max-d2 coverage partials against a broadcast candidate
+    set (bounded by |dirs|^3 per type); winner picked from that small
+    frame. Output (event_type, n, cx_u, cy_u, r_u) micro-quantized."""
+    import ray
+
+    from ..pointdefs import type_extremes
+    from ..relational import partial_agg
+    from ..sources.tables import read_points
+
+    ext = type_extremes(sf_dir)
+    cands = {}
+    for t, g in ext.groupby("event_type", sort=True):
+        cands[t] = _mbc_candidates(g["x"].to_numpy(np.float64),
+                                   g["y"].to_numpy(np.float64))
+    cand_ref = ray.put(cands)
 
     pts = read_points(sf_dir, extra_cols=("event_type",))
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        xy = np.column_stack([g["x"].to_numpy(np.float64),
-                              g["y"].to_numpy(np.float64)])
-        cx, cy, r = _mbc(xy)
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "cx": [cx], "cy": [cy], "radius": [r]})
+    def cover_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
 
-    return pts.groupby("event_type").map_groups(per_type,
-                                                batch_format="pandas")
+        cc = _cached_get(cand_ref)
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        et = df["event_type"].to_numpy()
+        frames = []
+        for t in np.unique(et):
+            m = et == t
+            xm, ym = x[m], y[m]
+            ux, uy, _r2 = cc[t]
+            d2m = np.empty(len(ux))
+            for lo in range(0, len(ux), 4096):  # bound the n x m temporary
+                hi = min(lo + 4096, len(ux))
+                d2 = ((xm[:, None] - ux[None, lo:hi]) ** 2
+                      + (ym[:, None] - uy[None, lo:hi]) ** 2)
+                d2m[lo:hi] = d2.max(axis=0)
+            frames.append(pd.DataFrame({
+                "event_type": t,
+                "cand_id": np.arange(len(ux), dtype=np.int64),
+                "d2max": d2m, "n": np.int64(m.sum())}))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = partial_agg(pts.map_batches(cover_part, batch_format="pandas"),
+                      ["event_type", "cand_id"],
+                      [("d2max", "max", "d2max"), ("n", "sum", "n")]) \
+        .to_pandas()
+
+    rows = []
+    for t, g in agg.groupby("event_type", sort=True):
+        ux, uy, r2 = cands[t]
+        cid = g["cand_id"].to_numpy(np.int64)
+        d2m = g["d2max"].to_numpy(np.float64)
+        cov9 = d2m <= r2[cid] * (1 + 1e-9)
+        cov6 = d2m <= r2[cid] * (1 + 1e-6)
+        order = sorted(np.nonzero(cov6)[0],
+                       key=lambda i: (not cov9[i], r2[cid[i]],
+                                      ux[cid[i]], uy[cid[i]]))
+        w = cid[order[0]]
+        rows.append((t, int(g["n"].iloc[0]),
+                     int(np.floor(ux[w] * 1e6 + 0.5)),
+                     int(np.floor(uy[w] * 1e6 + 0.5)),
+                     int(np.floor(np.sqrt(r2[w]) * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["event_type", "n", "cx_u", "cy_u",
+                                       "r_u"])
 
 
 def _mbc_sql() -> str:
