@@ -36,9 +36,9 @@ _D8_CASE = "CASE b.code " + " ".join(
     for i in range(8)
 ) + " ELSE -1 END"
 
-_GRAPH_CTES = f"""
-    {_CELLS_CTE},
-    slopes AS ({_D8_SLOPES}),
+# graph-from-`cells` tail (any CTE named cells(cell_id, r, c, v) works —
+# flow_accum_full_workflow points it at the FILLED surface)
+_GRAPH_TAIL = f"""slopes AS ({_D8_SLOPES}),
     best AS MATERIALIZED (
       SELECT cell_id, code FROM slopes WHERE slope > 0
       QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY slope DESC, i ASC) = 1
@@ -46,7 +46,11 @@ _GRAPH_CTES = f"""
     graph AS MATERIALIZED (
       SELECT c.cell_id, CAST({_D8_CASE} AS BIGINT) AS down_id
       FROM cells c LEFT JOIN best b ON b.cell_id = c.cell_id
-    )
+    )"""
+
+_GRAPH_CTES = f"""
+    {_CELLS_CTE},
+    {_GRAPH_TAIL}
 """
 
 # fixed-point D8 hop units (stages/pregel._hop_units): 2^20 per cardinal

@@ -10,9 +10,9 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import (STREAM_ACC_T, _GRAPH_CTES, _LINK_CTES, _STREAM_CTES,
-                         _WALK_UNITS_CTE, _d8_pointer, _dest_in_stream,
-                         _fill_cte, _stream_cut_graphs)
+from ..hydrodefs import (STREAM_ACC_T, _GRAPH_CTES, _GRAPH_TAIL, _LINK_CTES,
+                         _STREAM_CTES, _WALK_UNITS_CTE, _d8_pointer,
+                         _dest_in_stream, _fill_cte, _stream_cut_graphs)
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
@@ -881,14 +881,34 @@ def depth_in_sink(sf_dir: str):
     return fill.map_batches(depth, batch_format="pandas")
 
 
-@query("flow_accum_full_workflow")
+@query(
+    "flow_accum_full_workflow",
+    f"""
+    WITH RECURSIVE {_fill_cte('(cid*2654435761)%1000003', 48)},
+    cells AS (SELECT cell_id, cell_id // {GRID1.cols} AS r,
+                     cell_id % {GRID1.cols} AS c, fill AS v FROM fillw),
+    {_GRAPH_TAIL},
+    walk(start, cur) AS (
+      SELECT cell_id, down_id FROM graph WHERE down_id >= 0
+      UNION ALL
+      SELECT w.start, g.down_id FROM walk w
+      JOIN graph g ON g.cell_id = w.cur WHERE g.down_id >= 0
+    )
+    SELECT g.cell_id, CAST(1 + COALESCE(p.n, 0) AS BIGINT) AS acc
+    FROM graph g LEFT JOIN (SELECT cur, COUNT(*) AS n FROM walk
+                            GROUP BY cur) p
+      ON p.cur = g.cell_id
+    """,
+)
 def flow_accum_full_workflow(sf_dir: str):
     """FlowAccumulationFullWorkflow (hydro_analysis/flow_accumulation_full_
     workflow.rs): the canonical DEM chain — priority-flood fill -> D8
     pointers over the FILLED surface -> accumulation — composed from three
     verified stages. Filled flats keep no strict descent and drain nowhere
     (the reference's flat-resolution increment is off — documented variant).
-    Rows-only; dense end-to-end oracle in tests/test_flow.py."""
+    SQL oracle: _fill_cte relaxation -> _GRAPH_TAIL pointer over the filled
+    values -> walk-count accumulation; dense end-to-end oracle in
+    tests/test_flow.py stays as the cross-check."""
     from ..stages.flow import down_ds_from_pointer
     from ..stages.pregel import fill_depressions_pregel, flow_accumulation_pregel
     from ..stages.raster import stencil_3x3

@@ -5,10 +5,11 @@ The reference scans update the raster IN PLACE mid-scan (changes cascade
 within one pass in row-major order) — inherently sequential. The
 distributed contract here is JACOBI iteration: every structuring-element
 sub-pass reads the PREVIOUS raster synchronously, applied until no cell
-changes (cap 4 iterations; the reference caps at 10). Rows-only — the
-dense numpy oracle in tests/test_image6.py runs the identical Jacobi
-sub-passes on the whole grid at once, which verifies the tile/halo
-machinery independently.
+changes (cap 4 iterations; the reference caps at 10). SQL-exact — the
+_morph_sql recursive CTE unrolls the same 4x8 sub-pass schedule with
+LAG/LEAD neighbours; the dense numpy oracle in tests/test_image6.py runs
+the identical Jacobi sub-passes on the whole grid at once, verifying the
+tile/halo machinery independently.
 
 Input: the binary raster of the 400 DDA-rasterized synthetic line
 segments (queries_hydro6 fixture). Each sub-pass is ONE chained tile
@@ -143,16 +144,64 @@ def _morph(kind: str):
     return tiles.map_batches(explode, batch_format="pandas")
 
 
-@query("line_thin")
+def _morph_sql(kind: str) -> str:
+    """SQL twin of the Jacobi morphology contract: the 4x8 sub-pass
+    schedule unrolled as ONE recursive CTE (pattern = iter mod 8, 32
+    steps total — running past convergence is a no-op, so the Python
+    side's early break needs no mirror). Neighbours via LAG/LEAD over
+    cell order with 0 off-grid, like the padded-tile kernel."""
+    from ..linedefs import _dda_walk_sql
+    from .sqlgen import synth_segments_cte
+
+    segs = synth_segments_cte(400).replace("seg_h", "lm_seg_h") \
+        .replace("seg_u", "lm_seg_u").replace("seg AS", "lm_seg AS")
+    nbr = []
+    for e in range(8):
+        off = _DY[e] * _COLS + _DX[e]
+        conds = []
+        if _DX[e] == -1:
+            conds.append(f"(cid % {_COLS}) > 0")
+        if _DX[e] == 1:
+            conds.append(f"(cid % {_COLS}) < {_COLS - 1}")
+        fn = "LAG" if off < 0 else "LEAD"
+        pred = " AND ".join(conds) if conds else "TRUE"
+        nbr.append(f"COALESCE(CASE WHEN {pred} THEN {fn}(z, {abs(off)}) "
+                   f"OVER (ORDER BY cid) END, 0) AS n{e}")
+    branches = []
+    for p, (elem, vals, target, new) in enumerate(_patterns(kind)):
+        cond = " AND ".join(
+            [f"z = {int(target)}"]
+            + [f"n{e} = {int(w)}" for e, w in zip(elem, vals)])
+        branches.append(f"WHEN {p} THEN CASE WHEN {cond} "
+                        f"THEN {int(new)} ELSE z END")
+    n = _ROWS * _COLS
+    return f"""
+    WITH RECURSIVE {segs},
+    {_dda_walk_sql(400, 42, "lm")},
+    relax(iter, cid, z) AS (
+      SELECT 0, CAST(t.i AS BIGINT),
+             CASE WHEN m.cell_id IS NOT NULL THEN 1 ELSE 0 END
+      FROM range({n}) t(i) LEFT JOIN lm m ON m.cell_id = t.i
+      UNION ALL
+      SELECT iter + 1, cid, CASE (iter % 8) {' '.join(branches)} END
+      FROM (SELECT iter, cid, z, {', '.join(nbr)}
+            FROM relax WHERE iter < {4 * 8}) s
+    )
+    SELECT cid AS cell_id, CAST(1 AS BIGINT) AS "on"
+    FROM relax WHERE iter = {4 * 8} AND z = 1
+    """
+
+
+@query("line_thin", _morph_sql("thin"))
 def line_thin(sf_dir: str):
     return _morph("thin")
 
 
-@query("thicken_line")
+@query("thicken_line", _morph_sql("thicken"))
 def thicken_line(sf_dir: str):
     return _morph("thicken")
 
 
-@query("remove_spurs")
+@query("remove_spurs", _morph_sql("spurs"))
 def remove_spurs(sf_dir: str):
     return _morph("spurs")
