@@ -64,6 +64,37 @@ CASES = [
 ]
 
 
+def test_cost_cte_matches_dijkstra():
+    from whitebox_tools_ray.hydrodefs import _cost_cte
+
+    sql = (f"WITH RECURSIVE {_cost_cte()} "
+           "SELECT cell_id, cost_dist2 FROM costw ORDER BY cell_id")
+    got = duckdb.sql(sql).df()["cost_dist2"].to_numpy(np.int64)
+    n = ROWS * COLS
+    cid = np.arange(n, dtype=np.int64)
+    cost = 1 + (cid * 31) % 7
+    big = np.int64(1) << 40
+    dist = np.full(n, big, np.int64)
+    src = np.nonzero((cid * 7919) % 509 == 0)[0]
+    dist[src] = 0
+    heap = [(0, int(i)) for i in src]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        r, c = u // COLS, u % COLS
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < ROWS and 0 <= nc < COLS:
+                v = nr * COLS + nc
+                nd = d + cost[u] + cost[v]
+                if nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+    assert np.array_equal(got, dist)
+
+
 def test_fill_sql_matches_priority_flood():
     for expr, npfn, outer in CASES:
         sql = (f"WITH RECURSIVE {_fill_cte(expr, outer)} "

@@ -347,6 +347,46 @@ def _fill_cte(dem_exprs, outer: int, steps: int = 4, name: str = "fillw") -> str
     )"""
 
 
+# ---------------------------------------------------------------------------
+# CostDistance min-plus twin of the fill relaxation (4-neighbour): D = 0 at
+# the sources, D = min(D, min_nbr(D(n) + cost(n)) + cost) elsewhere,
+# iterated from +inf. Shared by cost_distance and cost_pathway (the fixed
+# synthetic cost surface converges at 34 steps — tests/test_fill_sql.py
+# asserts Dijkstra equality, so a short budget cannot ship silently).
+# ---------------------------------------------------------------------------
+_COST_SRC_SQL = "(cid*7919)%509 = 0"
+_COST_EXPR = "(1 + (cid*31)%7)"
+
+
+def _cost_cte(outer: int = 12, steps: int = 4, name: str = "costw") -> str:
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    up = f"COALESCE(LAG(e, {cols}) OVER (ORDER BY cid), {_FILL_BIG})"
+    dn = f"COALESCE(LEAD(e, {cols}) OVER (ORDER BY cid), {_FILL_BIG})"
+    lf = (f"COALESCE(CASE WHEN (cid % {cols}) > 0 THEN LAG(e, 1) "
+          f"OVER (ORDER BY cid) END, {_FILL_BIG})")
+    rt = (f"COALESCE(CASE WHEN (cid % {cols}) < {cols - 1} THEN LEAD(e, 1) "
+          f"OVER (ORDER BY cid) END, {_FILL_BIG})")
+    src = f"SELECT iter, cid, ct, w FROM relax_{name} WHERE iter < {outer}"
+    for _ in range(steps):
+        l1 = f"SELECT iter, cid, ct, w, w + ct AS e FROM ({src})"
+        src = (f"SELECT iter, cid, ct, CASE WHEN {_COST_SRC_SQL} THEN 0 "
+               f"ELSE LEAST(w, LEAST({up}, {dn}, {lf}, {rt}) + ct) END AS w "
+               f"FROM ({l1})")
+    init_ct = _COST_EXPR.replace("cid", "CAST(t.i AS BIGINT)")
+    init_src = _COST_SRC_SQL.replace("cid", "t.i")
+    return f"""relax_{name}(iter, cid, ct, w) AS (
+      SELECT 0, CAST(t.i AS BIGINT), {init_ct},
+             CASE WHEN {init_src} THEN 0 ELSE {_FILL_BIG} END
+      FROM range({n}) t(i)
+      UNION ALL
+      SELECT iter+1, cid, ct, w FROM ({src}) s
+    ),
+    {name} AS MATERIALIZED (
+      SELECT cid AS cell_id, ct, w AS cost_dist2 FROM relax_{name}
+      WHERE iter = {outer}
+    )"""
+
+
 # the two dems shared by fill-family entries across modules (leaf-resident:
 # queries_raster and queries_hydro8 both consume the planted-pit dem at
 # decoration time)

@@ -484,6 +484,7 @@ from ..hydrodefs import (  # noqa: E402
     _hop_sql,
     STREAM_ACC_T,
     _FILL_DEM_PITS,
+    _cost_cte,
     _fill_cte,
 )
 
@@ -635,12 +636,18 @@ def strahler_order(sf_dir: str):
     return strahler_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
-@query("cost_distance")
+@query(
+    "cost_distance",
+    f"WITH RECURSIVE {_cost_cte()} "
+    "SELECT cell_id, cost_dist2 FROM costw",
+)
 def cost_distance_q(sf_dir: str):
     """CostDistance (gis_analysis/cost_distance.rs): accumulated least cost
     from sparse source cells over a synthetic cost surface — tile-sweep
     Dijkstra with halo relaxation rounds, exact int64 (4-neighbour variant).
-    Rows-only; global-Dijkstra oracle in tests/test_costdist.py. Best-so-far
+    SQL oracle: hydrodefs._cost_cte min-plus relaxation (48 steps,
+    converges at 34; Dijkstra equality in tests/test_fill_sql.py).
+    Global-Dijkstra oracle also in tests/test_costdist.py. Best-so-far
     state lives in shard actors between rounds (stages/pregel.cost_distance_pregel)."""
     from ..stages.pregel import cost_distance_pregel
 

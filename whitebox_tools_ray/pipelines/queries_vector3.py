@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..hydrodefs import _cost_cte
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
@@ -363,10 +364,62 @@ def construct_vector_tin(sf_dir: str):
 # backlink = the 4-neighbour satisfying cd2(a) + cost(a) + cost(b) ==
 # cd2(b) (first in N,S,E,W order), then the path cells are ONE weighted
 # accumulation over the backlink pointer graph (the trace_downslope
-# composition). Rows-only; dense Dijkstra backtrack oracle in
-# tests/test_vector3.py.
+# composition). SQL oracle: _cost_cte relaxation -> windowed backlink CASE
+# in the same neighbour order -> walk from the destination masses; dense
+# Dijkstra backtrack oracle also in tests/test_vector3.py.
 # --------------------------------------------------------------------------
-@query("cost_pathway")
+_CP_COLS = GRID1.cols
+_CP_SQL = f"""
+    WITH RECURSIVE {_cost_cte()},
+    nb AS (
+      SELECT cell_id, ct, cost_dist2 AS w,
+        COALESCE(LEAD(cost_dist2, {_CP_COLS}) OVER (ORDER BY cell_id),
+                 {1 << 50}) AS dnw,
+        COALESCE(LAG(cost_dist2, {_CP_COLS}) OVER (ORDER BY cell_id),
+                 {1 << 50}) AS upw,
+        COALESCE(CASE WHEN (cell_id % {_CP_COLS}) < {_CP_COLS - 1}
+                 THEN LEAD(cost_dist2, 1) OVER (ORDER BY cell_id) END,
+                 {1 << 50}) AS rtw,
+        COALESCE(CASE WHEN (cell_id % {_CP_COLS}) > 0
+                 THEN LAG(cost_dist2, 1) OVER (ORDER BY cell_id) END,
+                 {1 << 50}) AS lfw
+      FROM costw
+    ),
+    bl AS MATERIALIZED (
+      SELECT cell_id,
+        CASE
+          WHEN dnw + (1 + ((cell_id + {_CP_COLS})*31)%7) + ct = w
+            THEN cell_id + {_CP_COLS}
+          WHEN upw + (1 + ((cell_id - {_CP_COLS})*31)%7) + ct = w
+            THEN cell_id - {_CP_COLS}
+          WHEN rtw + (1 + ((cell_id + 1)*31)%7) + ct = w
+            THEN cell_id + 1
+          WHEN lfw + (1 + ((cell_id - 1)*31)%7) + ct = w
+            THEN cell_id - 1
+          ELSE -1 END AS down_id
+      FROM nb
+    ),
+    dests AS (SELECT cell_id FROM bl WHERE (cell_id*104729)%1009 = 0),
+    walk(start, cur) AS (
+      SELECT d.cell_id, b.down_id FROM dests d
+      JOIN bl b ON b.cell_id = d.cell_id WHERE b.down_id >= 0
+      UNION ALL
+      SELECT w.start, b.down_id FROM walk w
+      JOIN bl b ON b.cell_id = w.cur WHERE b.down_id >= 0
+    ),
+    hits AS (
+      SELECT cur AS cell_id, COUNT(*) AS m FROM walk GROUP BY cur
+    )
+    SELECT b.cell_id,
+           CAST(CASE WHEN (b.cell_id*104729)%1009 = 0 THEN 1 ELSE 0 END
+                + COALESCE(h.m, 0) AS BIGINT) AS n_paths
+    FROM bl b LEFT JOIN hits h ON h.cell_id = b.cell_id
+    WHERE CASE WHEN (b.cell_id*104729)%1009 = 0 THEN 1 ELSE 0 END
+          + COALESCE(h.m, 0) > 0
+"""
+
+
+@query("cost_pathway", _CP_SQL)
 def cost_pathway(sf_dir: str):
     from ..stages.flow import tile_of_expr
     from ..stages.pregel import (cost_distance_pregel,
