@@ -210,19 +210,24 @@ def flatten_lakes(sf_dir: str):
 
     mins = partial_agg(burn.map_batches(withv, batch_format="pandas"),
                        ["poly_id"], [("zmin", "min", "zmin")]).to_pandas()
-    lut = dict(zip(mins["poly_id"].astype(int), mins["zmin"].astype(int)))
-    # cell -> poly assignment re-broadcast as a sorted pair array (4 lakes,
-    # assignment bounded by lake area)
-    bdf = burn.to_pandas().sort_values("cell_id")
-    ref = ray.put((bdf["cell_id"].to_numpy(np.int64),
-                   bdf["poly_id"].to_numpy(np.int64), lut))
+    # per-LAKE minima stay driver-side (bounded by the lake count); the
+    # per-CELL assignment does NOT — it grows with lake area, so it is
+    # joined back as a Dataset instead of the round-3 broadcast pull.
+    lut_ref = ray.put(dict(zip(mins["poly_id"].astype(int),
+                               mins["zmin"].astype(int))))
+
+    def lakez(df: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_get(lut_ref)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "zlake": np.array([m[int(p)] for p in df["poly_id"]],
+                              np.int64)})
 
     from ..stages.raster import synth_raster_tiles
 
     tiles = synth_raster_tiles(GRID1, _value_fn)
 
-    def flatten(df: pd.DataFrame) -> pd.DataFrame:
-        bc, bp, m = _cached_get(ref)
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for t in df.itertuples():
             nr, nc = int(t.nrows), int(t.ncols)
@@ -230,20 +235,24 @@ def flatten_lakes(sf_dir: str):
             rr, cc = np.meshgrid(np.arange(r0, r0 + nr, dtype=np.int64),
                                  np.arange(c0, c0 + nc, dtype=np.int64),
                                  indexing="ij")
-            cid = rr.ravel() * _COLS + cc.ravel()
-            v = np.asarray(t.data, np.int64)
-            if len(bc):
-                pos = np.minimum(np.searchsorted(bc, cid), len(bc) - 1)
-                inlake = bc[pos] == cid
-                pid = bp[pos]
-                zmin = np.array([m.get(int(p), 0) for p in pid], np.int64)
-                z = np.where(inlake, zmin, v)
-            else:
-                z = v
-            frames.append(pd.DataFrame({"cell_id": cid, "z": z}))
+            frames.append(pd.DataFrame({
+                "cell_id": rr.ravel() * _COLS + cc.ravel(),
+                "v": np.asarray(t.data, np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
-    return tiles.map_batches(flatten, batch_format="pandas")
+    cells = tiles.map_batches(explode, batch_format="pandas")
+    j = cells.join(burn.map_batches(lakez, batch_format="pandas"),
+                   join_type="left_outer", num_partitions=8,
+                   on=("cell_id",))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        zl = df["zlake"].to_numpy(np.float64)
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "z": np.where(np.isnan(zl), v, zl).astype(np.int64)})
+
+    return j.map_batches(pick, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

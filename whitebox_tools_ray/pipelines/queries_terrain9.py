@@ -150,31 +150,39 @@ def contour_segments(xy: np.ndarray, z: np.ndarray, tris: np.ndarray,
 
 @query("contours_from_points")
 def contours_from_points(sf_dir: str):
+    """Triangles from the EXACT distributed triangulation
+    (stages/tin.tiled_delaunay), identified by canonical ascending vertex
+    seq triples; vertex values arrive via a distributed join against the
+    point layer (no driver point-set pull), and each triangle's level
+    crossings are computed in canonical vertex order. Output (a, b, c,
+    level, x0, y0, x1, y1); independent scalar oracle in
+    tests/test_terrain9.py."""
     import ray.data
 
-    from ..functions.delaunay import delaunay
     from ..sources.tables import read_points
+    from ..stages.tin import tiled_delaunay
 
-    pts = read_points(sf_dir).map_batches(
+    pts_ds = read_points(sf_dir).map_batches(
         lambda df: df.loc[df["event_id"] % 23 == 0,
                           ["event_id", "x", "y", "value"]],
-        batch_format="pandas").to_pandas().sort_values("event_id")
-    xy = pts[["x", "y"]].to_numpy(np.float64)
-    z = pts["value"].to_numpy(np.float64)
-    tris = delaunay(xy)
-    # distribute the per-triangle crossing map
-    tdf = pd.DataFrame({"tri": np.arange(len(tris), dtype=np.int64)})
-    import ray as _ray
+        batch_format="pandas")
+    tris = tiled_delaunay(pts_ds)
+    tri_id = np.arange(len(tris), dtype=np.int64)
+    verts = ray.data.from_pandas(pd.DataFrame({
+        "tri": np.repeat(tri_id, 3),
+        "slot": np.tile(np.array([0, 1, 2], np.int64), len(tris)),
+        "event_id": tris[["a", "b", "c"]].to_numpy(np.int64).ravel()}))
+    j = verts.join(pts_ds, join_type="inner", num_partitions=8,
+                   on=("event_id",))
 
-    from ..stages.spatial_join import _cached_get
+    def per_tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("slot")
+        xy = g[["x", "y"]].to_numpy(np.float64)
+        z = g["value"].to_numpy(np.float64)
+        seg = contour_segments(xy, z, np.array([[0, 1, 2]], np.int64))
+        ids = g["event_id"].to_numpy(np.int64)
+        return seg.assign(a=ids[0], b=ids[1], c=ids[2]) \
+            .drop(columns=["tri"])[["a", "b", "c", "level",
+                                    "x0", "y0", "x1", "y1"]]
 
-    ref = _ray.put((xy, z, tris))
-
-    def seg(batch: dict) -> pd.DataFrame:
-        xy_, z_, tris_ = _cached_get(ref)
-        idx = np.asarray(batch["tri"], np.int64)
-        return contour_segments(xy_, z_, tris_[idx]).assign(
-            tri=lambda d: idx[d["tri"].to_numpy(np.int64)])
-
-    return ray.data.from_pandas(tdf).repartition(4) \
-        .map_batches(seg, batch_format="numpy")
+    return j.groupby("tri").map_groups(per_tri, batch_format="pandas")

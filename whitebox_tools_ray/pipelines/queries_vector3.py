@@ -334,7 +334,10 @@ def reclass_from_file(sf_dir: str):
 # --------------------------------------------------------------------------
 # ConstructVectorTIN (gis_analysis/construct_vector_tin.rs +
 # lidar_analysis/lidar_construct_vector_tin.rs): Delaunay triangles over
-# the sampled point layer. Rows-only — the Bowyer-Watson kernel's
+# the sampled point layer — the two-level EXACT distributed triangulation
+# (stages/tin.tiled_delaunay: per-tile circumcentre-owned triangles +
+# verified sliver cleanup; equality with the single-task global run in
+# tests/test_vector3.py). Rows-only — the Bowyer-Watson kernel's
 # empty-circumcircle property is asserted in tests/test_tin.py and
 # tests/test_vector3.py.
 # --------------------------------------------------------------------------
@@ -342,20 +345,13 @@ def reclass_from_file(sf_dir: str):
 def construct_vector_tin(sf_dir: str):
     import ray.data
 
-    from ..functions.delaunay import delaunay
     from ..sources.tables import read_points
+    from ..stages.tin import tiled_delaunay
 
-    pts = read_points(sf_dir, extra_cols=()).map_batches(
+    pts_ds = read_points(sf_dir, extra_cols=()).map_batches(
         lambda df: df.loc[df["event_id"] % 23 == 0, ["event_id", "x", "y"]],
-        batch_format="pandas").to_pandas().sort_values("event_id")
-    xy = pts[["x", "y"]].to_numpy(np.float64)
-    tris = delaunay(xy)
-    ids = pts["event_id"].to_numpy(np.int64)
-    t = np.sort(ids[tris], axis=1)
-    order = np.lexsort((t[:, 2], t[:, 1], t[:, 0]))
-    t = t[order]
-    return ray.data.from_pandas(pd.DataFrame(
-        {"a": t[:, 0], "b": t[:, 1], "c": t[:, 2]}))
+        batch_format="pandas")
+    return ray.data.from_pandas(tiled_delaunay(pts_ds))
 
 
 # --------------------------------------------------------------------------

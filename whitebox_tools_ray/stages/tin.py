@@ -152,3 +152,184 @@ def natural_neighbour_grid(points_ds, grid: GridSpec, *, tile_deg: float = 30.0,
         return pd.DataFrame({"cell_id": cid, "nn_value": vals_i[hits]})
 
     return tiled.groupby("tin_tile").map_groups(interp_tile, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Delaunay (ConstructVectorTIN / contour TIN input;
+# gis_analysis/construct_vector_tin.rs): two-level plan.
+#
+# Pass 1 (per tile, halo buffer b): a local triangle whose circumCENTRE
+# falls inside the owner tile with circumradius < b has its whole
+# circumdisk inside tile (+) halo, a region the tile saw COMPLETELY — so
+# the empty-circumcircle test the local Bowyer-Watson performed is valid
+# globally and the triangle IS a global Delaunay triangle (emitted once,
+# by its owner). Pass 2 (cleanup, small): the remaining global triangles
+# (circumradius >= b, or centre off-extent — hull slivers) have vertices
+# that are locally "exposed": local-hull vertices or vertices of local
+# big-circumradius triangles. Those candidate points (O(hull + tile
+# boundary), not O(n)) are triangulated in one task; candidate triangles
+# in the uncovered class are then VERIFIED empty against ALL points with
+# one broadcast partial-OR pass, so pass-2 false positives are impossible.
+# Equality with the single-task global triangulation is asserted in
+# tests/test_vector3.py / tests/test_tiled_delaunay.py.
+# ---------------------------------------------------------------------------
+def circumcircles(pts: np.ndarray, tris: np.ndarray):
+    """(ux, uy, r2, degenerate_mask) for triangle vertex-index rows."""
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    ax, ay = a[:, 0], a[:, 1]
+    bx, by = b[:, 0], b[:, 1]
+    cx, cy = c[:, 0], c[:, 1]
+    d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    bad = d == 0
+    d = np.where(bad, 1.0, d)
+    ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+          + (cx**2 + cy**2) * (ay - by)) / d
+    uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+          + (cx**2 + cy**2) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return ux, uy, r2, bad
+
+
+def tiled_delaunay(points_ds, *, tile_deg: float = 45.0, buffer: float = 15.0,
+                   west: float = -180.0, north: float = 85.0,
+                   east: float = 180.0, south: float = -85.0,
+                   x_col="x", y_col="y", seq_col="event_id"):
+    """Global Delaunay triangles of the point Dataset as a SMALL driver
+    frame of canonical ascending seq-id triples (a, b, c), sorted. The
+    triangle count is O(points); callers keep it driver-side only for the
+    fixed subsampled fixtures — the heavy lifting (pass 1 + the verify
+    sweep) is distributed."""
+    import ray as _ray
+
+    from .spatial_join import _cached_get
+
+    tcols = int(np.ceil((east - west) / tile_deg))
+    trows = int(np.ceil((north - south) / tile_deg))
+
+    def to_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        s = df[seq_col].to_numpy(np.int64)
+        frames = []
+        for dtx in (-1, 0, 1):
+            for dty in (-1, 0, 1):
+                tc = np.floor((x - west) / tile_deg).astype(np.int64) + dtx
+                tr = np.floor((north - y) / tile_deg).astype(np.int64) + dty
+                ok = (tc >= 0) & (tc < tcols) & (tr >= 0) & (tr < trows)
+                if dtx != 0:
+                    edge = west + (tc + (1 if dtx == -1 else 0)) * tile_deg
+                    ok &= np.abs(x - edge) <= buffer
+                if dty != 0:
+                    edge = north - (tr + (1 if dty == -1 else 0)) * tile_deg
+                    ok &= np.abs(y - edge) <= buffer
+                if not ok.any():
+                    continue
+                frames.append(pd.DataFrame({
+                    "tin_tile": tr[ok] * tcols + tc[ok],
+                    "x": x[ok], "y": y[ok], "seq": s[ok]}))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            columns=["tin_tile", "x", "y", "seq"])
+
+    tiled = points_ds.map_batches(to_tiles, batch_format="pandas")
+
+    def tile_pass(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tin_tile"].iloc[0])
+        tr, tc = tid // tcols, tid % tcols
+        g = g.sort_values("seq", kind="mergesort")
+        pts = g[["x", "y"]].to_numpy(np.float64)
+        seqs = g["seq"].to_numpy(np.int64)
+        if len(pts) < 3:
+            return pd.DataFrame({
+                "kind": np.zeros(len(pts), np.int64), "a": seqs,
+                "b": seqs, "c": seqs, "x": pts[:, 0] if len(pts) else
+                np.array([]), "y": pts[:, 1] if len(pts) else np.array([])})
+        tris = delaunay(pts)
+        ux, uy, r2, bad = circumcircles(pts, tris)
+        r = np.sqrt(np.maximum(r2, 0.0))
+        x_lo = west + tc * tile_deg
+        x_hi = min(x_lo + tile_deg, east)
+        y_hi = north - tr * tile_deg
+        y_lo = max(y_hi - tile_deg, south)
+        owned = (~bad & (r < buffer)
+                 & (ux >= x_lo) & (ux < x_hi) & (uy > y_lo) & (uy <= y_hi))
+        t = np.sort(seqs[tris], axis=1)
+        rows = [pd.DataFrame({"kind": np.int64(1), "a": t[owned, 0],
+                              "b": t[owned, 1], "c": t[owned, 2],
+                              "x": 0.0, "y": 0.0})]
+        # candidate capture: vertices of risky triangles + local hull
+        risky = bad | (r >= buffer / 4.0) | (ux < west) | (ux >= east) \
+            | (uy <= south) | (uy > north)
+        cand = set(np.unique(tris[risky]).tolist())
+        edges = {}
+        for trow in tris:
+            for e in ((trow[0], trow[1]), (trow[1], trow[2]),
+                      (trow[2], trow[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        for (p, q), cnt in edges.items():
+            if cnt == 1:
+                cand.add(int(p))
+                cand.add(int(q))
+        ci = np.asarray(sorted(cand), np.int64)
+        rows.append(pd.DataFrame({
+            "kind": np.int64(0), "a": seqs[ci], "b": seqs[ci],
+            "c": seqs[ci], "x": pts[ci, 0], "y": pts[ci, 1]}))
+        return pd.concat(rows, ignore_index=True)
+
+    res = tiled.groupby("tin_tile").map_groups(
+        tile_pass, batch_format="pandas").to_pandas()
+    owned = res[res["kind"] == 1][["a", "b", "c"]].drop_duplicates()
+    cand = res[res["kind"] == 0][["a", "x", "y"]] \
+        .drop_duplicates("a").sort_values("a")
+
+    pass2 = pd.DataFrame({"a": [], "b": [], "c": []})
+    if len(cand) >= 3:
+        cpts = cand[["x", "y"]].to_numpy(np.float64)
+        cseq = cand["a"].to_numpy(np.int64)
+        ctris = delaunay(cpts)
+        ux, uy, r2, bad = circumcircles(cpts, ctris)
+        r = np.sqrt(np.maximum(r2, 0.0))
+        target = bad | (r >= buffer) | (ux < west) | (ux >= east) \
+            | (uy <= south) | (uy > north)
+        ctris = ctris[target]
+        ux, uy, r2 = ux[target], uy[target], r2[target]
+        if len(ctris):
+            # broadcast verify: a candidate triangle survives iff NO point
+            # of the full dataset lies strictly inside its circumcircle
+            tverts = np.sort(cseq[ctris], axis=1)
+            vref = _ray.put((ux, uy, r2, tverts))
+
+            def viol(df: pd.DataFrame) -> pd.DataFrame:
+                vx, vy, vr2, tv = _cached_get(vref)
+                x = df[x_col].to_numpy(np.float64)
+                y = df[y_col].to_numpy(np.float64)
+                s = df[seq_col].to_numpy(np.int64)
+                n_bad = np.zeros(len(vx), np.int64)
+                for lo in range(0, len(vx), 2048):
+                    hi = min(lo + 2048, len(vx))
+                    d2 = ((x[:, None] - vx[None, lo:hi]) ** 2
+                          + (y[:, None] - vy[None, lo:hi]) ** 2)
+                    inside = d2 < vr2[None, lo:hi] * (1 - 1e-12)
+                    own = (s[:, None] == tv[None, lo:hi, 0]) \
+                        | (s[:, None] == tv[None, lo:hi, 1]) \
+                        | (s[:, None] == tv[None, lo:hi, 2])
+                    n_bad[lo:hi] += (inside & ~own).sum(axis=0)
+                return pd.DataFrame({
+                    "tri": np.arange(len(vx), dtype=np.int64),
+                    "n_bad": n_bad})
+
+            from ..relational import partial_agg
+
+            agg = partial_agg(
+                points_ds.map_batches(viol, batch_format="pandas"),
+                ["tri"], [("n_bad", "sum", "n_bad")]).to_pandas() \
+                .sort_values("tri")
+            ok = agg["n_bad"].to_numpy(np.int64) == 0
+            pass2 = pd.DataFrame({"a": tverts[ok, 0], "b": tverts[ok, 1],
+                                  "c": tverts[ok, 2]})
+
+    out = pd.concat([owned, pass2], ignore_index=True) \
+        .drop_duplicates().astype(np.int64)
+    order = np.lexsort((out["c"].to_numpy(), out["b"].to_numpy(),
+                        out["a"].to_numpy()))
+    return out.iloc[order].reset_index(drop=True)
