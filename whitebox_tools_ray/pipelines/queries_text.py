@@ -362,11 +362,12 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
     cand = tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
                        batch_format="pandas")
 
-    # verify: shingle ONLY the candidate docs, once each, and broadcast that
-    # bounded set. Round 1 broadcast the ENTIRE corpus text as a driver dict;
-    # here the corpus is scanned distributed, reduced to candidate docs with
-    # a vectorized mask, and only |candidate docs| shingle arrays (the tiny
-    # LSH output side, not the corpus) travel through the object store.
+    # verify: shingle ONLY the candidate docs (distributed, bounded by the
+    # LSH output), then count intersections with Dataset JOINS — the round-3
+    # residual (candidate-shingle dict broadcast + per-pair Python loop) is
+    # gone: intersection = |(pair, h) matches| of a (cand x shingles_a)
+    # explode against the (doc_b, h)-keyed shingle rows, union from per-doc
+    # shingle counts. Only the candidate doc-id LIST is broadcast.
     cand = cand.materialize()
     cand_docs = np.unique(np.concatenate([
         cand.to_pandas()["doc_a"].to_numpy(np.int64),
@@ -374,7 +375,7 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
         if cand.count() else np.empty(0, np.int64)
     docs_ref = ray.put(cand_docs)  # sorted array for searchsorted masks
 
-    def shingle_cands(t: pa.Table) -> pd.DataFrame:
+    def shingle_rows(t: pa.Table) -> pd.DataFrame:
         from ..functions.dedup import shingle_hashes
         from ..stages.spatial_join import _cached_get
 
@@ -382,31 +383,64 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(ids, wanted, assume_unique=False)
         texts = t["text"].to_pylist()
-        rows = [(int(ids[i]), shingle_hashes(texts[i]).view(np.int64))
-                for i in np.flatnonzero(mask)]
-        return pd.DataFrame({"doc_id": [r[0] for r in rows],
-                             "sh": [r[1].tolist() for r in rows]})
+        did, hs = [], []
+        for i in np.flatnonzero(mask):
+            h = shingle_hashes(texts[i]).view(np.int64)
+            did.append(np.full(len(h), ids[i], np.int64))
+            hs.append(h)
+        if not did:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(did),
+                             "h": np.concatenate(hs)})
 
-    sh_small = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(shingle_cands, batch_format="pyarrow").to_pandas()
-    lut_ref = ray.put({int(d): np.asarray(s, np.int64).view(np.uint64)
-                       for d, s in zip(sh_small["doc_id"], sh_small["sh"])})
+    sh = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    sizes = partial_agg(sh.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                                 "n": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["doc_id"], [("n", "sum", "n")])
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.spatial_join import _cached_get
+    # materialize between joins: each hash-shuffle join spawns aggregator
+    # actors, and two live joins + their upstream stages can deadlock on a
+    # small CPU budget (same note as the `banded` materialize above)
+    a_sh = sh.map_batches(lambda df: df.rename(columns={"doc_id": "doc_a"}),
+                          batch_format="pandas")
+    b_sh = sh.map_batches(lambda df: df.rename(columns={"doc_id": "doc_b"}),
+                          batch_format="pandas")
+    m1 = cand.join(a_sh, join_type="inner", num_partitions=4,
+                   on=("doc_a",)).materialize()
+    matched = m1.join(b_sh, join_type="inner", num_partitions=4,
+                      on=("doc_b", "h")).materialize()
+    inter = partial_agg(matched.map_batches(
+        lambda df: pd.DataFrame({"doc_a": df["doc_a"].to_numpy(np.int64),
+                                 "doc_b": df["doc_b"].to_numpy(np.int64),
+                                 "i": np.ones(len(df), np.int64)}),
+        batch_format="pandas"), ["doc_a", "doc_b"],
+        [("i", "sum", "inter")]).materialize()
 
-        lut = _cached_get(lut_ref)
-        out = []
-        for a, b in zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy()):
-            sa, sb = lut[int(a)], lut[int(b)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            if union and inter / union >= threshold:
-                out.append((a, b, inter, union))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jacc_num", "jacc_den"]) \
-            .astype(np.int64)
+    na = sizes.map_batches(
+        lambda df: pd.DataFrame({"doc_a": df["doc_id"].to_numpy(np.int64),
+                                 "na": df["n"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    nb = sizes.map_batches(
+        lambda df: pd.DataFrame({"doc_b": df["doc_id"].to_numpy(np.int64),
+                                 "nb": df["n"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    jj = inter.join(na, join_type="inner", num_partitions=4,
+                    on=("doc_a",)).materialize() \
+        .join(nb, join_type="inner", num_partitions=4, on=("doc_b",))
 
-    return cand.map_batches(verify, batch_format="pandas")
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["inter"].to_numpy(np.int64)
+        u = df["na"].to_numpy(np.int64) + df["nb"].to_numpy(np.int64) - i
+        keep = (u > 0) & (i / u >= threshold)
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+            "jacc_num": i[keep], "jacc_den": u[keep]})
+
+    return jj.map_batches(emit, batch_format="pandas")
 
 
 _NGRAM_JACCARD_SQL = r"""
