@@ -100,14 +100,117 @@ def flood_order(sf_dir: str):
 ISO_TARGET = 600  # grid cells per basin (61,200-cell grid -> ~100 basins)
 
 
-@query("isobasins")
+_ISO_OFFS = [_dy * _COLS + _dx for _dx, _dy in
+             zip((1, 1, 1, 0, -1, -1, -1, 0), (-1, 0, 1, 1, 1, 0, -1, -1))]
+
+
+def _iso_layer(src: str, target: int) -> str:
+    """One Jacobi step of the gated cut fold: masked child out-values via
+    LAG/LEAD (mask bits are STATIC child adjacency from the pointer
+    graph), fa = 1 + sum, best child by key = out*8 + (7 - scan index),
+    then the cut decision rewrites the value sent downstream."""
+    terms_sum, terms_key = [], []
+    for e in range(8):
+        off = _ISO_OFFS[e]
+        fn = "LAG" if off < 0 else "LEAD"
+        acc = f"{fn}(outv, {abs(off)}) OVER (ORDER BY cid)"
+        terms_sum.append(f"CASE WHEN (mask >> {e}) & 1 = 1 THEN {acc} "
+                         f"ELSE 0 END")
+        terms_key.append(f"CASE WHEN (mask >> {e}) & 1 = 1 THEN "
+                         f"({acc})*8 + {7 - e} ELSE -1 END")
+    l1 = (f"SELECT iter, cid, mask, 1 + ({' + '.join(terms_sum)}) AS fa, "
+          f"GREATEST({', '.join(terms_key)}) AS inkey FROM ({src})")
+    return (f"SELECT iter, cid, mask, CASE "
+            f"WHEN fa >= {target} AND ({target} - inkey//8) < (fa - {target}) "
+            f"AND (mask & 255) > 0 THEN fa - inkey//8 "
+            f"WHEN fa >= {target} THEN 1 ELSE fa END AS outv FROM ({l1})")
+
+
+def _iso_sql(target: int, outer: int = 80, steps: int = 4) -> str:
+    """SQL twin of the isobasins wave (depth 305 on this forest; 320 Jacobi
+    steps; equality with the sequential topological fold AND the Pregel
+    entry asserted in tests/test_hydro8.py) + outlet derivation + the
+    cut-graph chase for basin labels."""
+    src = f"SELECT iter, cid, mask, outv FROM relax_iso WHERE iter < {outer}"
+    for _ in range(steps):
+        src = _iso_layer(src, target)
+    kid_case = " ".join(f"WHEN {_ISO_OFFS[i]} THEN {1 << i}"
+                        for i in range(8))
+    bf_case = " ".join(f"WHEN {i} THEN cid + ({_ISO_OFFS[i]})"
+                       for i in range(8))
+    terms_sum, terms_key = [], []
+    for e in range(8):
+        off = _ISO_OFFS[e]
+        fn = "LAG" if off < 0 else "LEAD"
+        acc = f"{fn}(outv, {abs(off)}) OVER (ORDER BY cid)"
+        terms_sum.append(f"CASE WHEN (mask >> {e}) & 1 = 1 THEN {acc} "
+                         f"ELSE 0 END")
+        terms_key.append(f"CASE WHEN (mask >> {e}) & 1 = 1 THEN "
+                         f"({acc})*8 + {7 - e} ELSE -1 END")
+    fin = (f"SELECT cid, mask, 1 + ({' + '.join(terms_sum)}) AS fa, "
+           f"GREATEST({', '.join(terms_key)}) AS inkey FROM iso")
+    ui = (f"(fa >= {target} AND ({target} - inkey//8) < (fa - {target}) "
+          f"AND (mask & 255) > 0)")
+    return f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    kids AS (
+      SELECT g.down_id AS cell_id,
+             SUM(CASE g.cell_id - g.down_id {kid_case} END) AS kmask
+      FROM graph g WHERE g.down_id >= 0 GROUP BY g.down_id
+    ),
+    state0 AS MATERIALIZED (
+      SELECT g.cell_id AS cid,
+             CAST(COALESCE(k.kmask, 0)
+                  + CASE WHEN g.down_id < 0 THEN 256 ELSE 0 END AS BIGINT)
+                 AS mask
+      FROM graph g LEFT JOIN kids k ON k.cell_id = g.cell_id
+    ),
+    relax_iso(iter, cid, mask, outv) AS (
+      SELECT 0, cid, mask, CAST(0 AS BIGINT) FROM state0
+      UNION ALL
+      SELECT iter+1, cid, mask, outv FROM ({src}) s
+    ),
+    iso AS MATERIALIZED (SELECT cid, mask, outv FROM relax_iso
+                         WHERE iter = {outer}),
+    fin AS MATERIALIZED ({fin}),
+    dec AS MATERIALIZED (
+      SELECT cid, mask, fa, inkey, {ui} AS use_inflow,
+             (fa >= {target} AND NOT {ui}) AS self_cut
+      FROM fin
+    ),
+    outl AS MATERIALIZED (
+      SELECT DISTINCT CASE (7 - (inkey % 8)) {bf_case} END AS cell
+      FROM dec WHERE use_inflow
+      UNION
+      SELECT cid FROM dec WHERE self_cut
+      UNION
+      SELECT cid FROM dec WHERE (mask & 256) > 0 AND NOT self_cut
+    ),
+    graphc AS MATERIALIZED (
+      SELECT g.cell_id, CASE WHEN o.cell IS NOT NULL THEN CAST(-1 AS BIGINT)
+                             ELSE g.down_id END AS down_id
+      FROM graph g LEFT JOIN outl o ON o.cell = g.cell_id
+    ),
+    chase(start, cur) AS (
+      SELECT cell_id, cell_id FROM graphc
+      UNION ALL
+      SELECT c.start, g.down_id FROM chase c
+      JOIN graphc g ON g.cell_id = c.cur WHERE g.down_id >= 0
+    )
+    SELECT c.start AS cell_id, c.cur AS basin
+    FROM chase c JOIN graphc g ON g.cell_id = c.cur WHERE g.down_id < 0
+    """
+
+
+@query("isobasins", _iso_sql(ISO_TARGET))
 def isobasins(sf_dir: str):
     """Isobasins (hydro_analysis/isobasins.rs:392-459): near-equal-area
     drainage basins. The gated cut wave (stages/pregel.isobasins_pregel)
     marks outlet cells; the pointer graph cut at the outlets feeds the
     existing basins labeling (doubling-table probe resolve), so each cell's
     basin is the first outlet at-or-downstream. Labels = outlet cell id.
-    Output (cell_id, basin) int64."""
+    SQL oracle: _iso_sql Jacobi fold over static child masks. Output
+    (cell_id, basin) int64."""
     from ..stages.flow import down_ds_from_pointer
     from ..stages.pregel import basins_pregel, isobasins_pregel
 

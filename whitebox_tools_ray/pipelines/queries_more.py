@@ -270,42 +270,143 @@ def polygons_to_raster(sf_dir: str):
     return ids.map_batches(burn, batch_format="numpy")
 
 
-@query("polygon_shape_metrics")
+def _psm_sql() -> str:
+    """SQL twin generated from the SAME literal layer (layers.builtin_
+    features; dyadic coordinates, so the shoelace is exact and order-free):
+    area/perimeter as unrolled literal chains in ring order (perimeter's
+    sqrt terms fold left-to-right exactly like the Python accumulation),
+    elongation via the pair-orientation min-area box over the feature's
+    ring vertices (the minimum-area rectangle aligns with a hull edge,
+    and hull edges are vertex pairs, so the pair-orientation minimum IS
+    the true minimum)."""
+    from ..layers import builtin_features
+
+    vert_vals, scal_vals = [], []
+    for fid, rings in builtin_features():
+        k = 0
+        area_chain = "0.0"
+        perim_chain = "0.0"
+        for ring, _hole in rings:
+            r = np.asarray(ring, np.float64)
+            for x, y in r[:-1]:
+                k += 1
+                vert_vals.append(f"({fid},{k},{float(x)!r},{float(y)!r})")
+            s_chain = "0.0"
+            for i in range(len(r) - 1):
+                x0, y0 = float(r[i, 0]), float(r[i, 1])
+                x1, y1 = float(r[i + 1, 0]), float(r[i + 1, 1])
+                s_chain = f"({s_chain} + ({x0!r}*{y1!r} - {x1!r}*{y0!r}))"
+                dx, dy = x1 - x0, y1 - y0
+                perim_chain = (f"({perim_chain} + "
+                               f"SQRT({dx!r}*{dx!r} + {dy!r}*{dy!r}))")
+            area_chain = f"({area_chain} + 0.5*{s_chain})"
+        scal_vals.append(f"({fid}, ABS({area_chain}), {perim_chain})")
+    return f"""
+    WITH verts(fid, k, x, y) AS (SELECT * FROM (VALUES {
+        ", ".join(vert_vals)}) t(a,b,c,d)),
+    scal(fid, a_abs, perim) AS (SELECT * FROM (VALUES {
+        ", ".join(scal_vals)}) t(a,b,c)),
+    prs AS (
+      SELECT a.fid, a.k AS ka, b.k AS kb, b.x - a.x AS dx, b.y - a.y AS dy
+      FROM verts a JOIN verts b ON b.fid = a.fid AND b.k > a.k
+      WHERE b.x - a.x != 0 OR b.y - a.y != 0
+    ),
+    proj AS (
+      SELECT p.fid, p.ka, p.kb, p.dx, p.dy,
+             MIN(v.x*p.dx + v.y*p.dy) AS umin,
+             MAX(v.x*p.dx + v.y*p.dy) AS umax,
+             MIN(-(v.x*p.dy) + v.y*p.dx) AS vmin,
+             MAX(-(v.x*p.dy) + v.y*p.dx) AS vmax
+      FROM prs p JOIN verts v ON v.fid = p.fid
+      GROUP BY p.fid, p.ka, p.kb, p.dx, p.dy
+    ),
+    scored AS (
+      SELECT fid, ka, kb, dx, dy, umax - umin AS w, vmax - vmin AS h,
+             (umax - umin) * (vmax - vmin) / (dx*dx + dy*dy) AS area_s
+      FROM proj
+    ),
+    win AS (
+      SELECT fid,
+             LEAST(w, h) / SQRT(dx*dx + dy*dy) AS short_ax,
+             GREATEST(w, h) / SQRT(dx*dx + dy*dy) AS long_ax
+      FROM (SELECT * FROM scored
+            QUALIFY row_number() OVER (PARTITION BY fid
+                      ORDER BY area_s, ka, kb) = 1)
+    )
+    SELECT s.fid AS poly_id,
+           CAST(FLOOR(s.a_abs*1e6 + 0.5) AS BIGINT) AS area_u,
+           CAST(FLOOR(s.perim*1e6 + 0.5) AS BIGINT) AS perim_u,
+           CAST(FLOOR(s.a_abs/s.perim*1e6 + 0.5) AS BIGINT) AS compact_u,
+           CAST(FLOOR(s.perim/s.a_abs*1e6 + 0.5) AS BIGINT) AS pa_u,
+           CAST(FLOOR((1.0 - w.short_ax/w.long_ax)*1e6 + 0.5) AS BIGINT)
+               AS elong_u
+    FROM scal s JOIN win w ON w.fid = s.fid
+    """
+
+
+@query("polygon_shape_metrics", _psm_sql())
 def polygon_shape_metrics(sf_dir: str):
     """Shape-metric family, reference-faithful formulas: per feature — area
     (holes subtract, compactness_ratio.rs:204-228), perimeter,
     compactness = A/P (compactness_ratio.rs:43,228), perimeter_area = P/A
-    (perimeter_area_ratio.rs), elongation = 1 - S/L with S/L the axes of the
-    minimum-AREA rotated bounding box over the feature's hull
-    (elongation_ratio.rs:217-226, minimum_bounding_box.rs
-    MinimizationCriterion::Area). Rows-only (square roots / rotations are
-    float); values verified against direct computation in tests."""
+    (perimeter_area_ratio.rs), elongation = 1 - S/L with S/L the axes of
+    the minimum-AREA rotated bounding box (elongation_ratio.rs:217-226,
+    minimum_bounding_box.rs MinimizationCriterion::Area) computed by
+    pair-orientation enumeration over the feature's ring vertices (exact:
+    the optimal rectangle aligns with a hull edge, and every hull edge is
+    a vertex pair). SQL-exact via _psm_sql — identical literal expression
+    trees on both sides, micro-quantized outputs."""
     import ray.data
 
-    from ..geometry import min_area_bbox_axes
+    from ..layers import builtin_features
 
-    polys = builtin_polygons()
     rows = []
-    for fid in np.unique(polys.feature_id):
+    for fid, rings in builtin_features():
         area = 0.0
         perim = 0.0
         pts = []
-        for p in np.flatnonzero(polys.feature_id == fid):
-            ring = polys.rings[p]
-            a = polygon_area(ring)
-            area += a  # holes (CCW) subtract from the CW-negative outer
-            d = np.diff(ring, axis=0)
-            perim += float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
-            pts.append(ring[:-1])
-        short_ax, long_ax = min_area_bbox_axes(np.concatenate(pts))
+        for ring, _hole in rings:
+            r = np.asarray(ring, np.float64)
+            s = 0.0
+            for i in range(len(r) - 1):
+                s = s + (float(r[i, 0]) * float(r[i + 1, 1])
+                         - float(r[i + 1, 0]) * float(r[i, 1]))
+                dx = float(r[i + 1, 0]) - float(r[i, 0])
+                dy = float(r[i + 1, 1]) - float(r[i, 1])
+                perim = perim + float(np.sqrt(dx * dx + dy * dy))
+            area = area + 0.5 * s
+            pts.append(r[:-1])
+        p = np.concatenate(pts)
+        best = None
+        for i in range(len(p)):
+            for j in range(i + 1, len(p)):
+                dx = p[j, 0] - p[i, 0]
+                dy = p[j, 1] - p[i, 1]
+                if dx == 0 and dy == 0:
+                    continue
+                u = p[:, 0] * dx + p[:, 1] * dy
+                v = -(p[:, 0] * dy) + p[:, 1] * dx
+                w = u.max() - u.min()
+                h = v.max() - v.min()
+                area_s = w * h / (dx * dx + dy * dy)
+                key = (area_s, i + 1, j + 1)
+                if best is None or key < best[:3]:
+                    ln = float(np.sqrt(dx * dx + dy * dy))
+                    best = (area_s, i + 1, j + 1,
+                            min(w, h) / ln, max(w, h) / ln)
+        short_ax, long_ax = best[3], best[4]
         a_abs = abs(area)
+
+        def uq(val: float) -> int:
+            return int(np.floor(val * 1e6 + 0.5))
+
         rows.append({
             "poly_id": int(fid),
-            "area": a_abs,
-            "perimeter": perim,
-            "compactness": a_abs / perim,
-            "perimeter_area": perim / a_abs,
-            "elongation": 1.0 - (short_ax / long_ax if long_ax > 0 else 0.0),
+            "area_u": uq(a_abs),
+            "perim_u": uq(perim),
+            "compact_u": uq(a_abs / perim),
+            "pa_u": uq(perim / a_abs),
+            "elong_u": uq(1.0 - short_ax / long_ax),
         })
     return ray.data.from_pandas(pd.DataFrame(rows))
 
