@@ -23,10 +23,11 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..hydrodefs import _pour_cells
+from ..hydrodefs import _GRAPH_CTES, _pour_cells
 from ..layers import GRID1
 from ..rasterdefs import _value_fn
 from .queries import query
+from .sqlgen import add64, sm64
 
 _ROWS, _COLS = GRID1.rows, GRID1.cols
 _DX = (1, 1, 1, 0, -1, -1, -1, 0)
@@ -117,12 +118,128 @@ def dam_cells_for_point(target: int) -> list[tuple[int, float]]:
     return rows
 
 
-@query("insert_dams")
+_POUR_SEED_H10 = 909090
+_NEG = -10**15
+
+
+def _dam_win_ctes() -> str:
+    """CTE text through `winkeep` (the winning dam candidate per pour
+    point): the reference's per-cell 4-direction search reduced to the 56
+    candidates whose profile CONTAINS the target (centre = target - m*dir,
+    m in ±1..7), with the two-sided running-max profile fill in closed
+    form — filled[k] = min(prefix max, suffix max) (provably equal to the
+    reference's forward/backward scan pair) — and the strict-first
+    argmax as (fillv DESC, row, col, d). Shared by insert_dams and
+    impoundment_index."""
+    hdl, rows, cols = _HDL, _ROWS, _COLS
+    dirvals = ", ".join(f"({d},{_DY[_PERP1[d]]},{_DX[_PERP1[d]]})"
+                        for d in range(4))
+    return f"""
+    pour_h AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS pour_id,
+             {sm64(add64('CAST(t.i AS UBIGINT)', str(_POUR_SEED_H10)))} AS h
+      FROM range({len(_pour_cells())}) t(i)
+    ),
+    dtargets AS MATERIALIZED (
+      SELECT pour_id,
+             (1 + CAST(h % {rows - 2} AS BIGINT)) AS tr,
+             (1 + CAST({sm64('h')} % {cols - 2} AS BIGINT)) AS tc
+      FROM pour_h
+    ),
+    ddirs(d, dy, dx) AS (SELECT * FROM (VALUES {dirvals}) t(a,b,c)),
+    dms(m) AS (SELECT t.i - {hdl} FROM range({2*hdl+1}) t(i)
+               WHERE t.i != {hdl}),
+    dcand AS (
+      SELECT g.pour_id, g.tr, g.tc, d.d, d.dy, d.dx,
+             g.tr - m.m * d.dy AS row, g.tc - m.m * d.dx AS col,
+             {hdl} + m.m AS tcell
+      FROM dtargets g CROSS JOIN ddirs d CROSS JOIN dms m
+      WHERE g.tr - m.m * d.dy BETWEEN 0 AND {rows-1}
+        AND g.tc - m.m * d.dx BETWEEN 0 AND {cols-1}
+    ),
+    dks(k) AS (SELECT t.i FROM range({2*hdl+1}) t(i)),
+    dprof AS (
+      SELECT c.*, k.k,
+             CASE WHEN c.row + (k.k - {hdl}) * c.dy BETWEEN 0 AND {rows-1}
+                   AND c.col + (k.k - {hdl}) * c.dx BETWEEN 0 AND {cols-1}
+                  THEN ((c.row + (k.k - {hdl}) * c.dy) * {cols}
+                        + c.col + (k.k - {hdl}) * c.dx) * 1000003 % 1000
+                  ELSE {_NEG} END AS zk
+      FROM dcand c CROSS JOIN dks k
+    ),
+    dfilled AS (
+      SELECT pour_id, tr, tc, d, dy, dx, row, col, tcell,
+             LEAST(MAX(CASE WHEN k <= tcell THEN zk END),
+                   MAX(CASE WHEN k >= tcell THEN zk END)) AS fillv
+      FROM dprof GROUP BY ALL
+    ),
+    dwin AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT f.*,
+               row_number() OVER (PARTITION BY pour_id
+                                  ORDER BY fillv DESC, row, col, d) AS rn
+        FROM dfilled f
+      ) WHERE rn = 1
+    ),
+    winkeep AS MATERIALIZED (
+      SELECT w.* FROM dwin w
+      WHERE w.fillv > (w.tr * {cols} + w.tc) * 1000003 % 1000
+    )"""
+
+
+_INSERT_DAMS_SQL = f"""
+    WITH {_dam_win_ctes()},
+    wprof AS (
+      SELECT w.pour_id, w.d, w.row, w.col, k.k,
+             w.row + (k.k - {_HDL}) * w.dy AS pr,
+             w.col + (k.k - {_HDL}) * w.dx AS pc,
+             CASE WHEN w.row + (k.k - {_HDL}) * w.dy
+                       BETWEEN 0 AND {_ROWS-1}
+                   AND w.col + (k.k - {_HDL}) * w.dx
+                       BETWEEN 0 AND {_COLS-1}
+                  THEN ((w.row + (k.k - {_HDL}) * w.dy) * {_COLS}
+                        + w.col + (k.k - {_HDL}) * w.dx) * 1000003 % 1000
+                  ELSE {_NEG} END AS zk
+      FROM winkeep w CROSS JOIN dks k
+    ),
+    wfill AS MATERIALIZED (
+      SELECT a.pour_id, a.d, a.pr, a.pc, a.k,
+             LEAST(MAX(CASE WHEN b.k <= a.k THEN b.zk END),
+                   MAX(CASE WHEN b.k >= a.k THEN b.zk END)) AS fv,
+             MAX(a.zk) AS zk
+      FROM wprof a JOIN wprof b
+        ON b.pour_id = a.pour_id AND b.d = a.d
+       AND b.row = a.row AND b.col = a.col
+      GROUP BY a.pour_id, a.d, a.pr, a.pc, a.k
+    ),
+    raises AS (
+      SELECT pr * {_COLS} + pc AS cell_id, fv AS zdam FROM wfill
+      WHERE zk != {_NEG} AND pr BETWEEN 0 AND {_ROWS-1}
+        AND pc BETWEEN 0 AND {_COLS-1}
+      UNION ALL
+      SELECT (pr - 1) * {_COLS} + pc, fv FROM wfill
+      WHERE zk != {_NEG} AND pr - 1 BETWEEN 0 AND {_ROWS-1}
+        AND pc BETWEEN 0 AND {_COLS-1}
+        AND (k = {_HDL} OR d IN (0, 2))
+    ),
+    dbase AS (
+      SELECT CAST(t.i AS BIGINT) AS cell_id,
+             CAST(t.i * 1000003 % 1000 AS BIGINT) AS zdam
+      FROM range({_ROWS * _COLS}) t(i)
+    )
+    SELECT cell_id, CAST(MAX(zdam) AS DOUBLE) AS zdam
+    FROM (SELECT * FROM dbase UNION ALL SELECT * FROM raises)
+    GROUP BY cell_id
+"""
+
+
+@query("insert_dams", _INSERT_DAMS_SQL)
 def insert_dams(sf_dir: str):
     """InsertDams (hydro_analysis/insert_dams.rs:248-430) at the 12 pour
     points, dam_length 15. Output (cell_id, zdam) float64 for the FULL
     grid (max of base z and every dam profile covering the cell).
-    Rows-only; scalar oracle in tests/test_hydro10.py."""
+    SQL oracle: _dam_win_ctes closed-form water-fill search + widening
+    quirk; independent scalar oracle also in tests/test_hydro10.py."""
     from ..relational import partial_agg
     from ..stages.raster import synth_raster_tiles
 
@@ -232,7 +349,38 @@ def _d8_down_local(cells_r: np.ndarray, cells_c: np.ndarray) -> np.ndarray:
     return down
 
 
-@query("impoundment_index")
+_ISI_SQL = f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    {_dam_win_ctes()},
+    crest AS MATERIALIZED (
+      SELECT t.pour_id, t.tr * {_COLS} + t.tc AS target,
+             (t.tr * {_COLS} + t.tc) * 1000003 % 1000 AS tz,
+             w.fillv
+      FROM dtargets t LEFT JOIN winkeep w ON w.pour_id = t.pour_id
+    ),
+    flood(pour_id, cell) AS (
+      SELECT pour_id, target FROM crest WHERE fillv IS NOT NULL
+      UNION
+      SELECT f.pour_id, g.cell_id FROM flood f
+      JOIN graph g ON g.down_id = f.cell
+      JOIN crest ct ON ct.pour_id = f.pour_id
+      WHERE (g.cell_id * 1000003 % 1000) < ct.fillv
+    ),
+    stats AS (
+      SELECT pour_id, COUNT(*) AS area,
+             SUM(CAST(c2.fillv - (f.cell * 1000003 % 1000) AS DOUBLE))
+                 AS volume
+      FROM flood f JOIN crest c2 USING (pour_id) GROUP BY pour_id
+    )
+    SELECT c.pour_id,
+           CAST(COALESCE(c.fillv, c.tz) AS DOUBLE) AS crest,
+           COALESCE(s.area, 0) AS area,
+           COALESCE(s.volume, 0.0) AS volume
+    FROM crest c LEFT JOIN stats s ON s.pour_id = c.pour_id
+"""
+
+
+@query("impoundment_index", _ISI_SQL)
 def impoundment_index(sf_dir: str):
     """ImpoundmentSizeIndex (hydro_analysis/impoundment_index.rs, Lindsay
     2015) at the 12 sampled pour points (the sampled-viewpoint contract of

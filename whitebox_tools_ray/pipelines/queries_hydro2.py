@@ -132,14 +132,130 @@ def _breach_z(cells: np.ndarray) -> np.ndarray:
     return np.where(pit, z - _PIT_DEPTH, z).astype(np.float64)
 
 
-@query("breach_depressions")
+def _breach_sql() -> str:
+    """SQL twin of the breach contract (stages/breach.py): pits = strictly
+    lower than all 8 present neighbours; per-pit least-cost search inside
+    the max_dist window as a lexicographic (cost, steps) relaxation with
+    the key packed as cost*32 + steps (steps <= 16 < 32) and expansion
+    gated at steps < max_dist exactly like the Dijkstra; target = minimal
+    (key, cell) among strictly-lower cells; prev = minimal-id neighbour
+    one relaxation step back; the ramp's negative floor division is
+    rewritten positive: zp - ((zp - zt)*i + L - 1) // L. All integers —
+    bit-equal to the Ray entry (test_hydro2_breach_sql + oracle parity)."""
+    md, pk = BREACH_MAX_DIST, 32
+    r2, c2 = GRID1.rows // 2, GRID1.cols // 2
+    rows, cols = GRID1.rows, GRID1.cols
+    dxy = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+           (1, 1))
+    nv = ", ".join(f"({dr},{dc})" for dr, dc in dxy)
+    return f"""
+    WITH RECURSIVE
+    bcells AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS cid, CAST(t.i // {cols} AS BIGINT) AS r,
+             CAST(t.i % {cols} AS BIGINT) AS c,
+             CAST((4*(ABS(t.i // {cols} - {r2}) + ABS(t.i % {cols} - {c2}))
+                   + 40) * 256
+                  - CASE WHEN (t.i // {cols}) % 48 = 17
+                              AND (t.i % {cols}) % 48 = 29
+                           OR (t.i // {cols}) = {r2}
+                              AND (t.i % {cols}) = {c2}
+                         THEN {_PIT_DEPTH} ELSE 0 END AS BIGINT) AS z
+      FROM range({rows * cols}) t(i)
+    ),
+    offs(dr, dc) AS (SELECT * FROM (VALUES {nv}) t(a,b)),
+    nbrz AS MATERIALIZED (
+      SELECT a.cid, COUNT(*) AS npres, MIN(b.z) AS minnb
+      FROM bcells a JOIN offs o ON TRUE
+      JOIN bcells b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+      GROUP BY a.cid
+    ),
+    pits AS MATERIALIZED (
+      SELECT a.cid AS p, a.r AS prr, a.c AS pcc, a.z AS zp, n.minnb
+      FROM bcells a JOIN nbrz n ON n.cid = a.cid
+      WHERE n.npres = 8 AND n.minnb > a.z
+    ),
+    offs9(dr, dc) AS (SELECT * FROM (VALUES (0,0), {nv}) t(a,b)),
+    relax(iter, p, v, key) AS (
+      SELECT 0, p, p, CAST(0 AS BIGINT) FROM pits
+      UNION ALL
+      SELECT n.iter, n.p, n.v, MIN(n.key)
+      FROM (
+        SELECT s.iter + 1 AS iter, s.p, b.cid AS v,
+               CASE WHEN o.dr = 0 AND o.dc = 0 THEN s.key
+                    ELSE s.key + GREATEST(0, b.z - pt.zp)*{pk} + 1 END AS key
+        FROM relax s
+        JOIN pits pt ON pt.p = s.p
+        JOIN offs9 o ON (o.dr = 0 AND o.dc = 0) OR s.key % {pk} < {md}
+        JOIN bcells sb ON sb.cid = s.v
+        JOIN bcells b ON b.r = sb.r + o.dr AND b.c = sb.c + o.dc
+        WHERE s.iter < {md + 4}
+          AND ABS(b.r - pt.prr) <= {md} AND ABS(b.c - pt.pcc) <= {md}
+      ) n
+      GROUP BY n.iter, n.p, n.v
+    ),
+    relaxF AS MATERIALIZED (
+      SELECT p, v, MIN(key) AS key FROM relax WHERE iter = {md + 4}
+      GROUP BY p, v
+    ),
+    targets AS MATERIALIZED (
+      SELECT p, v AS tgt, key AS tkey FROM (
+        SELECT r.p, r.v, r.key,
+               row_number() OVER (PARTITION BY r.p ORDER BY r.key, r.v)
+                   AS rn
+        FROM relaxF r JOIN bcells b ON b.cid = r.v
+        JOIN pits pt ON pt.p = r.p
+        WHERE b.z < pt.zp AND r.v != r.p
+      ) WHERE rn = 1
+    ),
+    prevt AS MATERIALIZED (
+      SELECT r.p, r.v, MIN(u.v) AS prev
+      FROM relaxF r
+      JOIN bcells rb ON rb.cid = r.v
+      JOIN pits pt ON pt.p = r.p
+      JOIN offs o ON TRUE
+      JOIN bcells ub ON ub.r = rb.r + o.dr AND ub.c = rb.c + o.dc
+      JOIN relaxF u ON u.p = r.p AND u.v = ub.cid
+      WHERE u.key = r.key - GREATEST(0, rb.z - pt.zp)*{pk} - 1
+      GROUP BY r.p, r.v
+    ),
+    walkb(p, cur, j) AS (
+      SELECT p, tgt, 0 FROM targets
+      UNION ALL
+      SELECT w.p, pv.prev, w.j + 1
+      FROM walkb w JOIN prevt pv ON pv.p = w.p AND pv.v = w.cur
+      WHERE w.cur != w.p
+    ),
+    carves AS (
+      SELECT w.cur AS cell_id,
+             pt.zp - ((pt.zp - tb.z) * (t.tkey % {pk} - w.j)
+                      + (t.tkey % {pk}) - 1) // (t.tkey % {pk}) AS z
+      FROM walkb w
+      JOIN targets t ON t.p = w.p
+      JOIN pits pt ON pt.p = w.p
+      JOIN bcells tb ON tb.cid = t.tgt
+      WHERE w.j >= 1 AND w.j <= t.tkey % {pk} - 1
+    ),
+    mods AS MATERIALIZED (
+      SELECT c.cell_id, c.z FROM carves c
+      JOIN bcells b ON b.cid = c.cell_id WHERE c.z < b.z
+      UNION ALL
+      SELECT pt.p, pt.minnb FROM pits pt
+      LEFT JOIN targets t ON t.p = pt.p WHERE t.p IS NULL
+    )
+    SELECT b.cid AS cell_id, COALESCE(m.z, b.z) AS z
+    FROM bcells b LEFT JOIN mods m ON m.cell_id = b.cid
+    """
+
+
+@query("breach_depressions", _breach_sql())
 def breach_depressions(sf_dir: str):
     """BreachDepressionsLeastCost (hydro_analysis/breach_depressions_least_
     cost.rs): carve least-cost breach paths from every pit to lower ground
     (fixed-point ramp), fill-fallback for unresolvable pits — tile-parallel
     with a max_dist halo (stages/breach.py documents the exact contract and
-    the partitioning assumption). Rows-only; full-grid brute-force oracle +
-    drainage properties in tests/test_breach.py. Output: (cell_id, z)."""
+    the partitioning assumption). SQL oracle: _breach_sql per-pit windowed
+    lexicographic relaxation. Full-grid brute-force oracle + drainage
+    properties also in tests/test_breach.py. Output: (cell_id, z)."""
     from ..stages.breach import breach_depressions_ds
 
     return breach_depressions_ds(_breach_z, GRID1, max_dist=BREACH_MAX_DIST)
