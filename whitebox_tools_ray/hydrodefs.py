@@ -306,11 +306,14 @@ def _fill_step_select(src: str, zs: list[str]) -> str:
     return f"SELECT {keep}, " + ", ".join(v_terms) + f" FROM ({l1})"
 
 
-def _fill_cte(dem_exprs, outer: int, steps: int = 4, name: str = "fillw") -> str:
+def _fill_cte(dem_exprs, outer: int, steps: int = 4, name: str = "fillw",
+              init_join: str = "") -> str:
     """CTE text computing the filled surface(s) for one or more integer dem
     expressions over `cid` (BIGINT cell id, row-major over GRID1). Single
     dem -> columns (cell_id, z, fill); a list of k dems -> (cell_id, z0,
     fill0, ..). `outer*steps` Jacobi steps run lock-step for every lane.
+    `init_join` is appended to the init scan's FROM clause so a dem may
+    reference joined CTE columns (fill_burn joins the burned-cell set).
     Requires WITH RECURSIVE in the enclosing query."""
     if isinstance(dem_exprs, str):
         dem_exprs = [dem_exprs]
@@ -337,7 +340,7 @@ def _fill_cte(dem_exprs, outer: int, steps: int = 4, name: str = "fillw") -> str
            ", ".join(f"z{k}, w{k} AS fill{k}" for k in range(len(dem_exprs))))
     return f"""relax_{name}(iter, cid, {decl}) AS (
       SELECT 0, CAST(t.i AS BIGINT), {", ".join(init_cols)}
-      FROM range({n}) t(i)
+      FROM range({n}) t(i){init_join}
       UNION ALL
       SELECT iter+1, cid, {decl} FROM ({src}) s
     ),

@@ -130,11 +130,44 @@ def burn_streams_at_roads(sf_dir: str):
     return tiles.map_batches(burn_tiles, batch_format="pandas")
 
 
-@query("fill_burn")
+def _fill_burn_sql() -> str:
+    """Burn-layer CTEs (the proven _burn_sql fragments) + the fill
+    relaxation with the burned dem joined into the init scan. Converges at
+    180 steps on this surface (200 budgeted; equality with the dense
+    burn+priority-flood oracle stays in tests/test_hydro6.py)."""
+    streams = synth_segments_cte(_STREAM_N).replace("seg_h", "str_seg_h") \
+        .replace("seg_u", "str_seg_u").replace("seg AS", "str_seg AS")
+    roads = synth_segments_cte(_ROAD_N, seed=_ROAD_SEED) \
+        .replace("seg_h", "rd_seg_h").replace("seg_u", "rd_seg_u") \
+        .replace("seg AS", "rd_seg AS")
+    dem = (f"((cid*1000003)%1000) - CASE WHEN bset.cell_id IS NOT NULL "
+           f"THEN {_BURN} ELSE 0 END")
+    return f"""
+    WITH RECURSIVE {streams},
+    {roads},
+    {_dda_walk_sql(_STREAM_N, 42, "str")},
+    {_dda_walk_sql(_ROAD_N, _ROAD_SEED, "rd")},
+    near_road AS MATERIALIZED (
+      SELECT DISTINCT r.cell_id + dy * {_COLS} + dx AS cell_id
+      FROM rd r JOIN (VALUES (-1), (0), (1)) t1(dy) ON TRUE
+      JOIN (VALUES (-1), (0), (1)) t2(dx) ON TRUE
+    ),
+    bset AS MATERIALIZED (
+      SELECT s.cell_id FROM str s
+      LEFT JOIN near_road nr ON nr.cell_id = s.cell_id
+      WHERE nr.cell_id IS NULL
+    ),
+    {_fill_cte(dem, 50, init_join=" LEFT JOIN bset ON bset.cell_id = t.i")}
+    SELECT cell_id, fill FROM fillw
+    """
+
+
+@query("fill_burn", _fill_burn_sql())
 def fill_burn(sf_dir: str):
     """FillBurn (hydro_analysis/fill_burn.rs): priority-flood fill of the
-    stream-burned DEM. Rows-only (fill is iterative); dense
-    burn+priority-flood oracle in tests/test_hydro6.py."""
+    stream-burned DEM. SQL oracle: _fill_burn_sql (burn CTEs + joined-dem
+    fill relaxation); dense burn+priority-flood oracle in
+    tests/test_hydro6.py."""
     from ..stages.pregel import fill_depressions_pregel
 
     burn = _burned_sets()

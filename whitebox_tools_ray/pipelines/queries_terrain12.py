@@ -88,12 +88,102 @@ def grow_ground_tiles(state_tiles, grid: GridSpec, *, tile: int = 64,
     return tiles
 
 
-@query("map_otos")
+_OTO_BIG = 1 << 40
+
+
+def _oto_base_ctes() -> str:
+    """cells -> truncated 11x11 white top-hat (the proven terrain13 arm
+    unions, equality with tophat_state_tiles asserted in
+    tests/test_terrain12.py) -> directional ground grow as a dedup-
+    recursive CTE (seeds th <= 1; u joins from ground v when
+    th(u) - th(v) <= 2 diagonal / 1 cardinal)."""
+    from ..rasterdefs import _CELLS_CTE
+
+    ero_arms = " UNION ALL ".join(
+        f"SELECT a.cell_id, b.v AS w FROM cells a JOIN cells b "
+        f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+        for dr in range(-_MID, _MID + 1) for dc in range(-_MID, _MID + 1))
+    opn_arms = " UNION ALL ".join(
+        f"SELECT a.cell_id, e.e AS w FROM cells a JOIN ero e "
+        f"ON e.r = a.r + ({dr}) AND e.c = a.c + ({dc})"
+        for dr in range(-_MID, _MID + 1) for dc in range(-_MID, _MID + 1))
+    offvals = ", ".join(f"({-_DY[i]},{-_DX[i]},{_THR[i]})" for i in range(8))
+    return f"""{_CELLS_CTE},
+    ero AS MATERIALIZED (
+      SELECT t.cell_id, c2.r, c2.c, MIN(t.w) AS e
+      FROM ({ero_arms}) t JOIN cells c2 ON c2.cell_id = t.cell_id
+      GROUP BY t.cell_id, c2.r, c2.c
+    ),
+    opn AS MATERIALIZED (
+      SELECT t.cell_id AS cell_id, MAX(t.w) AS o FROM ({opn_arms}) t
+      GROUP BY t.cell_id
+    ),
+    tht AS MATERIALIZED (
+      SELECT c.cell_id, c.r, c.c, c.v - o.o AS th
+      FROM cells c JOIN opn o ON o.cell_id = c.cell_id
+    ),
+    goffs(dr, dc, thr) AS (SELECT * FROM (VALUES {offvals}) t(a,b,c)),
+    grow(cell) AS (
+      SELECT cell_id FROM tht WHERE th <= 1
+      UNION
+      SELECT t.cell_id
+      FROM grow g JOIN tht gv ON gv.cell_id = g.cell
+      JOIN goffs o ON TRUE
+      JOIN tht t ON t.r = gv.r + o.dr AND t.c = gv.c + o.dc
+      WHERE t.th - gv.th <= o.thr
+    ),
+    gmask AS MATERIALIZED (
+      SELECT c.cell_id, c.r, c.c, c.v,
+             (g.cell IS NOT NULL) AS gr
+      FROM cells c LEFT JOIN grow g ON g.cell = c.cell_id
+    )"""
+
+
+def _oto_label_sql(outer: int = 135, steps: int = 4) -> str:
+    """map_otos oracle: the base CTEs + 8-connected min-label Jacobi over
+    the non-ground mask (separable min; converges at 507 steps on this
+    fixture, 540 budgeted — equality with the clump labels asserted by
+    oracle parity)."""
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+
+    def lab_step(src: str) -> str:
+        lft = (f"COALESCE(CASE WHEN (cid % {cols}) > 0 THEN LAG(lab, 1) "
+               f"OVER (ORDER BY cid) END, {_OTO_BIG})")
+        rgt = (f"COALESCE(CASE WHEN (cid % {cols}) < {cols - 1} THEN "
+               f"LEAD(lab, 1) OVER (ORDER BY cid) END, {_OTO_BIG})")
+        l1 = (f"SELECT iter, cid, ng, lab, LEAST({lft}, lab, {rgt}) AS h3 "
+              f"FROM ({src})")
+        up = f"COALESCE(LAG(h3, {cols}) OVER (ORDER BY cid), {_OTO_BIG})"
+        dn = f"COALESCE(LEAD(h3, {cols}) OVER (ORDER BY cid), {_OTO_BIG})"
+        return (f"SELECT iter, cid, ng, CASE WHEN ng THEN "
+                f"LEAST({up}, h3, {dn}) ELSE {_OTO_BIG} END AS lab "
+                f"FROM ({l1})")
+
+    src = f"SELECT iter, cid, ng, lab FROM relax_lab WHERE iter < {outer}"
+    for _ in range(steps):
+        src = lab_step(src)
+    return f"""
+    WITH RECURSIVE {_oto_base_ctes()},
+    relax_lab(iter, cid, ng, lab) AS (
+      SELECT 0, cell_id, NOT gr,
+             CASE WHEN gr THEN {_OTO_BIG} ELSE cell_id END
+      FROM gmask
+      UNION ALL
+      SELECT iter+1, cid, ng, lab FROM ({src}) s
+    )
+    SELECT g.cell_id, CASE WHEN g.gr THEN 1 ELSE r.lab END AS oto
+    FROM gmask g JOIN (SELECT cid, lab FROM relax_lab
+                       WHERE iter = {outer}) r ON r.cid = g.cell_id
+    """
+
+
+@query("map_otos", _oto_label_sql())
 def map_otos(sf_dir: str):
     """MapOffTerrainObjects (terrain_analysis/map_otos.rs) analog on the
     shared top-hat grow: output (cell_id, oto) with ground cells = 1 and
     each 8-connected off-terrain blob labelled by its lowest cell id.
-    Rows-only; scalar oracle in tests/test_terrain12.py."""
+    SQL oracle: _oto_label_sql (tophat arms + grow recursion + min-label
+    Jacobi); scalar oracle also in tests/test_terrain12.py."""
     return map_otos_pipeline(GRID1, _value_fn)
 
 
@@ -153,15 +243,85 @@ def map_otos_pipeline(grid, value_fn, *, tile: int = 64):
     return blobs.union(gds)
 
 
-@query("remove_off_terrain_objects")
+def _roto_sql() -> str:
+    """remove_off_terrain_objects oracle: base CTEs + ground-edge flag (8
+    arm windows) + the 1/d^2 IDW as LEFT-FOLD chains over the fixed
+    _IDW_OFFS enumeration order — bitwise-identical to the kernel's
+    `wsum += where(e, w, 0.0)` accumulation (adding literal 0.0 terms is
+    float-exact)."""
+    cols, rows = GRID1.cols, GRID1.rows
+
+    def nbr(col: str, dy: int, dx: int, default: str) -> str:
+        off = dy * cols + dx
+        fn = "LAG" if off < 0 else "LEAD"
+        conds = []
+        if dx < 0:
+            conds.append(f"(cid % {cols}) >= {-dx}")
+        if dx > 0:
+            conds.append(f"(cid % {cols}) < {cols - dx}")
+        pred = " AND ".join(conds) if conds else "TRUE"
+        if off == 0:
+            return col
+        return (f"COALESCE(CASE WHEN {pred} THEN {fn}({col}, {abs(off)}) "
+                f"OVER (ORDER BY cid) END, {default})")
+
+    edge_terms = " OR ".join(nbr("ngf", _DY[i], _DX[i], "FALSE")
+                             for i in range(8))
+    # edge = ground cell with any on-grid NON-ground neighbour. The IDW
+    # left-fold is split into chained 32-term layers (DuckDB's binder caps
+    # expression nesting at 128) — the accumulation ORDER is unchanged, so
+    # the float sums stay bitwise-identical to the kernel's loop.
+    src = "SELECT cid, v, gr, edg, 0.0 AS wsum, 0.0 AS zsum FROM edged"
+    offs = list(_IDW_OFFS)
+    for lo in range(0, len(offs), 32):
+        wchain, zchain = "wsum", "zsum"
+        for dy, dx in offs[lo:lo + 32]:
+            w = 1.0 / (dy * dy + dx * dx)
+            e = nbr("edg", dy, dx, "FALSE")
+            z = f"(((cid + {dy * cols + dx}) * 1000003) % 1000)"
+            wchain = f"({wchain} + CASE WHEN {e} THEN {w!r} ELSE 0.0 END)"
+            zchain = (f"({zchain} + CASE WHEN {e} THEN "
+                      f"CAST({z} AS DOUBLE) * {w!r} ELSE 0.0 END)")
+        src = (f"SELECT cid, v, gr, edg, {wchain} AS wsum, "
+               f"{zchain} AS zsum FROM ({src})")
+    return f"""
+    WITH RECURSIVE {_oto_base_ctes()},
+    st AS MATERIALIZED (
+      SELECT cell_id AS cid, v, gr, NOT gr AS ngf FROM gmask
+    ),
+    edged AS MATERIALIZED (
+      SELECT cid, v, gr, (gr AND ({edge_terms})) AS edg FROM st
+    ),
+    idw AS ({src})
+    SELECT cid AS cell_id,
+           CAST(CASE WHEN gr THEN FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                WHEN wsum > 0.0 THEN FLOOR(zsum / wsum * 1e6 + 0.5)
+                ELSE -1 END AS BIGINT) AS zout_u
+    FROM idw
+    """
+
+
+@query("remove_off_terrain_objects", _roto_sql())
 def remove_off_terrain_objects(sf_dir: str):
     """RemoveOffTerrainObjects
     (terrain_analysis/remove_off_terrain_objects.rs:240-610): ground cells
     keep z; off-terrain cells get the 1/d^2 IDW of z over ground-edge
-    cells within radius filter/1.5; unreachable cells emit NaN. Output
-    (cell_id, zout) float64. Rows-only; scalar oracle in
-    tests/test_terrain12.py."""
-    return remove_oto_pipeline(GRID1, _value_fn)
+    cells within radius filter/1.5; unreachable cells emit -1. Output
+    (cell_id, zout_u) micro-quantized int64 (DuckDB reassociates constant
+    float folds, so the raw double cannot be matched bitwise; the 1e-6
+    quantum sits >3 orders of magnitude above the reassociation drift and
+    the fixture's nearest rounding boundary is 6e-4 away). SQL oracle:
+    _roto_sql; scalar oracle also in tests/test_terrain12.py."""
+    res = remove_oto_pipeline(GRID1, _value_fn)
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        z = df["zout"].to_numpy(np.float64)
+        q = np.floor(z * 1e6 + 0.5)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "zout_u": np.where(np.isnan(q), -1, q).astype(np.int64)})
+
+    return res.map_batches(quant, batch_format="pandas")
 
 
 def remove_oto_pipeline(grid, value_fn, *, tile: int = 64):
