@@ -71,7 +71,7 @@ def test_turning_bands_field(ray_session):
         .sort_values("cell_id")
     n = GRID1.rows * GRID1.cols
     assert len(got) == n
-    f = got["field"].to_numpy()
+    f = got["field_u"].to_numpy(np.float64) / 1e6
     assert np.isfinite(f).all()
     # near-standard field: per-band lines are standardized and the sum is
     # divided by sqrt(iterations)
@@ -93,4 +93,4 @@ def test_turning_bands_field(ray_session):
             p = int(np.sqrt((ix - sx) ** 2 + (iy - sy) ** 2))
             p = min(max(p, 0), diag - 1)
             acc += y[p]
-        assert abs(fmap[cell] - acc / np.sqrt(_TB_ITER)) < 1e-12
+        assert abs(fmap[cell] - acc / np.sqrt(_TB_ITER)) < 1e-5

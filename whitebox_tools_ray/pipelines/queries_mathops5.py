@@ -62,7 +62,7 @@ def tb_bands(rows: int, cols: int, res_x: float, *, iterations: int,
         t = np.zeros(diag + 2 * fhs)
         t[:diag] = _u01(np.arange(diag, dtype=np.int64)
                         + np.int64(seed + b * 1_000_003))
-        from .queries_image5 import _probit_np
+        from ..rasterdefs import _probit_np
         t[:diag] = _probit_np(t[:diag])
         # antisymmetric ramp filter, then standardize (population moments)
         y = np.zeros(diag)
@@ -127,12 +127,86 @@ def tb_bands(rows: int, cols: int, res_x: float, *, iterations: int,
     return bands, diag
 
 
-@query("turning_bands")
+def _tb_sql() -> str:
+    """SQL twin of the turning-bands field: band lines RECOMPUTED in SQL
+    (splitmix64 u01 -> Acklam probit -> 25-tap ramp filter via windowed
+    LEADs -> population standardization), transect geometry embedded as
+    the 6 per-band literals (the control-flow re-pick draws), per-cell
+    projection index from identical literal expression trees (floor of a
+    small fixed tree — bit-stable), field micro-quantized at 1e-6: DuckDB
+    reassociates float folds, but the drift (~1e-8 after x1e6) sits three
+    orders under the fixture's nearest rounding boundary (4.5e-6)."""
+    from ..rasterdefs import _probit_sql
+    from .sqlgen import sm64
+
+    rows, cols = GRID1.rows, GRID1.cols
+    diag = int(np.sqrt(rows * rows + cols * cols))
+    fhs = int(_TB_RANGE / (2.0 * GRID1.res_x))
+    fsz = fhs * 2 + 1
+    w = float(np.sqrt(36.0 / (fhs * (fhs + 1) * fsz)))
+    bands, _diag = tb_bands(rows, cols, GRID1.res_x, iterations=_TB_ITER,
+                            rng=_TB_RANGE, seed=_TB_SEED)
+    assert _diag == diag
+    geom = ", ".join(
+        f"({b},{ls!r},{li!r},{ps!r},{sd!r},{sx!r},{sy!r})"
+        for b, (_y, ls, li, ps, sd, sx, sy) in enumerate(bands))
+    u01 = (f"(CAST(({sm64(f'CAST(j + {_TB_SEED} + b*1000003 AS UBIGINT)')}"
+           f" >> 11) AS DOUBLE) / {float(1 << 53)!r})")
+    fold = "0.0"
+    for k in range(fsz):
+        m = k - fhs
+        lead = (f"COALESCE(LEAD(t, {k}) OVER (PARTITION BY b ORDER BY j), "
+                f"0.0)" if k else "t")
+        fold = f"({fold} + {float(m)!r} * {lead})"
+    return f"""
+    WITH bt AS MATERIALIZED (
+      SELECT b.b, CAST(t.i AS BIGINT) AS j,
+             {_probit_sql(u01)} AS t
+      FROM range({_TB_ITER}) b(b) CROSS JOIN range({diag}) t(i)
+    ),
+    y0 AS MATERIALIZED (
+      SELECT b, j, {w!r} * {fold} AS y FROM bt
+    ),
+    moms AS MATERIALIZED (
+      SELECT b, SUM(y) / {diag} AS mean,
+             SQRT(SUM(y*y) / {diag} - (SUM(y) / {diag}) * (SUM(y) / {diag}))
+                 AS stdev
+      FROM y0 GROUP BY b
+    ),
+    ys AS MATERIALIZED (
+      SELECT y0.b, y0.j, (y0.y - m.mean) / m.stdev AS y
+      FROM y0 JOIN moms m ON m.b = y0.b
+    ),
+    geom(b, ls, li, ps, sd, sx, sy) AS (
+      SELECT * FROM (VALUES {geom}) t(a,b2,c,d,e,f,g)
+    ),
+    proj AS (
+      SELECT CAST(t.i AS BIGINT) AS cell_id, g.b,
+             LEAST(GREATEST(CAST(FLOOR(SQRT(
+               (((t.i // {cols}) - g.ps * (t.i % {cols}) - g.li) / g.sd
+                - g.sx)
+               * (((t.i // {cols}) - g.ps * (t.i % {cols}) - g.li) / g.sd
+                  - g.sx)
+               + (g.ls * (((t.i // {cols}) - g.ps * (t.i % {cols}) - g.li)
+                          / g.sd) - g.li - g.sy)
+               * (g.ls * (((t.i // {cols}) - g.ps * (t.i % {cols}) - g.li)
+                          / g.sd) - g.li - g.sy)
+             )) AS BIGINT), 0), {diag - 1}) AS p
+      FROM range({rows * cols}) t(i) CROSS JOIN geom g
+    )
+    SELECT p.cell_id,
+           CAST(FLOOR(SUM(y.y) / 4.0 * 1e6 + 0.5) AS BIGINT) AS field_u
+    FROM proj p JOIN ys y ON y.b = p.b AND y.j = p.p
+    GROUP BY p.cell_id
+    """
+
+
+@query("turning_bands", _tb_sql())
 def turning_bands(sf_dir: str):
     """TurningBandsSimulation (math_stat_analysis/turning_bands.rs:265-505):
-    16 bands, range 24 over the synthetic grid. Output (cell_id, field)
-    float64. Rows-only; scalar band/projection oracle in
-    tests/test_mathops5.py."""
+    16 bands, range 24 over the synthetic grid. Output (cell_id, field_u)
+    micro-quantized int64. SQL oracle: _tb_sql (bands recomputed in SQL);
+    scalar band/projection oracle in tests/test_mathops5.py."""
     from ..stages.raster import synth_raster_tiles
 
     bands, diag = tb_bands(GRID1.rows, GRID1.cols, GRID1.res_x,
@@ -162,7 +236,8 @@ def turning_bands(sf_dir: str):
                 acc += y[p]
             frames.append(pd.DataFrame({
                 "cell_id": (rr * GRID1.cols + cc).ravel(),
-                "field": (acc / rooted).ravel()}))
+                "field_u": np.floor((acc / rooted).ravel() * 1e6 + 0.5)
+                .astype(np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
     tiles = synth_raster_tiles(GRID1, lambda c: np.zeros(len(c)))

@@ -473,23 +473,56 @@ def _edge_fn_factory(kind: str):
     return edge_fn
 
 
-@query("qin_flow_accum")
+def _mfd_acc_sql(kind: str) -> str:
+    """qin/quinn accumulation oracle: the PROVEN _mfd_weights_sql shares
+    pivoted per cell + the generic remainder drain (rasterdefs.
+    _mfd_drain_sql; D8-order directions, DAG depth 333 on the _value_fn
+    surface, 360 steps budgeted)."""
+    from ..rasterdefs import _mfd_drain_sql
+
+    offs = tuple((dy, dx) for dx, dy in zip(_D8_DX, _D8_DY))
+    piv = ", ".join(f"MAX(CASE WHEN i = {d} THEN w_fp END) AS pw{d}"
+                    for d in range(8))
+    wcols = ", ".join(f"COALESCE(p.pw{d}, -1) AS w{d}" for d in range(8))
+    # the weights fragment ends with its own SELECT — keep only the CTEs
+    # and rebuild that SELECT as the wfp CTE (identical expression)
+    ctes = _mfd_weights_sql(kind).rsplit("SELECT w.cell_id, w.i,", 1)[0]
+    return f"""
+    WITH RECURSIVE {_CELLS_CTE},{ctes.rstrip()},
+    wfp AS MATERIALIZED (
+      SELECT w.cell_id, w.i,
+             CAST(floor(w.w / t.tot * {_ONE_FP} + 0.5) AS BIGINT) AS w_fp
+      FROM wts w JOIN tw t ON t.cell_id = w.cell_id
+    ),
+    wagg AS (
+      SELECT cell_id, MAX(i) AS lastd, {piv} FROM wfp GROUP BY cell_id
+    ),
+    wpiv AS MATERIALIZED (
+      SELECT c.cell_id AS cid, COALESCE(p.lastd, -1) AS lastd, {wcols}
+      FROM cells c LEFT JOIN wagg p ON p.cell_id = c.cell_id
+    ),
+    {_mfd_drain_sql(offs, 180, 2)}
+    SELECT cell_id, acc_units FROM mfd_acc
+    """
+
+
+@query("qin_flow_accum", _mfd_acc_sql("qin"))
 def qin_flow_accum(sf_dir: str):
     """QinFlowAccumulation (whitebox-plugins/src/qin_flow_accumulation/
     main.rs): the qin_weights shares drained on the shared conservation
     wave (stages/pregel.mfd_accumulation_pregel; exact int64 fixed-point,
-    last-edge remainder). Rows-only; dense brute oracle in
+    last-edge remainder). SQL oracle: _mfd_acc_sql; dense brute oracle in
     tests/test_plugins.py."""
     from ..stages.pregel import mfd_accumulation_pregel
 
     return mfd_accumulation_pregel(_edge_fn_factory("qin"), GRID1)
 
 
-@query("quinn_flow_accum")
+@query("quinn_flow_accum", _mfd_acc_sql("quinn"))
 def quinn_flow_accum(sf_dir: str):
     """QuinnFlowAccumulation (whitebox-plugins/src/quinn_flow_accumulation/
-    main.rs): same wave over the quinn_weights shares. Rows-only; dense
-    brute oracle in tests/test_plugins.py."""
+    main.rs): same wave over the quinn_weights shares. SQL oracle:
+    _mfd_acc_sql; dense brute oracle in tests/test_plugins.py."""
     from ..stages.pregel import mfd_accumulation_pregel
 
     return mfd_accumulation_pregel(_edge_fn_factory("quinn"), GRID1)

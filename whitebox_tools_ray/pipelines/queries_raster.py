@@ -1117,14 +1117,68 @@ def shreve_magnitude(sf_dir: str):
     return shreve_pregel(down_ds_from_pointer(d8_pointer(sf_dir), GRID1), GRID1)
 
 
-@query("fd8_flow_accumulation")
+_FD8_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+             (1, 1))  # the fd8 brute-force scan order (tests/test_flow.py)
+
+
+def _fd8_sql() -> str:
+    """SQL twin of the FD8 conservation wave: POWER((dz)/dist, 1.1) slopes
+    in scan order, total as the same-order fold, fixed-point weights
+    floor(s/tot*2^20 + 0.5) (guard band 0.006 >> the pow/fold drift), the
+    generic _mfd_drain_sql remainder drain (DAG depth 139, 160 budgeted)."""
+    from ..rasterdefs import _mfd_drain_sql
+
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    one = 1 << 20
+    dem = "(cid*2654435761)%1000003"
+
+    def zat(expr: str) -> str:
+        return f"((({expr})*2654435761)%1000003)"
+
+    sl_defs, tot_fold = [], "0.0"
+    for d, (dr, dc) in enumerate(_FD8_OFFS):
+        off = dr * cols + dc
+        dist = repr(1.4142135623730951) if (dr and dc) else "1.0"
+        conds = [f"cid + ({off}) BETWEEN 0 AND {n - 1}"]
+        if dc == -1:
+            conds.append(f"(cid % {cols}) > 0")
+        if dc == 1:
+            conds.append(f"(cid % {cols}) < {cols - 1}")
+        zu = zat(f"cid + ({off})")
+        sl_defs.append(
+            f"CASE WHEN {' AND '.join(conds)} AND ({zu}) < z THEN "
+            f"POWER(CAST(z - ({zu}) AS DOUBLE) / {dist}, 1.1) END AS sl{d}")
+        tot_fold = f"({tot_fold} + COALESCE(sl{d}, 0.0))"
+    lastd = "GREATEST(" + ", ".join(
+        f"CASE WHEN sl{d} IS NOT NULL THEN {d} ELSE -1 END"
+        for d in range(8)) + ")"
+    wraws = ", ".join(
+        f"CASE WHEN sl{d} IS NOT NULL THEN "
+        f"CAST(FLOOR(sl{d}/tot*{one} + 0.5) AS BIGINT) ELSE -1 END AS w{d}"
+        for d in range(8))
+    return f"""
+    WITH RECURSIVE zc AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS cid, ({dem.replace('cid', 't.i')}) AS z
+      FROM range({n}) t(i)
+    ),
+    slt AS MATERIALIZED (SELECT cid, z, {', '.join(sl_defs)} FROM zc),
+    slt2 AS MATERIALIZED (
+      SELECT *, {tot_fold} AS tot, {lastd} AS lastd FROM slt
+    ),
+    wpiv AS MATERIALIZED (SELECT cid, lastd, {wraws} FROM slt2),
+    {_mfd_drain_sql(_FD8_OFFS, 80, 2)}
+    SELECT cell_id, acc_units FROM mfd_acc
+    """
+
+
+@query("fd8_flow_accumulation", _fd8_sql())
 def fd8_flow_accumulation(sf_dir: str):
     """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs, exponent 1.1):
     dispersive multiple-flow-direction accumulation over the synthetic
     surface — fixed-point (2^20 units/cell) topological wave on shard
-    actors; exact int64 at any parallelism. Rows-only; dense brute-force
-    oracle with identical arithmetic in tests/test_flow.py. Output:
-    (cell_id, acc_units)."""
+    actors; exact int64 at any parallelism. SQL oracle: _fd8_sql over the
+    generic _mfd_drain_sql; dense brute-force oracle with identical
+    arithmetic in tests/test_flow.py. Output: (cell_id, acc_units)."""
     from ..stages.pregel import fd8_accumulation_pregel
 
     def z_fn(cids: np.ndarray) -> np.ndarray:

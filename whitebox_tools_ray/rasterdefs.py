@@ -133,3 +133,125 @@ def _horn_pq_sql(*, with_v: bool = False) -> str:
       SELECT a.cell_id, {v}{p} AS p, {q} AS q
       FROM cells a {joins}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Acklam inverse-normal (probit), numpy + SQL twins (moved here from
+# pipelines/queries_image5 — leaf rule: queries_mathops5 consumes the SQL
+# twin at decoration time for the turning-bands oracle).
+# ---------------------------------------------------------------------------
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _probit_np(p: np.ndarray) -> np.ndarray:
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    out = np.empty_like(p)
+    lo = p < _ACK_PLOW
+    hi = p > 1.0 - _ACK_PLOW
+    mid = ~lo & ~hi
+    q = np.sqrt(-2.0 * np.log(np.where(lo, p, 0.5)))
+    out_lo = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+              + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q
+                         + 1.0)
+    qh = np.sqrt(-2.0 * np.log(np.where(hi, 1.0 - p, 0.5)))
+    out_hi = -((((((c[0] * qh + c[1]) * qh + c[2]) * qh + c[3]) * qh + c[4])
+                * qh + c[5])
+               / ((((d[0] * qh + d[1]) * qh + d[2]) * qh + d[3]) * qh + 1.0))
+    qm = p - 0.5
+    rm = qm * qm
+    out_mid = (((((a[0] * rm + a[1]) * rm + a[2]) * rm + a[3]) * rm + a[4])
+               * rm + a[5]) * qm \
+        / (((((b[0] * rm + b[1]) * rm + b[2]) * rm + b[3]) * rm + b[4]) * rm
+           + 1.0)
+    out[lo] = out_lo[lo]
+    out[hi] = out_hi[hi]
+    out[mid] = out_mid[mid]
+    return out
+
+
+def _probit_sql(p: str) -> str:
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+
+    def poly(coefs, var):
+        e = f"{coefs[0]!r}"
+        for k in coefs[1:]:
+            e = f"({e} * {var} + {k!r})"
+        return e
+
+    q = f"sqrt(-2.0 * ln({p}))"
+    qh = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    qm = f"({p} - 0.5)"
+    rm = f"({qm} * {qm})"
+    lo = f"({poly(c, q)}) / ({poly(d, q)} * {q} + 1.0)"
+    hi = f"-(({poly(c, qh)}) / ({poly(d, qh)} * {qh} + 1.0))"
+    midv = f"({poly(a, rm)}) * {qm} / ({poly(b, rm)} * {rm} + 1.0)"
+    return (f"CASE WHEN {p} < {_ACK_PLOW!r} THEN {lo} "
+            f"WHEN {p} > {1.0 - _ACK_PLOW!r} THEN {hi} "
+            f"ELSE {midv} END")
+
+
+# ---------------------------------------------------------------------------
+# Generic multiple-flow-direction fixed-point drain as SQL (FD8 and the
+# Qin/Quinn plugin analogs; mirrors stages/pregel's conservation wave):
+# every cell starts with 2^20 units; a resolved cell sends floor(m*w/2^20)
+# to each downslope edge except the LAST in direction order, which gets the
+# exact remainder. Jacobi over the DAG: cells of depth <= k are exact after
+# k rounds, so `outer*steps` >= DAG depth makes the fixpoint exact int64.
+# Requires a CTE `wpiv(cid, lastd, w0..w7)` (-1 = no edge) over the full
+# cell universe; direction d = offs[d] (dr, dc).
+# ---------------------------------------------------------------------------
+def _mfd_drain_sql(offs, outer: int, steps: int = 2,
+                   one: int = 1 << 20) -> str:
+    cols = GRID1.cols
+    wlist = ", ".join(f"w{d}" for d in range(8))
+
+    def step(src: str) -> str:
+        snl = " + ".join(
+            f"CASE WHEN w{d} >= 0 AND lastd != {d} "
+            f"THEN (m*w{d})//{one} ELSE 0 END" for d in range(8))
+        l1 = (f"SELECT iter, cid, lastd, m, {wlist}, ({snl}) AS snl "
+              f"FROM ({src})")
+        shares = ", ".join(
+            f"CASE WHEN w{d} < 0 THEN NULL WHEN lastd = {d} THEN m - snl "
+            f"ELSE (m*w{d})//{one} END AS sh{d}" for d in range(8))
+        l2 = f"SELECT iter, cid, lastd, m, {wlist}, {shares} FROM ({l1})"
+        inc = []
+        for d, (dr, dc) in enumerate(offs):
+            off = dr * cols + dc
+            conds = []
+            if dc == -1:
+                conds.append(f"(cid % {cols}) < {cols - 1}")
+            if dc == 1:
+                conds.append(f"(cid % {cols}) > 0")
+            pred = " AND ".join(conds) if conds else "TRUE"
+            fn = "LEAD" if off < 0 else "LAG"
+            inc.append(f"COALESCE(CASE WHEN {pred} THEN {fn}(sh{d}, "
+                       f"{abs(off)}) OVER (ORDER BY cid) END, 0)")
+        return (f"SELECT iter, cid, lastd, "
+                f"CAST({one} + {' + '.join(inc)} AS BIGINT) AS m, {wlist} "
+                f"FROM ({l2})")
+
+    src = (f"SELECT iter, cid, lastd, m, {wlist} FROM relax_mfd "
+           f"WHERE iter < {outer}")
+    for _ in range(steps):
+        src = step(src)
+    return f"""relax_mfd(iter, cid, lastd, m, {wlist}) AS (
+      SELECT 0, cid, lastd, CAST({one} AS BIGINT), {wlist} FROM wpiv
+      UNION ALL
+      SELECT iter+1, cid, lastd, m, {wlist} FROM ({src}) s
+    ),
+    mfd_acc AS MATERIALIZED (
+      SELECT cid AS cell_id, m AS acc_units FROM relax_mfd
+      WHERE iter = {outer}
+    )"""
