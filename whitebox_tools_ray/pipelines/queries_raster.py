@@ -1254,12 +1254,35 @@ def wetness_index(sf_dir: str):
     return j.map_batches(twi, batch_format="pandas")
 
 
-@query("dinf_flow_accumulation")
+def _dinf_acc_sql() -> str:
+    """DInf accumulation oracle: the 8 Tarboton facets as UNION arms
+    (ATAN2 branch selection is boundary-safe: at rang==quarter both
+    branches yield sqrt(2)*s1 exactly, and the first-max facet pick rides
+    on BITWISE-identical s values — subtraction/sqrt/division are
+    correctly rounded in both engines; the w2 rounding guard band is
+    0.27). Drain = the shared _mfd_drain_sql (edges are strictly
+    descending, so depth <= the fd8 DAG's 139; 160 steps budgeted)."""
+    from ..rasterdefs import _dinf_wpiv_ctes, _mfd_drain_sql
+
+    def zat(off: int) -> str:
+        if off == 0:
+            return "((cid*2654435761)%1000003)"
+        return f"(((cid + ({off}))*2654435761)%1000003)"
+
+    return f"""
+    WITH RECURSIVE {_dinf_wpiv_ctes(zat)},
+    {_mfd_drain_sql(_FD8_OFFS, 80, 2)}
+    SELECT cell_id, acc_units FROM mfd_acc
+    """
+
+
+@query("dinf_flow_accumulation", _dinf_acc_sql())
 def dinf_flow_accumulation(sf_dir: str):
     """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs): Tarboton
     D-infinity — steepest triangular facet, flow split between its two
-    neighbours by angle, fixed-point mass wave on shard actors. Rows-only;
-    dense brute-force oracle with identical arithmetic in tests."""
+    neighbours by angle, fixed-point mass wave on shard actors. SQL
+    oracle: _dinf_acc_sql over the shared drain; dense brute-force oracle
+    with identical arithmetic in tests."""
     from ..stages.pregel import dinf_accumulation_pregel
 
     def z_fn(cids: np.ndarray) -> np.ndarray:

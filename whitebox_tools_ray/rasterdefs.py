@@ -211,20 +211,37 @@ def _probit_sql(p: str) -> str:
 # Requires a CTE `wpiv(cid, lastd, w0..w7)` (-1 = no edge) over the full
 # cell universe; direction d = offs[d] (dr, dc).
 # ---------------------------------------------------------------------------
-def _mfd_drain_sql(offs, outer: int, steps: int = 2,
-                   one: int = 1 << 20) -> str:
+def _mfd_drain_sql(offs, outer: int, steps: int = 2, one: int = 1 << 20,
+                   init_mass: str | None = None,
+                   fwd_expr: str = "m",
+                   exact_weights: bool = False) -> str:
+    """`init_mass` (default 2^20) is the per-cell loading expression over
+    `cid`; `fwd_expr` (over `m` and `cid`) is the flux actually forwarded
+    downstream — the dinf_mass_flux mode pays absorption then fixed-point
+    efficiency: (m - absorp)*eff // 2^20 (recorded acc stays m)."""
     cols = GRID1.cols
     wlist = ", ".join(f"w{d}" for d in range(8))
+    init = init_mass if init_mass is not None else str(one)
 
     def step(src: str) -> str:
+        l0 = (f"SELECT iter, cid, lastd, m, {wlist}, "
+              f"CAST({fwd_expr} AS BIGINT) AS fw FROM ({src})")
         snl = " + ".join(
             f"CASE WHEN w{d} >= 0 AND lastd != {d} "
-            f"THEN (m*w{d})//{one} ELSE 0 END" for d in range(8))
-        l1 = (f"SELECT iter, cid, lastd, m, {wlist}, ({snl}) AS snl "
-              f"FROM ({src})")
-        shares = ", ".join(
-            f"CASE WHEN w{d} < 0 THEN NULL WHEN lastd = {d} THEN m - snl "
-            f"ELSE (m*w{d})//{one} END AS sh{d}" for d in range(8))
+            f"THEN (fw*w{d})//{one} ELSE 0 END" for d in range(8))
+        l1 = (f"SELECT iter, cid, lastd, m, {wlist}, fw, ({snl}) AS snl "
+              f"FROM ({l0})")
+        if exact_weights:
+            # MDInf mode (mdinf_flow_accum.rs): plain fixed-point products
+            # on EVERY edge, no remainder conservation
+            shares = ", ".join(
+                f"CASE WHEN w{d} < 0 THEN NULL "
+                f"ELSE (fw*w{d})//{one} END AS sh{d}" for d in range(8))
+        else:
+            shares = ", ".join(
+                f"CASE WHEN w{d} < 0 THEN NULL WHEN lastd = {d} "
+                f"THEN fw - snl "
+                f"ELSE (fw*w{d})//{one} END AS sh{d}" for d in range(8))
         l2 = f"SELECT iter, cid, lastd, m, {wlist}, {shares} FROM ({l1})"
         inc = []
         for d, (dr, dc) in enumerate(offs):
@@ -239,19 +256,102 @@ def _mfd_drain_sql(offs, outer: int, steps: int = 2,
             inc.append(f"COALESCE(CASE WHEN {pred} THEN {fn}(sh{d}, "
                        f"{abs(off)}) OVER (ORDER BY cid) END, 0)")
         return (f"SELECT iter, cid, lastd, "
-                f"CAST({one} + {' + '.join(inc)} AS BIGINT) AS m, {wlist} "
-                f"FROM ({l2})")
+                f"CAST(({init}) + {' + '.join(inc)} AS BIGINT) AS m, "
+                f"{wlist} FROM ({l2})")
 
     src = (f"SELECT iter, cid, lastd, m, {wlist} FROM relax_mfd "
            f"WHERE iter < {outer}")
     for _ in range(steps):
         src = step(src)
     return f"""relax_mfd(iter, cid, lastd, m, {wlist}) AS (
-      SELECT 0, cid, lastd, CAST({one} AS BIGINT), {wlist} FROM wpiv
+      SELECT 0, cid, lastd, CAST(({init}) AS BIGINT), {wlist} FROM wpiv
       UNION ALL
       SELECT iter+1, cid, lastd, m, {wlist} FROM ({src}) s
     ),
     mfd_acc AS MATERIALIZED (
       SELECT cid AS cell_id, m AS acc_units FROM relax_mfd
       WHERE iter = {outer}
+    )"""
+
+
+_MFD_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+             (1, 1))  # row-major scan order shared by the drain users
+
+
+def _dinf_wpiv_ctes(zat) -> str:
+    """CTEs dzc/fac/best/edg/wpiv computing the Tarboton D-infinity edge
+    weights for an arbitrary integer dem: ``zat(off)`` returns the SQL for
+    z at ``cid + off`` (and ``zat(0)`` the cell's own z). Branch selection
+    and the first-max facet pick are boundary-safe (see the dinf oracle
+    docstring in pipelines/queries_raster)."""
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    one = 1 << 20
+    quarter = repr(float(np.pi / 4.0))
+    rt2 = repr(1.4142135623730951)
+    facets = [((0, 1), (-1, 1)), ((-1, 0), (-1, 1)), ((-1, 0), (-1, -1)),
+              ((0, -1), (-1, -1)), ((0, -1), (1, -1)), ((1, 0), (1, -1)),
+              ((1, 0), (1, 1)), ((0, 1), (1, 1))]
+
+    def valid(dr: int, dc: int) -> str:
+        off = dr * cols + dc
+        conds = [f"cid + ({off}) BETWEEN 0 AND {n - 1}"]
+        if dc == -1:
+            conds.append(f"(cid % {cols}) > 0")
+        if dc == 1:
+            conds.append(f"(cid % {cols}) < {cols - 1}")
+        return " AND ".join(conds)
+
+    arms = []
+    for f, ((d1r, d1c), (d2r, d2c)) in enumerate(facets):
+        o1, o2 = d1r * cols + d1c, d2r * cols + d2c
+        z1, z2 = zat(o1), zat(o2)
+        s1 = f"CAST(z - {z1} AS DOUBLE)"
+        s2 = f"CAST({z1} - {z2} AS DOUBLE)"
+        rang = f"ATAN2({s2}, {s1})"
+        s = (f"CASE WHEN {rang} < 0.0 THEN {s1} "
+             f"WHEN {rang} > {quarter} THEN CAST(z - {z2} AS DOUBLE)/{rt2} "
+             f"ELSE SQRT({s1}*{s1} + {s2}*{s2}) END")
+        rc = (f"CASE WHEN {rang} < 0.0 THEN 0.0 "
+              f"WHEN {rang} > {quarter} THEN {quarter} ELSE {rang} END")
+        arms.append(
+            f"SELECT cid, z, {f} AS f, {s} AS s, {rc} AS rang, "
+            f"cid + ({o1}) AS e1, cid + ({o2}) AS e2 "
+            f"FROM dzc WHERE {valid(d1r, d1c)} AND {valid(d2r, d2c)}")
+    diridx = {dr * cols + dc: d for d, (dr, dc) in enumerate(_MFD_OFFS)}
+    d1case = "CASE best.e1 - best.cid " + " ".join(
+        f"WHEN {d1r * cols + d1c} THEN {diridx[d1r * cols + d1c]}"
+        for (d1r, d1c), _ in facets) + " END"
+    d2case = "CASE best.e2 - best.cid " + " ".join(
+        f"WHEN {d2r * cols + d2c} THEN {diridx[d2r * cols + d2c]}"
+        for _, (d2r, d2c) in facets) + " END"
+    wcols = ", ".join(
+        f"COALESCE(CASE WHEN e.d1 = {d} AND e.w1 > 0 THEN e.w1 "
+        f"WHEN e.d2 = {d} AND e.w2 > 0 THEN e.w2 END, -1) AS w{d}"
+        for d in range(8))
+    return f"""dzc AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS cid, {zat(0).replace('cid', 't.i')} AS z
+      FROM range({n}) t(i)
+    ),
+    fac AS MATERIALIZED ({' UNION ALL '.join(arms)}),
+    best AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY cid
+                     ORDER BY s DESC, f ASC) AS rn
+        FROM fac) WHERE rn = 1 AND s > 0
+    ),
+    edg AS MATERIALIZED (
+      SELECT best.cid,
+             CAST(FLOOR(best.rang / {quarter} * {one} + 0.5) AS BIGINT)
+                 AS w2,
+             {one} - CAST(FLOOR(best.rang / {quarter} * {one} + 0.5)
+                          AS BIGINT) AS w1,
+             {d1case} AS d1, {d2case} AS d2
+      FROM best
+    ),
+    wpiv AS MATERIALIZED (
+      SELECT c.cid,
+             COALESCE(CASE WHEN e.w2 > 0 THEN e.d2
+                           WHEN e.w1 > 0 THEN e.d1 END, -1) AS lastd,
+             {wcols}
+      FROM dzc c LEFT JOIN edg e ON e.cid = c.cid
     )"""
