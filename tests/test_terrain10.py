@@ -147,4 +147,4 @@ def test_fps_full_grid_shape(ray_session):
 
     got = feature_preserving_smoothing("/root/testdata/sf0.001").to_pandas()
     assert len(got) == 170 * 360
-    assert np.isfinite(got["zs"].to_numpy()).all()
+    assert np.isfinite(got["zs_u"].to_numpy()).all()

@@ -202,26 +202,208 @@ def smoothing_field(grid, value_fn, *, filter_size: int = 5,
     return stencil_k(tiles, grid, kern, tile=tile, k=halo)
 
 
-@query("feature_preserving_smoothing")
+def _smoothing_sql(drainage: bool) -> str:
+    """SQL twin of the Sun et al. smoothing chain, micro-quantized (the
+    window folds reassociate under DuckDB; output guard bands 0.0045 FPS /
+    0.0020 DPS at the 1e-6 quantum, cos-vs-threshold branch margins
+    0.0024 / 0.00053 — all >> the transcendental ulp drift): Horn normals
+    as exact rationals with centre fallback, weighted normal smoothing
+    over the 25-offset window (chunked left folds), two Jacobi elevation
+    updates; DPS adds the 11x11 binned-median DFM field (121 arm unions,
+    k-th-smallest) and the per-cell adaptive cosine threshold."""
+    cols, n = GRID1.cols, GRID1.rows * GRID1.cols
+    mid = 2
+    thr_lit = f"CAST({float(np.cos(np.radians(15.0)))!r} AS DOUBLE)"
+
+    def nb(col: str, dr: int, dc: int, default: str) -> str:
+        off = dr * cols + dc
+        if off == 0:
+            return col
+        conds = []
+        if dc < 0:
+            conds.append(f"(cid % {cols}) >= {-dc}")
+        if dc > 0:
+            conds.append(f"(cid % {cols}) < {cols - dc}")
+        pred = " AND ".join(conds) if conds else "TRUE"
+        fn = "LAG" if off < 0 else "LEAD"
+        return (f"COALESCE(CASE WHEN {pred} THEN {fn}({col}, {abs(off)}) "
+                f"OVER (ORDER BY cid) END, {default})")
+
+    def nbn(col: str, dr: int, dc: int) -> str:
+        """NULL off-grid (no COALESCE)."""
+        off = dr * cols + dc
+        if off == 0:
+            return col
+        conds = []
+        if dc < 0:
+            conds.append(f"(cid % {cols}) >= {-dc}")
+        if dc > 0:
+            conds.append(f"(cid % {cols}) < {cols - dc}")
+        pred = " AND ".join(conds) if conds else "TRUE"
+        fn = "LAG" if off < 0 else "LEAD"
+        return (f"CASE WHEN {pred} THEN {fn}({col}, {abs(off)}) "
+                f"OVER (ORDER BY cid) END")
+
+    # Horn normals with centre fallback: v_i = zn_i if on-grid else z
+    v = [nb("z", _DY[i], _DX[i], "z") for i in range(8)]
+    a_expr = (f"(-(({v[2]}) - ({v[4]}) + 2.0*(({v[1]}) - ({v[5]})) "
+              f"+ ({v[0]}) - ({v[6]})) / 8.0)")
+    b_expr = (f"(-(({v[6]}) - ({v[4]}) + 2.0*(({v[7]}) - ({v[3]})) "
+              f"+ ({v[0]}) - ({v[2]})) / 8.0)")
+
+    dfm_ctes, thr_col = "", thr_lit
+    if drainage:
+        arms = " UNION ALL ".join(
+            f"SELECT a.cid, b.z*100.0 AS bin FROM dzt a JOIN dzt b "
+            f"ON b.r = a.r + ({dr}) AND b.c = a.c + ({dc})"
+            for dr in range(-5, 6) for dc in range(-5, 6))
+        base = repr(float(np.cos(np.radians(15.0))))
+        floor_t = repr(float(np.cos(np.radians(15.0 * (1.0 - 0.8)))))
+        ramp = ("COS(RADIANS(15.0 * (1.0 - 0.8 * d.dfm / "
+                "CAST(-0.15 AS DOUBLE))))")
+        dfm_ctes = f""",
+    dfma AS MATERIALIZED ({arms}),
+    dfmm AS MATERIALIZED (
+      SELECT cid, bin,
+             row_number() OVER (PARTITION BY cid ORDER BY bin) AS rn,
+             COUNT(*) OVER (PARTITION BY cid) AS nn
+      FROM dfma
+    ),
+    dfmt AS MATERIALIZED (
+      SELECT m.cid, (t.z*100.0 - m.bin)/100.0 AS dfm
+      FROM dfmm m JOIN dzt t ON t.cid = m.cid
+      WHERE m.rn = GREATEST(m.nn // 2, 1)
+    ),
+    thrt AS MATERIALIZED (
+      SELECT d.cid,
+             CASE WHEN d.dfm < 0.0 AND d.dfm > CAST(-0.15 AS DOUBLE)
+                  THEN {ramp}
+                  WHEN d.dfm <= CAST(-0.15 AS DOUBLE)
+                  THEN CAST({floor_t} AS DOUBLE)
+                  ELSE CAST({base} AS DOUBLE) END AS thr
+      FROM dfmt d
+    )"""
+        thr_col = "thr"
+
+    def cos_expr(an: str, bn: str, cac: str = "ac", cbc: str = "bc") -> str:
+        return (f"(({cac}*({an}) + {cbc}*({bn}) + 1.0) / "
+                f"SQRT(({cac}*{cac} + {cbc}*{cbc} + 1.0) * "
+                f"(({an})*({an}) + ({bn})*({bn}) + 1.0)))")
+
+    # smoothing folds: 25 offsets in (wr, wc) order, chunked for the
+    # binder's 128-depth cap
+    offsets = [(wr - mid, wc - mid) for wr in range(2 * mid + 1)
+               for wc in range(2 * mid + 1)]
+    carry = "iterkeep, cid, z, ac, bc, thrv"
+    src = ("SELECT 0 AS iterkeep, cid, z, a AS ac, b AS bc, "
+           f"{thr_col} AS thrv, 0.0 AS asum, 0.0 AS bsum, 0.0 AS wsum "
+           "FROM nrm" + (" JOIN thrt USING (cid)" if drainage else ""))
+    for lo in range(0, len(offsets), 9):
+        af, bf, wf = "asum", "bsum", "wsum"
+        for dr, dc in offsets[lo:lo + 9]:
+            an = nbn("a2", dr, dc)
+            bn = nbn("b2", dr, dc)
+            # re-fetch normals of the neighbour: alias columns a2/b2 are
+            # carried duplicates of the original a/b per row
+            cosx = cos_expr(an, bn)
+            ok = f"(({an}) IS NOT NULL AND {cosx} > thrv)"
+            w = f"CASE WHEN {ok} THEN ({cosx} - thrv)*({cosx} - thrv) ELSE 0.0 END"
+            af = f"({af} + CASE WHEN {ok} THEN ({an}) * ({w}) ELSE 0.0 END)"
+            bf = f"({bf} + CASE WHEN {ok} THEN ({bn}) * ({w}) ELSE 0.0 END)"
+            wf = f"({wf} + {w})"
+        src = (f"SELECT {carry}, a2, b2, {af} AS asum, {bf} AS bsum, "
+               f"{wf} AS wsum FROM ({src})")
+    # need a2/b2 carried from nrm — rebuild the seed to include them
+    src = src.replace(
+        "SELECT 0 AS iterkeep, cid, z, a AS ac, b AS bc, ",
+        "SELECT 0 AS iterkeep, cid, z, a AS a2, b AS b2, a AS ac, "
+        "b AS bc, ", 1)
+
+    upd_layers = []
+    for it in range(2):
+        zsum, wsum = "0.0", "0.0"
+        for nidx in range(8):
+            dr, dc = _DY[nidx], _DX[nidx]
+            zn = nbn("zc", dr, dc)
+            an = nbn("sa", dr, dc)
+            bn = nbn("sb", dr, dc)
+            cosx = cos_expr(an, bn, "sac", "sbc")
+            ok = f"(({zn}) IS NOT NULL AND {cosx} > thrv)"
+            w = (f"CASE WHEN {ok} THEN ({cosx} - thrv)*({cosx} - thrv) "
+                 f"ELSE 0.0 END")
+            xn, yn = float(-dc * 1.0), float(dr * 1.0)
+            zsum = (f"({zsum} + CASE WHEN {ok} THEN "
+                    f"-(({an})*{xn!r} + ({bn})*{yn!r} - ({zn})) * ({w}) "
+                    f"ELSE 0.0 END)")
+            wsum = f"({wsum} + {w})"
+        upd_layers.append((zsum, wsum))
+
+    upd_sql = ""
+    prev = "smc"
+    for it, (zsum, wsum) in enumerate(upd_layers):
+        upd_sql += f""",
+    upd{it} AS MATERIALIZED (
+      SELECT cid, sa, sb, sac, sbc, thrv,
+             CASE WHEN ({wsum}) > 0.0 THEN ({zsum}) / ({wsum})
+                  ELSE zc END AS zc
+      FROM {prev}
+    )"""
+        prev = f"upd{it}"
+
+    return f"""
+    WITH dzt AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) AS cid, CAST(t.i // {cols} AS BIGINT) AS r,
+             CAST(t.i % {cols} AS BIGINT) AS c,
+             CAST((t.i*1000003)%1000 AS DOUBLE) AS z
+      FROM range({n}) t(i)
+    ){dfm_ctes},
+    nrm AS MATERIALIZED (
+      SELECT cid, z, {a_expr} AS a, {b_expr} AS b FROM dzt
+    ),
+    smr AS MATERIALIZED ({src}),
+    smc AS MATERIALIZED (
+      SELECT cid, asum/wsum AS sa, bsum/wsum AS sb,
+             asum/wsum AS sac, bsum/wsum AS sbc, thrv, z AS zc
+      FROM smr
+    ){upd_sql}
+    SELECT cid AS cell_id,
+           CAST(FLOOR(zc*1e6 + 0.5) AS BIGINT) AS zs_u
+    FROM {prev}
+    """
+
+
+@query("feature_preserving_smoothing", _smoothing_sql(False))
 def feature_preserving_smoothing(sf_dir: str):
     """FeaturePreservingSmoothing
     (terrain_analysis/feature_preserving_smoothing.rs): filter=5,
     norm_diff=15 deg, num_iter=2 over the synthetic DEM. One fused
     k=1+2+2 halo exchange; Jacobi iteration contract (module docstring).
-    Rows-only; scalar-loop oracle in tests/test_terrain10.py."""
-    return smoothing_field(GRID1, _value_fn, filter_size=5,
-                           norm_diff_deg=15.0, num_iter=2)
+    SQL oracle: _smoothing_sql (micro-quantized); scalar-loop oracle in
+    tests/test_terrain10.py. Output (cell_id, zs_u)."""
+    return _quant_zs(smoothing_field(GRID1, _value_fn, filter_size=5,
+                                     norm_diff_deg=15.0, num_iter=2))
 
 
-@query("drainage_preserving_smoothing")
+@query("drainage_preserving_smoothing", _smoothing_sql(True))
 def drainage_preserving_smoothing(sf_dir: str):
     """DrainagePreservingSmoothing
     (terrain_analysis/drainage_preserving_smoothing.rs): FPS plus the
     deviation-from-median adaptive threshold (reduction=80%, dfm=0.15,
     2 significant decimal digits; dfm window 11x11 = 2x filter). One fused
-    k=10 halo exchange. Rows-only; scalar oracle in
-    tests/test_terrain10.py."""
-    return smoothing_field(GRID1, _value_fn, filter_size=5,
-                           norm_diff_deg=15.0, num_iter=2,
-                           drainage={"reduction": 0.8, "dfm": 0.15,
-                                     "sig_digits": 2})
+    k=10 halo exchange. SQL oracle: _smoothing_sql(True); scalar oracle in
+    tests/test_terrain10.py. Output (cell_id, zs_u)."""
+    return _quant_zs(smoothing_field(GRID1, _value_fn, filter_size=5,
+                                     norm_diff_deg=15.0, num_iter=2,
+                                     drainage={"reduction": 0.8,
+                                               "dfm": 0.15,
+                                               "sig_digits": 2}))
+
+
+def _quant_zs(ds):
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64),
+            "zs_u": np.floor(df["zs"].to_numpy(np.float64) * 1e6 + 0.5)
+            .astype(np.int64)})
+
+    return ds.map_batches(q, batch_format="pandas")
