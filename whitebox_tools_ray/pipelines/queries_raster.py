@@ -731,13 +731,51 @@ def clump_labels(sf_dir: str):
     return partial_agg(enc, ["clump_id", "value"], [("n_cells", "sum", "n_cells")])
 
 
-@query("raster_to_polygons")
+_R2P_BC = GRID1.cols // 6            # 60 block columns (exact)
+_R2P_BR = -(-GRID1.rows // 6)        # 29 block rows (last is 2 cells tall)
+_R2P_CLIP_H = GRID1.rows - (_R2P_BR - 1) * 6
+
+
+@query(
+    "raster_to_polygons",
+    f"""
+    WITH blocks AS (
+      SELECT CAST(t.i // {_R2P_BC} AS BIGINT) AS br,
+             CAST(t.i % {_R2P_BC} AS BIGINT) AS bc
+      FROM range({_R2P_BR * _R2P_BC}) t(i)
+    ),
+    lab AS (
+      -- the 6x6-block raster's components are the anti-diagonal corner
+      -- chains (the clump_labels closed form); each block contributes its
+      -- own boundary ring at chain position t, clipped to {_R2P_CLIP_H}
+      -- rows on the last block row
+      SELECT br, bc, (br*7 + bc*3) % 4 AS val,
+             br - LEAST(br, {_R2P_BC - 1} - bc) AS br0,
+             bc + LEAST(br, {_R2P_BC - 1} - bc) AS bc0,
+             LEAST(br, {_R2P_BC - 1} - bc) AS tpos
+      FROM blocks WHERE (br*7 + bc*3) % 4 != 0
+    )
+    SELECT CAST(6*br0*{GRID1.cols} + 6*bc0 AS BIGINT) AS clump_id,
+           CAST(val AS DOUBLE) AS value,
+           tpos AS ring_idx,
+           FALSE AS is_hole,
+           CASE WHEN br = {_R2P_BR - 1} THEN {-6.0 * _R2P_CLIP_H}
+                ELSE -36.0 END AS area,
+           CAST(CASE WHEN br = {_R2P_BR - 1}
+                     THEN {2 * (6 + _R2P_CLIP_H) + 1}
+                     ELSE 25 END AS BIGINT) AS n_vertices
+    FROM lab
+    """,
+)
 def raster_to_polygons(sf_dir: str):
     """RasterToVectorPolygons end to end (data_tools/
     raster_to_vector_polygons.rs): clump labeling (phase 1) then per-clump
-    boundary ring tracing with hole orientation (phase 2). Rows-only;
-    ring-structure + round-trip oracle in tests/test_polygonize.py.
-    Output: clump_id, value, ring_idx, is_hole, area, n_vertices."""
+    boundary ring tracing with hole orientation (phase 2). SQL oracle:
+    closed-form ring inventory over the anti-diagonal block chains
+    (ring_idx = chain position, validated block-by-block against the
+    traced rings); ring-structure + round-trip oracle in
+    tests/test_polygonize.py. Output: clump_id, value, ring_idx, is_hole,
+    area, n_vertices."""
     from ..stages.clump import clump as run_clump
     from ..stages.polygonize import polygonize
     from ..stages.raster import synth_raster_tiles
@@ -761,14 +799,61 @@ def raster_to_polygons(sf_dir: str):
         }), batch_format="pandas")
 
 
-@query("dissolve_by_category")
+def _dissolve_sql() -> str:
+    """Ring-inventory oracle derived from the fixed builtin layer: cells
+    classified with the proven p2r burn CASE (highest fid wins); the four
+    categoried regions are A (fid 0, cat 1), B-minus-hole-minus-C (fid 1,
+    cat 2), C (fid 2, cat 1 — filling part of B's hole) and the pentagon
+    (fid 3, cat 2). B's outer ring traces RECT_B (area = -|rect cells|)
+    and its single hole ring encloses HOLE_B union C (area = +count);
+    every other region is one outer ring of -|cells|. region_id = the
+    region's min cell id."""
+    from ..layers import RECT_B, _rect_sql, p2r_case_sql
+
+    cellsxy = (
+        f"cellsxy AS (SELECT CAST(t.i AS BIGINT) AS cell_id, "
+        f"({GRID1.west + GRID1.res_x / 2.0!r} + CAST(t.i % {GRID1.cols} "
+        f"AS DOUBLE) * {GRID1.res_x!r}) AS cx, "
+        f"({GRID1.north - GRID1.res_y / 2.0!r} - CAST(t.i // {GRID1.cols} "
+        f"AS DOUBLE) * {GRID1.res_y!r}) AS cy "
+        f"FROM range({GRID1.rows * GRID1.cols}) t(i))")
+    brect = _rect_sql("cx", "cy", RECT_B)
+    return f"""
+    WITH {cellsxy},
+    assign AS MATERIALIZED (
+      SELECT cell_id, cx, cy, {p2r_case_sql()} AS poly_id FROM cellsxy
+    )
+    SELECT MIN(cell_id) AS region_id, 1.0 AS category,
+           CAST(0 AS BIGINT) AS ring_idx, FALSE AS is_hole,
+           CAST(-COUNT(*) AS DOUBLE) AS area
+    FROM assign WHERE poly_id = 0
+    UNION ALL
+    SELECT MIN(cell_id), 1.0, 0, FALSE, CAST(-COUNT(*) AS DOUBLE)
+    FROM assign WHERE poly_id = 2
+    UNION ALL
+    SELECT MIN(cell_id), 2.0, 0, FALSE, CAST(-COUNT(*) AS DOUBLE)
+    FROM assign WHERE poly_id = 3
+    UNION ALL
+    SELECT (SELECT MIN(cell_id) FROM assign WHERE poly_id = 1), 2.0, 0,
+           FALSE,
+           CAST(-(SELECT COUNT(*) FROM assign WHERE {brect}) AS DOUBLE)
+    UNION ALL
+    SELECT (SELECT MIN(cell_id) FROM assign WHERE poly_id = 1), 2.0, 1,
+           TRUE,
+           CAST((SELECT COUNT(*) FROM assign
+                 WHERE {brect} AND poly_id IS DISTINCT FROM 1) AS DOUBLE)
+    """
+
+
+@query("dissolve_by_category", _dissolve_sql())
 def dissolve_by_category(sf_dir: str):
     """Dissolve (gis_analysis/dissolve.rs) in raster space — an operator
     COMPOSITION: burn category ids into cells (VectorPolygonsToRaster) ->
     connected components over equal categories (Clump) -> boundary ring
     tracing (RasterToVectorPolygons phase 2). Adjacent same-category
-    features merge into one region; holes preserved. Rows-only; the three
-    stages carry their own oracles. Output: region ring inventory."""
+    features merge into one region; holes preserved. SQL oracle:
+    _dissolve_sql (layer-derived ring inventory); the three stages carry
+    their own oracles. Output: region ring inventory."""
     from ..layers import builtin_polygons
     from ..stages.clump import clump as run_clump
     from ..stages.polygonize import polygonize
