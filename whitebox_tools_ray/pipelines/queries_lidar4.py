@@ -28,7 +28,13 @@ The reference's region growing visits points in stack order but the
 resulting PARTITION is exactly these connected components (similarity is
 symmetric), so segment labels are canonicalized to the lowest event_id.
 All five entries are rows-only with brute O(n^2) pytest oracles
-(tests/test_lidar4.py) — the plane fits are libm.
+(tests/test_lidar4.py) — the plane fits are libm. A round-4 SQL-oracle
+attempt was reverted with measurements: at sf0.001 the base plane makes
+neighbouring normals near-identical, the |cos - threshold| margin at a
+few patch-boundary pairs collapses below the moment-sum reassociation
+drift (DuckDB's unordered SUM vs numpy's length-dependent pairwise
+order), and 3 of ~800 edges flip, merging/splitting segments — so the
+family is genuinely not hash-matchable, not merely unconverted.
 """
 
 from __future__ import annotations
