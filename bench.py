@@ -18,6 +18,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# THP madvise faults are ~20-45x slow on this VM class (see
+# whitebox_tools_ray/__init__.py) — pin it off for the bench driver and
+# every Ray worker so measurements are stable across host THP state.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+_RUNTIME_ENV = {"env_vars": {"NUMPY_MADVISE_HUGEPAGE": "0"}}
+
 BENCH_QUERIES = [
     "pricing_summary",
     "cell_grid_counts",
@@ -47,7 +53,8 @@ def run_bench() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env=_RUNTIME_ENV)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -99,7 +106,8 @@ def run_pages(ncpu: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env=_RUNTIME_ENV)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

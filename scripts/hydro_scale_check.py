@@ -7,7 +7,9 @@ of a long-lived engine. Pass --grid100 for the 100x (5400x11400 = 61.6M
 cell) variant.
 """
 import ray, sys, time, os, resource
-ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # THP faults ~30x slow here
+ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR",
+         runtime_env={"env_vars": {"NUMPY_MADVISE_HUGEPAGE": "0"}})
 sys.path.insert(0, "/root/repo")
 import numpy as np, pandas as pd, ray.data
 from ray.data import DataContext

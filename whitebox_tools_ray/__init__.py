@@ -18,3 +18,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Transparent-hugepage madvise is pathological on this VM class: a 2 MB THP
+# fault stalls in host-side provisioning/compaction, making numpy's default
+# MADV_HUGEPAGE first-touch ~20-45x slower than plain 4 KB faults (measured:
+# np.empty(256 MB) first-touch 2.7-6.5 s with THP vs 0.14 s without; raw mmap
+# and every pyarrow pool are unaffected).  This was the round-1..4
+# "environment variance" on compute-bound entries.  Disable it everywhere the
+# package is imported — the driver AND every Ray worker deserializing one of
+# our closures runs this hook, so no env plumbing is needed.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # numpy already imported -> flip the runtime switch too
+    import numpy.core.multiarray as _ma
+
+    if hasattr(_ma, "_set_madvise_hugepage"):
+        _ma._set_madvise_hugepage(False)
+except Exception:  # pragma: no cover - numpy >=2 moved the private hook
+    pass
