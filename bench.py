@@ -22,7 +22,8 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # whitebox_tools_ray/__init__.py) — pin it off for the bench driver and
 # every Ray worker so measurements are stable across host THP state.
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-_RUNTIME_ENV = {"env_vars": {"NUMPY_MADVISE_HUGEPAGE": "0"}}
+_RUNTIME_ENV = {"env_vars": {
+    "NUMPY_MADVISE_HUGEPAGE": os.environ["NUMPY_MADVISE_HUGEPAGE"]}}
 
 BENCH_QUERIES = [
     "pricing_summary",

@@ -30,10 +30,11 @@ import os as _os
 # package is imported — the driver AND every Ray worker deserializing one of
 # our closures runs this hook, so no env plumbing is needed.
 _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-try:  # numpy already imported -> flip the runtime switch too
-    import numpy.core.multiarray as _ma
+if _os.environ["NUMPY_MADVISE_HUGEPAGE"] == "0":
+    try:  # numpy already imported -> flip the runtime switch too
+        import numpy.core.multiarray as _ma
 
-    if hasattr(_ma, "_set_madvise_hugepage"):
-        _ma._set_madvise_hugepage(False)
-except Exception:  # pragma: no cover - numpy >=2 moved the private hook
-    pass
+        if hasattr(_ma, "_set_madvise_hugepage"):
+            _ma._set_madvise_hugepage(False)
+    except Exception:  # pragma: no cover - numpy >=2 moved the hook
+        pass

