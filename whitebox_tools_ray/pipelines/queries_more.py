@@ -333,7 +333,7 @@ def _psm_sql() -> str:
             QUALIFY row_number() OVER (PARTITION BY fid
                       ORDER BY area_s, ka, kb) = 1)
     )
-    SELECT s.fid AS poly_id,
+    SELECT CAST(s.fid AS BIGINT) AS poly_id,
            CAST(FLOOR(s.a_abs*1e6 + 0.5) AS BIGINT) AS area_u,
            CAST(FLOOR(s.perim*1e6 + 0.5) AS BIGINT) AS perim_u,
            CAST(FLOOR(s.a_abs/s.perim*1e6 + 0.5) AS BIGINT) AS compact_u,
