@@ -437,21 +437,38 @@ class FlowShard:
     def fd8_load(self, z_fn, exponent: float) -> int:
         self._ensure()
         cells = self.cells_arr
+        n = len(cells)
         offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
         dists = np.array([1.4142135623730951 if dr and dc else 1.0
                           for dr, dc in offs])
-        z0, zn, ncell = self._neighbor_z(cells, z_fn, offs)
-        with np.errstate(invalid="ignore"):
-            down = ~np.isnan(zn) & (zn < z0[:, None])
-            pending = (~np.isnan(zn) & (zn > z0[:, None])).sum(axis=1)
-        # edge-compressed math (round-4: powf over the full (n, 8) matrix
-        # dominated the load; ~60% of slots are not edges). nonzero is
-        # row-major, so edges stay in scan order and np.add.reduceat's
-        # strictly sequential slice reduction reproduces the scalar load's
-        # left-to-right `sum(slopes)` bit-for-bit (adding exact 0.0 for
-        # non-down slots was an identity).
+        # per-offset streaming (round-4 continuation: the (n, 8) float64
+        # zn/ncell matrices were ~500 MB of transients per shard at a
+        # 61.6M-cell grid — 16 actors bursting them concurrently is what
+        # this host throttles hardest). Only the (n, 8) BOOL down matrix
+        # is materialized; neighbour ids and z re-derive per edge from
+        # (ci, ki), bit-identically (z_fn is pure, same float64 path).
+        r = cells // self.cols
+        c = cells % self.cols
+        z0 = np.asarray(z_fn(cells), np.float64)
+        down = np.zeros((n, 8), bool)
+        pending = np.zeros(n, np.int64)
+        doff = np.empty(8, np.int64)
+        for k, (dr, dc) in enumerate(offs):
+            nr, nc = r + dr, c + dc
+            ok = (nr >= 0) & (nr < self.rows) & (nc >= 0) & (nc < self.cols)
+            doff[k] = dr * self.cols + dc
+            if ok.any():
+                zu = np.asarray(z_fn(cells[ok] + doff[k]), np.float64)
+                zl = z0[ok]
+                down[ok, k] = zu < zl
+                pending[ok] += zu > zl
+        # nonzero is row-major, so edges stay in scan order and
+        # np.add.reduceat's strictly sequential slice reduction reproduces
+        # the scalar load's left-to-right `sum(slopes)` bit-for-bit.
         ci, ki = np.nonzero(down)
-        s_e = ((z0[ci] - zn[ci, ki]) / dists[ki]) ** exponent
+        u_e = cells[ci] + doff[ki]
+        z_e = np.asarray(z_fn(u_e), np.float64)
+        s_e = ((z0[ci] - z_e) / dists[ki]) ** exponent
         bounds = np.searchsorted(ci, np.arange(len(cells) + 1))
         has = bounds[1:] > bounds[:-1]
         tot_c = np.zeros(len(cells))
@@ -466,7 +483,7 @@ class FlowShard:
             wsum_c[has] = np.add.reduceat(w_e, bounds[:-1][has])
             last = bounds[1:][has] - 1
             w_e[last] = self.FD8_ONE - (wsum_c[has] - w_e[last])
-        return self._fd8_set_edges(ci, ncell[ci, ki], w_e, pending)
+        return self._fd8_set_edges(ci, u_e, w_e, pending)
 
     def mfd_load(self, edge_fn) -> int:
         """Custom-weight MFD wave state: edge_fn computes the edge list
