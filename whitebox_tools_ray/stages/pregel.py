@@ -26,6 +26,7 @@ drain.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -425,9 +426,17 @@ class FlowShard:
         self.fd8_indptr = np.concatenate([np.zeros(1, np.int64),
                                           np.cumsum(counts)])
         self.fd8_tgt = np.asarray(tgts, np.int64)
-        self.fd8_w = np.asarray(ws, np.int64)
+        # weights and local positions compact to int32 when provably in
+        # range (fixed-point shares are <= 2^20; positions < shard size):
+        # the three edge-length arrays dominate retained actor memory
+        # (~300 MB/actor at a 61.6M-cell grid in int64)
+        w64 = np.asarray(ws, np.int64)
+        self.fd8_w = w64.astype(np.int32) \
+            if len(w64) == 0 or (w64.max() < 2**31
+                                 and w64.min() >= -(2**31)) else w64
         pos, present = self._lookup(self.fd8_tgt)
-        self.fd8_tgt_loc = np.where(present, pos, -1)
+        loc64 = np.where(present, pos, -1)
+        self.fd8_tgt_loc = loc64.astype(np.int32) if n < 2**31 else loc64
         self.fd8_pending_arr = np.asarray(pending, np.int64).copy()
         self.fd8_mass_arr = np.full(n, self.FD8_ONE, np.int64)
         self.fd8_acc_arr = np.zeros(n, np.int64)
@@ -1658,6 +1667,26 @@ class FlowShard:
         return len(self.muf_pending)
 
 
+
+_LOAD_GROUP = int(os.environ.get("WBT_MAX_PARALLEL_LOADS", "6"))
+
+
+def _staggered_load(thunks: list) -> list:
+    """Submit heavy per-shard load calls in bounded groups. A single-node
+    guest collapses when too many actors fault ~1 GB of fresh pages
+    concurrently (measured at a 61.6M-cell grid: 6 parallel fd8_loads
+    finish in 4.7 s, 12 take 50 s — the host's lazy memory provisioning
+    throttles past ~8 GB of aggregate burst). Thunks are submitted per
+    group because ray.get does not throttle already-submitted actor
+    tasks. Multi-node clusters spread shards across hosts and should
+    raise WBT_MAX_PARALLEL_LOADS."""
+    out = []
+    g = max(1, _LOAD_GROUP)
+    for i in range(0, len(thunks), g):
+        out.extend(ray.get([t() for t in thunks[i:i + g]]))
+    return out
+
+
 _RUN_SEQ = [0]  # unique actor-name suffix per invocation (no Date/random)
 # (grid dims, tile, n_shards) -> (actors, prefix): long-lived shard pool;
 # actors reset between runs instead of respawning (spawn = ~1.5 s / run)
@@ -1964,7 +1993,7 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.cd_load.remote(cost_fn) for s in shards])
+        _staggered_load([lambda s=s: s.cd_load.remote(cost_fn) for s in shards])
         outs = ray.get([s.cd_seed.remote(sources) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -1997,7 +2026,7 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.fl_load.remote(z_fn) for s in shards])
+        _staggered_load([lambda s=s: s.fl_load.remote(z_fn) for s in shards])
         outs = ray.get([s.fl_seed.remote() for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2117,7 +2146,8 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.fd8_load.remote(z_fn, exponent) for s in shards])
+        _staggered_load([lambda s=s: s.fd8_load.remote(z_fn, exponent)
+                        for s in shards])
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2155,7 +2185,7 @@ def mfd_accumulation_pregel(edge_fn, grid: GridSpec, *, tile: int = 64,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.mfd_load.remote(edge_fn) for s in shards])
+        _staggered_load([lambda s=s: s.mfd_load.remote(edge_fn) for s in shards])
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2191,7 +2221,7 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.dinf_load.remote(z_fn) for s in shards])
+        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2245,7 +2275,8 @@ def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.mdinf_load.remote(z_fn, exponent) for s in shards])
+        _staggered_load([lambda s=s: s.mdinf_load.remote(z_fn, exponent)
+                        for s in shards])
         return _facet_accum_run(shards, n_shards, max_rounds, "mdinf")
     finally:
         _teardown(shards)
@@ -2270,7 +2301,7 @@ def dinf_mass_flux_pregel(z_fn, load_fn, eff_fp_fn, absorp_fn,
         .map_batches(_gen, batch_format="numpy")
     shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
     try:
-        ray.get([s.dinf_load.remote(z_fn) for s in shards])
+        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
         ray.get([s.mf_configure.remote(load_fn, eff_fp_fn, absorp_fn)
                  for s in shards])
         return _facet_accum_run(shards, n_shards, max_rounds, "dinf mass flux")
@@ -2387,7 +2418,8 @@ def downslope_index_pregel(down_ds: ray.data.Dataset, z_fn, d_drop: int,
     doubling tables)."""
     shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
     try:
-        ray.get([s.dsi_load.remote(z_fn, d_drop) for s in shards])
+        _staggered_load([lambda s=s: s.dsi_load.remote(z_fn, d_drop)
+                        for s in shards])
         outs = ray.get([s.dsi_init.remote() for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
