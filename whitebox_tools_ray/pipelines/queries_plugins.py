@@ -420,7 +420,7 @@ def _mfd_weights_sql(kind: str) -> str:
       FROM edges e{join}
     ),
     tw AS (SELECT cell_id, SUM(w) AS tot FROM wts GROUP BY cell_id)
-    SELECT w.cell_id, w.i,
+    SELECT w.cell_id, CAST(w.i AS BIGINT) AS i,
            CAST(floor(w.w / t.tot * {_ONE_FP} + 0.5) AS BIGINT) AS w_fp
     FROM wts w JOIN tw t ON t.cell_id = w.cell_id
     """
