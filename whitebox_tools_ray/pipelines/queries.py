@@ -295,9 +295,9 @@ def events_window_daily(sf_dir: str):
 @query(
     "reclass_quantity",
     """
-    SELECT CASE WHEN l_quantity < 10 THEN 1 WHEN l_quantity < 20 THEN 2
+    SELECT CAST(CASE WHEN l_quantity < 10 THEN 1 WHEN l_quantity < 20 THEN 2
                 WHEN l_quantity < 30 THEN 3 WHEN l_quantity < 40 THEN 4
-                ELSE 5 END AS class, COUNT(*) AS n
+                ELSE 5 END AS BIGINT) AS class, COUNT(*) AS n
     FROM lineitem
     GROUP BY class
     """,
