@@ -34,17 +34,30 @@ def synth_raster_tiles(grid: GridSpec, value_fn, *, tile: int = 64) -> ray.data.
     ids = ray.data.range(trows * tcols, override_num_blocks=max(2, trows))
 
     def gen(batch: dict) -> pd.DataFrame:
+        # one value_fn call per tile SHAPE, not per tile (the per-tile
+        # meshgrid loop cost ~1 ms/tile — 1.5 s of a 3 s stencil bench
+        # entry at 1539 tiles)
+        tids = batch["id"].astype(np.int64)
+        tr = tids // tcols
+        tc = tids % tcols
+        r0 = tr * tile
+        c0 = tc * tile
+        nr = np.minimum(tile, grid.rows - r0)
+        nc = np.minimum(tile, grid.cols - c0)
         out = []
-        for tid in batch["id"]:
-            tr, tc = int(tid) // tcols, int(tid) % tcols
-            r0, c0 = tr * tile, tc * tile
-            nr = min(tile, grid.rows - r0)
-            nc = min(tile, grid.cols - c0)
-            rr, cc = np.meshgrid(np.arange(r0, r0 + nr), np.arange(c0, c0 + nc), indexing="ij")
-            cells = rr.astype(np.int64) * grid.cols + cc.astype(np.int64)
-            out.append({"tile_id": int(tid), "trow": tr, "tcol": tc,
-                        "nrows": nr, "ncols": nc,
-                        "data": value_fn(cells.ravel()).astype(np.float64)})
+        for snr, snc in sorted(set(zip(nr.tolist(), nc.tolist()))):
+            m = (nr == snr) & (nc == snc)
+            rr, cc = np.meshgrid(np.arange(snr), np.arange(snc),
+                                 indexing="ij")
+            base = (rr.astype(np.int64) * grid.cols
+                    + cc.astype(np.int64)).ravel()
+            origin = (r0[m] * grid.cols + c0[m]).astype(np.int64)
+            vals = value_fn((origin[:, None] + base[None, :]).ravel()) \
+                .astype(np.float64).reshape(len(origin), -1)
+            for j in range(len(origin)):
+                out.append({"tile_id": int(tids[m][j]),
+                            "trow": int(tr[m][j]), "tcol": int(tc[m][j]),
+                            "nrows": snr, "ncols": snc, "data": vals[j]})
         return pd.DataFrame(out)
 
     return ids.map_batches(gen, batch_format="numpy")
