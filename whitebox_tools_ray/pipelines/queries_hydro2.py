@@ -447,7 +447,8 @@ def hillslopes(sf_dir: str):
     stream_link_id labels. Cells draining off-grid without touching a
     stream are nodata (absent); hillslope = link_id * 4 + side."""
     from ..stages.pregel import basins_pregel
-    from ..stages.flow import down_ds_from_pointer
+    from ..stages.flow import down_ds_from_pointer, down_rows_touching, \
+        member_sorted as member
     from .queries_raster import stream_link_id
 
     link = stream_link_id(sf_dir).materialize()
@@ -458,12 +459,6 @@ def hillslopes(sf_dir: str):
         batch_format="pandas").to_pandas()
     stream_set = np.sort(sset["k"].to_numpy(np.int64))
     sref = ray.put(stream_set)
-
-    def member(arr: np.ndarray, ss: np.ndarray) -> np.ndarray:
-        if not len(ss):
-            return np.zeros(len(arr), bool)
-        pos = np.minimum(np.searchsorted(ss, arr), len(ss) - 1)
-        return ss[pos] == arr
 
     def cut_into(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
@@ -483,42 +478,44 @@ def hillslopes(sf_dir: str):
     g3 = dds.map_batches(cut_into, batch_format="pandas")
     entry = basins_pregel(g3, GRID1)  # (cell_id, basin = entry cell)
 
-    # side classification per DISTINCT entry cell (tiny side table, built
-    # from broadcast pointer lookups)
-    down_pd = dds.map_batches(lambda df: df[["cell_id", "down_id"]],
-                              batch_format="pandas").to_pandas()
-    down_map = dict(zip(down_pd["cell_id"].astype(int),
-                        down_pd["down_id"].astype(int)))
+    # side classification per DISTINCT entry cell: the pointer pull is
+    # bounded by the stream network's fan-in (rows touching a stream cell),
+    # not the grid, and the entry->code table is built vectorized
+    rows = down_rows_touching(dds, stream_set, include_down_hits=True)
+    rcid = rows["cell_id"].to_numpy(np.int64)
+    rdown = rows["down_id"].to_numpy(np.int64)
     link_pd = link.to_pandas()
-    link_map = dict(zip(link_pd["cell_id"].astype(int),
-                        link_pd["link_id"].astype(int)))
-    dref = ray.put((down_map, link_map))
+    lorder = np.argsort(link_pd["cell_id"].to_numpy(np.int64), kind="mergesort")
+    lcid = link_pd["cell_id"].to_numpy(np.int64)[lorder]
+    llink = link_pd["link_id"].to_numpy(np.int64)[lorder]
+    sm = member(rcid, stream_set)
+    sorder = np.argsort(rcid[sm], kind="mergesort")
+    scid, sdown = rcid[sm][sorder], rdown[sm][sorder]
+    # entry candidates: non-stream cells whose down IS a stream cell
+    cm = ~sm & (rdown >= 0) & member(rdown, stream_set)
+    e, s = rcid[cm], rdown[cm]
+    ds_ = sdown[np.searchsorted(scid, s)] if len(s) else np.empty(0, np.int64)
+    fx = ds_ % GRID1.cols - s % GRID1.cols
+    fy = ds_ // GRID1.cols - s // GRID1.cols
+    ex = s % GRID1.cols - e % GRID1.cols
+    ey = s // GRID1.cols - e // GRID1.cols
+    cross = fx * ey - fy * ex
+    side = np.where(ds_ < 0, 0,
+                    np.where(cross > 0, 1, np.where(cross < 0, 2, 0)))
+    hcode = (llink[np.searchsorted(lcid, s)] * 4 + side
+             if len(s) else np.empty(0, np.int64))
+    eorder = np.argsort(e, kind="mergesort")
+    eref = ray.put((e[eorder], hcode[eorder].astype(np.int64)))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
 
-        dmap, lmap = _cached_get(dref)
-        cid = df["cell_id"].to_numpy(np.int64)
-        ecell = df["basin"].to_numpy(np.int64)
-        out_c, out_h = [], []
-        for c, e in zip(cid.tolist(), ecell.tolist()):
-            s = dmap.get(e, -1)
-            if s < 0 or s not in lmap:
-                continue  # drains off-grid without touching a stream
-            ds_ = dmap.get(s, -1)
-            if ds_ < 0:
-                side = 0
-            else:
-                fx = ds_ % GRID1.cols - s % GRID1.cols
-                fy = ds_ // GRID1.cols - s // GRID1.cols
-                ex = s % GRID1.cols - e % GRID1.cols
-                ey = s // GRID1.cols - e // GRID1.cols
-                cross = fx * ey - fy * ex
-                side = 1 if cross > 0 else (2 if cross < 0 else 0)
-            out_c.append(c)
-            out_h.append(lmap[s] * 4 + side)
-        return pd.DataFrame({"cell_id": np.array(out_c, np.int64),
-                             "hillslope": np.array(out_h, np.int64)})
+        es, hc = _cached_get(eref)
+        b = df["basin"].to_numpy(np.int64)
+        m = member(b, es)  # basins draining off-grid: no hillslope label
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[m],
+            "hillslope": hc[np.searchsorted(es, b[m])]})
 
     hs = entry.map_batches(label, batch_format="pandas")
     channel = link.map_batches(
@@ -780,7 +777,7 @@ def horton_order(sf_dir: str):
     than the raster), so link-level attributes come from the distributed
     Strahler/link stages and the principal-chain walk runs on the collected
     link table; every stream CELL gets its link's Horton order."""
-    from ..stages.flow import down_ds_from_pointer
+    from ..stages.flow import down_ds_from_pointer, down_rows_touching
     from ..stages.pregel import strahler_pregel
     from .queries_raster import stream_link_id
 
@@ -798,13 +795,16 @@ def horton_order(sf_dir: str):
     ord_map = dict(zip(lattr["cell_id"].astype(int),
                        lattr["strahler"].astype(int)))
 
-    down_pd = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).map_batches(
-        lambda df: df[["cell_id", "down_id"]], batch_format="pandas").to_pandas()
-    down_map = dict(zip(down_pd["cell_id"].astype(int),
-                        down_pd["down_id"].astype(int)))
     link_pd = link.to_pandas()
     link_map = dict(zip(link_pd["cell_id"].astype(int),
                         link_pd["link_id"].astype(int)))
+    # pointer rows for link terminal cells only (links are stream cells):
+    # the pull is link-graph-sized, never grid-sized
+    down_pd = down_rows_touching(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1),
+        link_pd["cell_id"].to_numpy(np.int64))
+    down_map = dict(zip(down_pd["cell_id"].astype(int),
+                        down_pd["down_id"].astype(int)))
 
     links = sorted(ord_map)
     parent = {}
@@ -827,16 +827,18 @@ def horton_order(sf_dir: str):
                 principal_child.get(parent[cur]) == cur:
             cur = parent[cur]
         horton[l] = ord_map[cur]
-    href = ray.put(horton)
+    hkeys = np.array(sorted(horton), np.int64)
+    href = ray.put((hkeys, np.array([horton[k] for k in hkeys.tolist()],
+                                    np.int64)))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
 
-        hm = _cached_get(href)
+        hk, hv = _cached_get(href)
         lid = df["link_id"].to_numpy(np.int64)
         return pd.DataFrame({
             "cell_id": df["cell_id"].to_numpy(np.int64),
-            "horton": np.array([hm[int(x)] for x in lid], np.int64)})
+            "horton": hv[np.searchsorted(hk, lid)]})
 
     return link.map_batches(label, batch_format="pandas")
 
@@ -862,7 +864,7 @@ def tributary_id(sf_dir: str):
     chain its link belongs to (main stems keep one id source-to-outlet,
     tributaries start new ids at their junctions). Shares the link-graph
     machinery of horton_order."""
-    from ..stages.flow import down_ds_from_pointer
+    from ..stages.flow import down_ds_from_pointer, down_rows_touching
     from ..stages.pregel import strahler_pregel
     from .queries_raster import stream_link_id
 
@@ -877,13 +879,16 @@ def tributary_id(sf_dir: str):
                       on=("cell_id",)).to_pandas()
     ord_map = dict(zip(lattr["cell_id"].astype(int),
                        lattr["strahler"].astype(int)))
-    down_pd = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).map_batches(
-        lambda df: df[["cell_id", "down_id"]], batch_format="pandas").to_pandas()
-    down_map = dict(zip(down_pd["cell_id"].astype(int),
-                        down_pd["down_id"].astype(int)))
     link_pd = link.to_pandas()
     link_map = dict(zip(link_pd["cell_id"].astype(int),
                         link_pd["link_id"].astype(int)))
+    # pointer rows for link terminal cells only (links are stream cells):
+    # the pull is link-graph-sized, never grid-sized
+    down_pd = down_rows_touching(
+        down_ds_from_pointer(_d8_pointer(sf_dir), GRID1),
+        link_pd["cell_id"].to_numpy(np.int64))
+    down_map = dict(zip(down_pd["cell_id"].astype(int),
+                        down_pd["down_id"].astype(int)))
     links = sorted(ord_map)
     parent = {}
     for l in links:
@@ -904,16 +909,18 @@ def tributary_id(sf_dir: str):
                 principal_child.get(parent[cur]) == cur:
             cur = parent[cur]
         trib[l] = cur
-    tref = ray.put(trib)
+    tkeys = np.array(sorted(trib), np.int64)
+    tref = ray.put((tkeys, np.array([trib[k] for k in tkeys.tolist()],
+                                    np.int64)))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
 
-        tm = _cached_get(tref)
+        tk, tv = _cached_get(tref)
         lid = df["link_id"].to_numpy(np.int64)
         return pd.DataFrame({
             "cell_id": df["cell_id"].to_numpy(np.int64),
-            "tributary": np.array([tm[int(x)] for x in lid], np.int64)})
+            "tributary": tv[np.searchsorted(tk, lid)]})
 
     return link.map_batches(label, batch_format="pandas")
 

@@ -82,6 +82,39 @@ def _down_map(rows: pd.DataFrame) -> dict[int, int]:
                     rows["down_id"].to_numpy(np.int64)))
 
 
+def member_sorted(arr: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of arr in a SORTED int64 key array."""
+    if not len(sorted_keys):
+        return np.zeros(len(arr), bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, arr), len(sorted_keys) - 1)
+    return sorted_keys[pos] == arr
+
+
+def down_rows_touching(down_ds: ray.data.Dataset, keys: np.ndarray,
+                       *, include_down_hits: bool = False) -> pd.DataFrame:
+    """Collect (cell_id, down_id) rows whose cell_id lies in the key set
+    (optionally also rows whose DOWN cell does) — the driver-side pull is
+    bounded by the key set and its fan-in, not the grid. The stream-network
+    walks (horton/tributary/hillslopes) only ever look up stream(-adjacent)
+    cells, so pulling the full grid pointer for them is pure waste at a
+    continental DEM."""
+    keys = np.sort(np.asarray(keys, np.int64))
+    kref = ray.put(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        from .spatial_join import _cached_get
+
+        ks = _cached_get(kref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        m = member_sorted(cid, ks)
+        if include_down_hits:
+            m |= member_sorted(down, ks)
+        return pd.DataFrame({"cell_id": cid[m], "down_id": down[m]})
+
+    return down_ds.map_batches(pick, batch_format="pandas").to_pandas()
+
+
 def _indeg_state(down_ds: ray.data.Dataset, grid: GridSpec, tile: int
                  ) -> ray.data.Dataset:
     """(cell_id, tile, down_id, n_inflow) via ONE tile-groupby: down rows
