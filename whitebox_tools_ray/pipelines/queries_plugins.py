@@ -486,7 +486,10 @@ def _mfd_acc_sql(kind: str) -> str:
     wcols = ", ".join(f"COALESCE(p.pw{d}, -1) AS w{d}" for d in range(8))
     # the weights fragment ends with its own SELECT — keep only the CTEs
     # and rebuild that SELECT as the wfp CTE (identical expression)
-    ctes = _mfd_weights_sql(kind).rsplit("SELECT w.cell_id, w.i,", 1)[0]
+    frag = _mfd_weights_sql(kind)
+    anchor = "SELECT w.cell_id,"
+    assert frag.count(anchor) == 1, "weights SQL tail changed shape"
+    ctes = frag.rsplit(anchor, 1)[0]
     return f"""
     WITH RECURSIVE {_CELLS_CTE},{ctes.rstrip()},
     wfp AS MATERIALIZED (
