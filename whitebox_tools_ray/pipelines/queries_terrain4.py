@@ -159,10 +159,13 @@ def raster_streams_to_vector(sf_dir: str):
     import ray as _ray
 
     dds = down_ds_from_pointer(_d8_pointer(sf_dir), GRID1).materialize()
-    dp = dds.to_pandas()
-    in_stream = np.isin(dp["cell_id"].to_numpy(np.int64), scells)
+    # junction detection touches only stream-cell rows: pull those, not
+    # the whole grid pointer
+    from ..stages.flow import down_rows_touching, member_sorted
+
+    dp = down_rows_touching(dds, scells)
     down = dp["down_id"].to_numpy(np.int64)
-    down_stream_edge = in_stream & np.isin(down, scells)
+    down_stream_edge = member_sorted(down, scells)
     tgt, cnt = np.unique(down[down_stream_edge], return_counts=True)
     junctions = np.sort(tgt[cnt >= 2])
     sref = _ray.put((scells, junctions))
