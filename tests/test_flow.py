@@ -491,3 +491,35 @@ def test_flow_accum_full_workflow_dense_oracle():
             acc[d] += acc[cell]
     np.testing.assert_array_equal(got["cell_id"].to_numpy(), cells)
     np.testing.assert_array_equal(got["acc"].to_numpy(), acc)
+
+
+def test_down_rows_touching_filters_exactly(ray_session):
+    """down_rows_touching pulls precisely the rows whose cell (or, when
+    asked, DOWN cell) lies in the key set — the bounded driver pull behind
+    the stream-network walks."""
+    import ray.data
+
+    from whitebox_tools_ray.stages.flow import down_rows_touching
+
+    down = random_forest(seed=11)
+    n = len(down)
+    full = pd.DataFrame({"cell_id": np.arange(n, dtype=np.int64),
+                         "down_id": down})
+    ds = ray.data.from_pandas(full)
+    keys = np.arange(0, n, 7, dtype=np.int64)
+
+    got = down_rows_touching(ds, keys).sort_values("cell_id")
+    exp = full[np.isin(full["cell_id"], keys)]
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(),
+                                  exp["cell_id"].to_numpy())
+    np.testing.assert_array_equal(got["down_id"].to_numpy(),
+                                  exp["down_id"].to_numpy())
+
+    got2 = down_rows_touching(ds, keys, include_down_hits=True) \
+        .sort_values("cell_id")
+    m = np.isin(full["cell_id"], keys) | np.isin(full["down_id"], keys)
+    exp2 = full[m]
+    np.testing.assert_array_equal(got2["cell_id"].to_numpy(),
+                                  exp2["cell_id"].to_numpy())
+    np.testing.assert_array_equal(got2["down_id"].to_numpy(),
+                                  exp2["down_id"].to_numpy())
