@@ -1306,76 +1306,54 @@ def vector_stream_network_analysis(sf_dir: str):
     network mouth and Strahler order — pure composition of verified
     machinery: stream_link_id labels, flowpath_length over the stream-cut
     graph, strahler_pregel over the stream graph, joined per link."""
-    from ..hydrodefs import STREAM_ACC_T
     from ..relational import partial_agg
-    from ..stages.flow import down_ds_from_pointer, tile_of_expr
     from ..stages.pregel import (flowpath_length_pregel, strahler_pregel)
-    from .queries_raster import d8_pointer, stream_link_id
+    from .queries_stream2 import _stream_graph
 
-    links = stream_link_id(sf_dir).materialize()  # (cell_id, link_id)
-
-    # stream-only down graph: down kept only when the target is a stream
-    # cell (the same cut the SQL's sgraph makes)
-    dds = down_ds_from_pointer(d8_pointer(sf_dir), GRID1).materialize()
-    sj = dds.join(links.map_batches(
-        lambda df: pd.DataFrame({"cell_id":
-                                 df["cell_id"].to_numpy(np.int64)}),
-        batch_format="pandas"), join_type="inner", num_partitions=8,
-        on=("cell_id",)).materialize()
-    skeys = sj.map_batches(lambda df: pd.DataFrame({
-        "k": df["cell_id"].to_numpy(np.int64)}),
-        batch_format="pandas").to_pandas()
-    sarr = np.sort(skeys["k"].to_numpy(np.int64))
-    sref = ray.put(sarr)
-
-    def cut(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.spatial_join import _cached_get
-
-        ss = _cached_get(sref)
-        d = df["down_id"].to_numpy(np.int64)
-        pos = np.minimum(np.searchsorted(ss, np.abs(d)), len(ss) - 1) \
-            if len(ss) else np.zeros(len(d), np.int64)
-        keep = (d >= 0) & (len(ss) > 0) & (ss[pos] == d)
-        return pd.DataFrame({
-            "cell_id": df["cell_id"].to_numpy(np.int64),
-            "down_id": np.where(keep, d, np.int64(-1)),
-            "tile": df["tile"].to_numpy(np.int64)})
-
-    sdds = sj.map_batches(cut, batch_format="pandas").materialize()
+    # session-memoized (cell_id, link_id, down_id, tile): the pointer table
+    # induced on stream cells. Downstream closure (a stream cell's D8 down
+    # cell is itself a stream cell) makes this exactly the stream-cut graph
+    # the SQL's sgraph builds — no defensive re-cut needed.
+    sg = _stream_graph(sf_dir)
+    links = sg  # carries link_id per stream cell
+    sdds = sg.drop_columns(["link_id"])
 
     fpl = flowpath_length_pregel(sdds, GRID1)      # (cell_id, len_units)
     sb = strahler_pregel(sdds, GRID1)              # (cell_id, strahler)
 
+    # per-link cell counts (junction-sized after the partial agg — the
+    # same driver-size bound _link_orders relies on). The four Ray
+    # hash-joins this used to run cost ~3 s each on 9.5k-row sides; a
+    # broadcast terminal-set filter + driver merge is the right size.
     cnt = partial_agg(links.map_batches(
         lambda df: pd.DataFrame({
             "link_id": df["link_id"].to_numpy(np.int64),
             "one": np.ones(len(df), np.int64)}),
-        batch_format="pandas"), ["link_id"], [("one", "sum", "n_cells")])
+        batch_format="pandas"), ["link_id"],
+        [("one", "sum", "n_cells")]).to_pandas()
 
-    # distinct link terminals: per-batch dedup is NOT global — reduce
-    term = partial_agg(links.map_batches(
-        lambda df: pd.DataFrame({
-            "cell_id": df["link_id"].to_numpy(np.int64),
-            "one": np.ones(len(df), np.int64)}),
-        batch_format="pandas"), ["cell_id"], [("one", "max", "one")]) \
-        .drop_columns(["one"])
-    d2m = term.join(fpl, join_type="inner", num_partitions=8,
-                    on=("cell_id",)).map_batches(
-        lambda df: pd.DataFrame({
-            "link_id": df["cell_id"].to_numpy(np.int64),
-            "dist2mouth_units": df["len_units"].to_numpy(np.int64)}),
-        batch_format="pandas")
-    sbl = term.join(sb, join_type="inner", num_partitions=8,
-                    on=("cell_id",)).map_batches(
-        lambda df: pd.DataFrame({
-            "link_id": df["cell_id"].to_numpy(np.int64),
-            "strahler": df["strahler"].to_numpy(np.int64)}),
-        batch_format="pandas")
+    terms = np.sort(cnt["link_id"].to_numpy(np.int64))  # link terminal cells
+    tref = ray.put(terms)
 
-    out = cnt.join(d2m.materialize(), join_type="inner", num_partitions=8,
-                   on=("link_id",))
-    return out.join(sbl.materialize(), join_type="inner", num_partitions=8,
-                    on=("link_id",))
+    def _at_terminals(col_in: str, col_out: str):
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.spatial_join import _cached_get
+
+            ts = _cached_get(tref)
+            cid = df["cell_id"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(ts, cid), len(ts) - 1)
+            m = ts[pos] == cid
+            return pd.DataFrame({
+                "link_id": cid[m],
+                col_out: df[col_in].to_numpy(np.int64)[m]})
+        return pick
+
+    d2m = fpl.map_batches(_at_terminals("len_units", "dist2mouth_units"),
+                          batch_format="pandas").to_pandas()
+    sbl = sb.map_batches(_at_terminals("strahler", "strahler"),
+                         batch_format="pandas").to_pandas()
+    out = cnt.merge(d2m, on="link_id").merge(sbl, on="link_id")
+    return out[["link_id", "n_cells", "dist2mouth_units", "strahler"]]
 
 
 # --------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from ..relational import partial_agg
 from ..stages.raster import mean3x3_kernel, slope_kernel_factory, stencil_3x3, synth_raster_tiles
 from ..grid import GridSpec
 from ..layers import GRID1
+from ..memo import session_memo as _session_memo
 from .queries import query
 
 
@@ -1423,6 +1424,7 @@ def dinf_flow_accumulation(sf_dir: str):
     WHERE l.nxt < 0
     """,
 )
+@_session_memo
 def stream_link_id(sf_dir: str):
     """StreamLinkIdentifier (stream_network_analysis/stream_link_identifier
     .rs): label every stream cell (D8 accumulation >= threshold) with its
@@ -1501,8 +1503,10 @@ def stream_link_id(sf_dir: str):
 
     lgraph = sgraph.map_batches(cut, batch_format="pandas")
     out = basins_pregel(lgraph, GRID1)
+    # materialized: ~9 downstream entries (the whole stream family) reuse
+    # this via the session memo instead of re-running the accumulation wave
     return out.map_batches(lambda df: df.rename(columns={"basin": "link_id"}),
-                           batch_format="pandas")
+                           batch_format="pandas").materialize()
 
 
 @query(

@@ -24,6 +24,7 @@ import ray
 from ..hydrodefs import (_GRAPH_CTES, _HOP_DIAG, _HOP_STRAIGHT, _LINK_CTES,
                          _STREAM_CTES, _d8_pointer, _hop_sql)
 from ..layers import GRID1
+from ..memo import session_memo as _session_memo
 from ..rasterdefs import _value_fn
 from .queries import query
 
@@ -40,6 +41,7 @@ def _hops(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(diag, np.int64(_HOP_DIAG), np.int64(_HOP_STRAIGHT))
 
 
+@_session_memo
 def _stream_graph(sf_dir: str) -> ray.data.Dataset:
     """Materialized (cell_id, link_id, down_id, tile): the D8 pointer table
     induced on stream cells (accumulation >= threshold), carrying each
@@ -232,6 +234,7 @@ class _LinkTable:
         self.sg, self.e, self.sindeg, self.links = sg, e, sindeg, links
 
 
+@_session_memo
 def _link_table(sf_dir: str) -> _LinkTable:
     from ..relational import partial_agg
     from ..stages.spatial_join import _cached_get  # noqa: F401 (workers)
