@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..memo import session_memo as _session_memo
 from ..sources.synthetic import splitmix64
 from ..sources.tables import read_points
 from ..pointdefs import _lpts_df
@@ -288,6 +289,21 @@ def point_labels(normals_ds, *, z_col: str = "cents"):
     return labels0.map_batches(relabel, batch_format="pandas")
 
 
+@_session_memo
+def _normals_m(sf_dir: str):
+    """Materialized plane-fit normals — the shared head of five entries
+    (segmentation, seg-filter, buildings, rooftop); computed once per
+    (sf_dir, Ray session)."""
+    return point_normals(_pts(sf_dir)).materialize()
+
+
+@_session_memo
+def _labels_m(sf_dir: str):
+    """Materialized cents-based segmentation labels shared by the
+    segmentation + building entries."""
+    return point_labels(_normals_m(sf_dir)).materialize()
+
+
 def _with_resid(nds):
     """Attach resid = cents - min(cents over the 3x3 cell neighbourhood),
     computed as two partial aggregates + a hash join — no driver state."""
@@ -321,6 +337,13 @@ def _with_resid(nds):
     return j.map_batches(resid, batch_format="pandas")
 
 
+@_session_memo
+def _resid_m(sf_dir: str):
+    """Materialized normals + 3x3-cell-min residual, shared by the
+    segmentation filter and the building family."""
+    return _with_resid(_normals_m(sf_dir)).materialize()
+
+
 @query("lidar_segmentation")
 def lidar_segmentation(sf_dir: str):
     """LidarSegmentation (lidar_analysis/lidar_segmentation.rs): plane-fit
@@ -329,8 +352,8 @@ def lidar_segmentation(sf_dir: str):
     event_id. Distributed CC: per-block local labels + border-label-graph
     merge; labels joined back as a Dataset. Rows-only; brute O(n^2) oracle
     in tests/test_lidar4.py."""
-    nds = point_normals(_pts(sf_dir)).materialize()
-    labels = point_labels(nds)
+    nds = _normals_m(sf_dir)
+    labels = _labels_m(sf_dir)
     pl = nds.map_batches(
         lambda df: pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64),
@@ -351,8 +374,7 @@ def lidar_segmentation_based_filter(sf_dir: str):
     per-point state). Rows-only; brute oracle in tests/test_lidar4.py."""
     from ..relational import partial_agg
 
-    nds = point_normals(_pts(sf_dir)).materialize()
-    rds = _with_resid(nds).materialize()
+    rds = _resid_m(sf_dir)
     labels = point_labels(rds, z_col="resid")
 
     er = rds.map_batches(
@@ -432,15 +454,16 @@ def lidar_ransac_planes(sf_dir: str):
         ransac, batch_format="pandas")
 
 
-def _building_flags(nds):
+@_session_memo
+def _building_flags(sf_dir: str):
     """(labels Dataset, per-segment building-flag Dataset): segments that
     are planar throughout, >= _MIN_BLD points, and whose MINIMUM residual
     over the 3x3-cell minimum exceeds _BLD_RESID — aggregates + joins,
     nothing driver-side."""
     from ..relational import partial_agg
 
-    rds = _with_resid(nds)
-    labels = point_labels(nds).materialize()
+    rds = _resid_m(sf_dir)
+    labels = _labels_m(sf_dir)
     er = rds.map_batches(
         lambda df: pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64),
@@ -482,8 +505,7 @@ def classify_buildings(sf_dir: str):
     class event_id % 6 (never 6, so class 6 identifies buildings).
     Output (event_id, cls). Rows-only; compositional oracle in
     tests/test_lidar4.py."""
-    nds = point_normals(_pts(sf_dir)).materialize()
-    labels, bflag = _building_flags(nds)
+    labels, bflag = _building_flags(sf_dir)
     out = labels.join(bflag, join_type="inner", num_partitions=8,
                       on=("segment",))
 
@@ -505,8 +527,8 @@ def lidar_rooftop_analysis(sf_dir: str):
     (segment, n_points, slope_milli, mean_cents) via groupby(segment)
     .map_groups over building points only. Rows-only; compositional oracle
     in tests/test_lidar4.py."""
-    nds = point_normals(_pts(sf_dir)).materialize()
-    labels, bflag = _building_flags(nds)
+    nds = _normals_m(sf_dir)
+    labels, bflag = _building_flags(sf_dir)
     xyz = nds.map_batches(
         lambda df: pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64),
