@@ -147,7 +147,9 @@ def point_normals(pts) -> "ray.data.Dataset":
 
     rep = pts.map_batches(lambda df: _replicate(df, cols),
                           batch_format="pandas")
-    return rep.groupby("grp").map_groups(moments, batch_format="pandas")
+    from ..relational import keyed_map_groups
+
+    return keyed_map_groups(rep, "grp", moments)
 
 
 def _cos_normals(a1, b1, a2, b2):
@@ -217,10 +219,11 @@ def _mixed_local(normals_ds, *, z_col: str = "cents"):
                     "a": oid[bi], "b": aid[nb_pos][bj]}))
         return pd.concat(outs, ignore_index=True)
 
+    from ..relational import keyed_map_groups
+
     rep = normals_ds.map_batches(lambda df: _replicate(df, cols),
                                  batch_format="pandas")
-    return rep.groupby("grp").map_groups(kern, batch_format="pandas") \
-        .materialize()
+    return keyed_map_groups(rep, "grp", kern).materialize()
 
 
 def point_labels(normals_ds, *, z_col: str = "cents"):

@@ -359,7 +359,7 @@ def math_wilcoxon_signed_rank(sf_dir: str):
     tiles = synth_raster_tiles(GRID1, _a_fn)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = {}
+        ks = []
         for t in df.itertuples():
             r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
             rr, cc = np.meshgrid(np.arange(r0, r0 + int(t.nrows)),
@@ -368,18 +368,18 @@ def math_wilcoxon_signed_rank(sf_dir: str):
             d = (np.asarray(t.data, np.float64).astype(np.int64)
                  - _b_of(cells).astype(np.int64))
             d = d[d != 0]
-            ads, sgn = np.abs(d), np.sign(d)
-            key = ads * 2 + (sgn > 0)
-            uk, cnt = np.unique(key, return_counts=True)
-            for k, c in zip(uk.tolist(), cnt.tolist()):
-                out[k] = out.get(k, 0) + c
-        return pd.DataFrame({"key": list(out.keys()),
-                             "c": np.array(list(out.values()), np.int64)})
+            ks.append(np.abs(d) * 2 + (np.sign(d) > 0))
+        uk, cnt = np.unique(np.concatenate(ks) if ks
+                            else np.empty(0, np.int64), return_counts=True)
+        return pd.DataFrame({"key": uk.astype(np.int64),
+                             "c": cnt.astype(np.int64)})
 
-    h = (tiles.map_batches(partial, batch_format="pandas")
-         .groupby("key").sum("c").to_pandas())
+    from ..relational import partial_agg
+
+    h = partial_agg(tiles.map_batches(partial, batch_format="pandas"),
+                    ["key"], [("c", "sum", "c")]).to_pandas()
     key = h["key"].to_numpy(np.int64)
-    cnt = h["sum(c)"].to_numpy(np.int64)
+    cnt = h["c"].to_numpy(np.int64)
     ad, pos = key // 2, (key % 2) == 1
     order = np.argsort(ad, kind="stable")
     ad, pos, cnt = ad[order], pos[order], cnt[order]
@@ -420,7 +420,7 @@ def math_two_sample_ks(sf_dir: str):
     tiles = synth_raster_tiles(GRID1, _a_fn)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = {}
+        keys = []
         for t in df.itertuples():
             r0, c0 = int(t.trow) * 64, int(t.tcol) * 64
             rr, cc = np.meshgrid(np.arange(r0, r0 + int(t.nrows)),
@@ -428,20 +428,22 @@ def math_two_sample_ks(sf_dir: str):
             cells = (rr.astype(np.int64) * GRID1.cols + cc.astype(np.int64)).ravel()
             a = np.asarray(t.data, np.float64).astype(np.int64)
             b = _b_of(cells).astype(np.int64)
-            for arr, which in ((a, 0), (b, 1)):
-                uv, cnt = np.unique(arr, return_counts=True)
-                for v, c in zip(uv.tolist(), cnt.tolist()):
-                    out[(v, which)] = out.get((v, which), 0) + c
-        ks = list(out.keys())
-        return pd.DataFrame({"v": [k[0] for k in ks],
-                             "which": [k[1] for k in ks],
-                             "c": np.array(list(out.values()), np.int64)})
+            # packed (v, which) key: v*2 + which, vectorized per tile
+            keys.append(a * 2)
+            keys.append(b * 2 + 1)
+        uk, cnt = np.unique(np.concatenate(keys) if keys
+                            else np.empty(0, np.int64), return_counts=True)
+        return pd.DataFrame({"v": (uk >> 1).astype(np.int64),
+                             "which": (uk & 1).astype(np.int64),
+                             "c": cnt.astype(np.int64)})
 
-    h = (tiles.map_batches(partial, batch_format="pandas")
-         .groupby(["v", "which"]).sum("c").to_pandas())
+    from ..relational import partial_agg
+
+    h = partial_agg(tiles.map_batches(partial, batch_format="pandas"),
+                    ["v", "which"], [("c", "sum", "c")]).to_pandas()
     v = h["v"].to_numpy(np.int64)
     which = h["which"].to_numpy(np.int64)
-    cnt = h["sum(c)"].to_numpy(np.int64)
+    cnt = h["c"].to_numpy(np.int64)
     sup = np.unique(v)
     c1 = np.zeros(sup.size, np.int64)
     c2 = np.zeros(sup.size, np.int64)

@@ -119,7 +119,9 @@ def attribute_correlation_neighbourhood(sf_dir: str):
                              "n": n, "s1": s1, "s2": s2, "s11": s11,
                              "s22": s22, "s12": s12})
 
-    sums = pts.groupby("cell").map_groups(cell_pairs, batch_format="pandas")
+    from ..relational import keyed_map_groups
+
+    sums = keyed_map_groups(pts, "cell", cell_pairs)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(np.int64).astype(np.float64)

@@ -1421,30 +1421,42 @@ def conditioned_latin_hypercube(sf_dir: str):
     nt = int(base[-1])
     href = ray.put((vals, base[:-1]))
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every value group in the bucket: global rank =
+        # count of smaller values (broadcast histogram prefix) + ordinal
+        # within the value by event_id (groupby.cumcount)
         vals_b, base_b = _cached_get(href)
-        g = g.sort_values("event_id")
-        c = int(g["cents"].iloc[0])
-        lo = int(base_b[np.searchsorted(vals_b, c)])
-        rn = lo + np.arange(1, len(g) + 1, dtype=np.int64)
+        g = g.sort_values(["cents", "event_id"])
+        c = g["cents"].to_numpy(np.int64)
+        lo = base_b[np.searchsorted(vals_b, c)]
+        rn = lo + g.groupby("cents").cumcount().to_numpy(np.int64) + 1
         out = g[["event_id", "cents"]].copy()
         out["rn"] = rn
         out["stratum"] = (rn - 1) * _CLHS_N // nt
         return out
 
-    ranked = pts.groupby("cents").map_groups(rank_group,
-                                             batch_format="pandas")
+    from ..relational import keyed_map_groups
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("rn")
-        i = (len(g) + 1) // 2 - 1
+    ranked = keyed_map_groups(pts, "cents", rank_part, per_group=False)
+
+    # the rank-median of stratum s is closed-form: the stratum covers ranks
+    # (floor(s*nt/N), floor((s+1)*nt/N)], so its median RANK is known from
+    # nt alone — a vectorized filter replaces the stratum shuffle entirely
+    # stratum s = (rn-1)*N // nt covers rn-1 in [ceil(s*nt/N), ceil((s+1)*nt/N))
+    ss = np.arange(_CLHS_N, dtype=np.int64)
+    lo_s = (ss * nt + _CLHS_N - 1) // _CLHS_N
+    cnt_s = ((ss + 1) * nt + _CLHS_N - 1) // _CLHS_N - lo_s
+    target = lo_s + (cnt_s + 1) // 2  # median rank per stratum
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["stratum"].to_numpy(np.int64)
+        m = df["rn"].to_numpy(np.int64) == target[st]
         return pd.DataFrame({
-            "stratum": [int(g["stratum"].iloc[0])],
-            "event_id": [int(g["event_id"].iloc[i])],
-            "cents": [int(g["cents"].iloc[i])]})
+            "stratum": st[m],
+            "event_id": df["event_id"].to_numpy(np.int64)[m],
+            "cents": df["cents"].to_numpy(np.int64)[m]})
 
-    return ranked.groupby("stratum").map_groups(pick,
-                                                batch_format="pandas")
+    return ranked.map_batches(pick, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -614,7 +614,9 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 7):
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                              "hamming": d[keep]}).astype(np.int64)
 
-    cand = keyed.groupby("key").map_groups(pairs, batch_format="pandas")
+    from ..relational import keyed_map_groups
+
+    cand = keyed_map_groups(keyed, "key", pairs)
     return tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
                        batch_format="pandas")
 

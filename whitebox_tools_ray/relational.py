@@ -41,6 +41,49 @@ _PARTIAL = {
 }
 
 
+def keyed_map_groups(ds, key: str, fn, *, parts: int = 32,
+                     batch_format: str = "pandas", per_group: bool = True):
+    """``groupby(key).map_groups(fn)`` with the per-group dispatch overhead
+    amortized: rows are hash-bucketed into ``parts`` buckets, Ray's
+    map_groups runs once PER BUCKET, and groups are walked by an in-process
+    ``pandas.groupby`` loop. Ray's own per-group task slicing costs ~250 us
+    per group (measured: 10k-cell co-groups spend 6+ s in dispatch for
+    <1 s of kernel); the bucket form pays it ``parts`` times.
+
+    Semantics identical to groupby().map_groups for any fn that sees one
+    whole group per call (the bucket hash co-locates every row of a key).
+    Only int64-keyed co-groups use this; output row order is not defined,
+    matching the Dataset contract.
+
+    ``per_group=False`` hands fn the WHOLE bucket instead (every row of
+    each contained key, several keys per call) — for kernels that can
+    vectorize across groups (rank-within-key via groupby.cumcount etc.),
+    eliminating the in-process group walk too."""
+    import pandas as pd
+
+    knuth = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df[key].to_numpy(np.int64).astype(np.uint64)
+        out = df.copy()
+        out["__part"] = ((k * knuth) >> np.uint64(33)).astype(np.int64) % parts
+        return out
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop(columns=["__part"])
+        if not per_group:
+            return fn(g)
+        outs = [fn(sub) for _, sub in g.groupby(key, sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return fn(g.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("__part").map_groups(per_part,
+                                          batch_format=batch_format))
+
+
 def tree_reduce(ds, reduce_batch, *, levels: tuple[int, ...] = (32, 1),
                 batch_format: str = "pyarrow"):
     """Tree-combine an ALGEBRAIC per-batch reduction: apply ``reduce_batch``

@@ -316,7 +316,9 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
     cands = results[0]
     for extra in results[1:]:
         cands = cands.union(extra)
-    return cands.groupby("cell_id").map_groups(reduce_cell, batch_format="pandas")
+    from ..relational import keyed_map_groups
+
+    return keyed_map_groups(cands, "cell_id", reduce_cell)
 
 
 def _candidate_cells_centres(x, y, extra, grid: GridSpec, radius: float):
