@@ -100,30 +100,45 @@ def _morph(kind: str):
         .map_batches(seed, batch_format="numpy")
     tiles = cells_to_tiles(cells, GRID1, "z", fill=0.0)
 
-    for _ in range(_MAX_ITER):
-        changed_total = 0
-        for elem, vals, target, new in _patterns(kind):
-            def kern(padded, nr, nc, _e=elem, _v=vals, _t=target, _n=new):
-                z = padded[1:nr + 1, 1:nc + 1]
-                zz = np.where(np.isnan(z), 0.0, z)
-                p = np.where(np.isnan(padded), 0.0, padded)
-                match = zz == _t
-                for e, want in zip(_e, _v):
-                    nb = p[1 + _DY[e]:1 + _DY[e] + nr,
-                           1 + _DX[e]:1 + _DX[e] + nc]
-                    match &= nb == want
-                out = np.where(match, _n, zz)
-                return {"z": out, "chg": np.full_like(out, match.sum())}
+    # one iteration = all 8 structuring-element sub-passes FUSED into a
+    # single k=8 halo exchange (each sub-pass consumes one halo ring, the
+    # stencil_chain trick) — 32 materialized exchanges become 4. Halo
+    # cells inside the grid evolve exactly like the per-pass version;
+    # off-grid cells are pinned to 0 between sub-passes (reference border).
+    P = _patterns(kind)
+    K = len(P)
 
-            res = stencil_k(tiles, GRID1, kern, k=1, output="tiles") \
-                .materialize()
-            chg = res.map_batches(
-                lambda df: pd.DataFrame(
-                    {"n": [int(sum(np.asarray(v)[0] for v in df["chg"]))]}),
-                batch_format="pandas").to_pandas()["n"].sum()
-            changed_total += int(chg)
-            tiles = stencil_tiles_as_input(res, GRID1, "z").materialize()
-        if changed_total == 0:
+    for _ in range(_MAX_ITER):
+        def kern(padded, nr, nc, _P=P, _K=K):
+            offgrid = np.isnan(padded)
+            z = np.where(offgrid, 0.0, padded)
+            R, C = z.shape  # (nr + 2K, nc + 2K)
+            chg = 0
+            for s, (elem, vals, target, new) in enumerate(_P):
+                lo = s + 1  # valid margin shrinks one ring per sub-pass
+                zz = z[lo:R - lo, lo:C - lo]
+                match = zz == target
+                for e, want in zip(elem, vals):
+                    nb = z[lo + _DY[e]:R - lo + _DY[e],
+                           lo + _DX[e]:C - lo + _DX[e]]
+                    match &= nb == want
+                # change count restricted to the OWN tile region — counted
+                # exactly once across tiles, same as the per-pass version
+                chg += int(match[_K - lo:_K - lo + nr,
+                                 _K - lo:_K - lo + nc].sum())
+                z[lo:R - lo, lo:C - lo] = np.where(match, new, zz)
+                z[offgrid] = 0.0
+            return {"z": z[_K:_K + nr, _K:_K + nc],
+                    "chg": np.full((nr, nc), float(chg))}
+
+        res = stencil_k(tiles, GRID1, kern, k=K, output="tiles") \
+            .materialize()
+        chg = res.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(sum(np.asarray(v)[0] for v in df["chg"]))]}),
+            batch_format="pandas").to_pandas()["n"].sum()
+        tiles = stencil_tiles_as_input(res, GRID1, "z").materialize()
+        if int(chg) == 0:
             break
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
