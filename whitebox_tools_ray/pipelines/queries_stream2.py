@@ -236,105 +236,96 @@ class _LinkTable:
 
 @_session_memo
 def _link_table(sf_dir: str) -> _LinkTable:
-    from ..relational import partial_agg
     from ..stages.spatial_join import _cached_get  # noqa: F401 (workers)
 
     sg = _stream_graph(sf_dir)
-    tgt = sg.map_batches(
-        lambda df: pd.DataFrame({
-            "down_id": df["cell_id"].to_numpy(np.int64),
-            "down_link": df["link_id"].to_numpy(np.int64)}),
-        batch_format="pandas")
-    e = sg.join(tgt, join_type="left_outer", num_partitions=8,
-                on=("down_id",)).materialize()
+    # ONE stream-bounded driver pull (the stream-walk bound blessed for
+    # hillslopes/horton/raster_streams_to_vector: the stream network is
+    # orders of magnitude smaller than the raster); the link DAG is derived
+    # vectorized on the driver, and the distributed per-cell columns
+    # (down_link, stream in-degree) are attached to sg by broadcast
+    # sorted-array lookup — this replaced two Dataset hash joins + two
+    # shuffle aggregates that each cost ~3 s at any scale.
+    st = sg.to_pandas()
+    cells = st["cell_id"].to_numpy(np.int64)
+    lids = st["link_id"].to_numpy(np.int64)
+    downs = st["down_id"].to_numpy(np.int64)
+    order = np.argsort(cells, kind="stable")
+    cs, ls = cells[order], lids[order]
 
-    # per-cell stream in-degree (count of stream edges into the cell)
-    def emit_indeg(df: pd.DataFrame) -> pd.DataFrame:
-        cid = df["cell_id"].to_numpy(np.int64)
-        down = df["down_id"].to_numpy(np.int64)
-        base = pd.DataFrame({"cell_id": cid, "n": np.zeros(len(cid), np.int64)})
-        m = down >= 0
-        inc = pd.DataFrame({"cell_id": down[m],
-                            "n": np.ones(int(m.sum()), np.int64)})
-        return pd.concat([base, inc], ignore_index=True)
+    def _link_of(a: np.ndarray) -> np.ndarray:
+        if not len(cs):
+            return np.full(len(a), -1, np.int64)
+        pos = np.minimum(np.searchsorted(cs, a), len(cs) - 1)
+        return np.where((a >= 0) & (cs[pos] == a), ls[pos], np.int64(-1))
 
-    sindeg = partial_agg(sg.map_batches(emit_indeg, batch_format="pandas"),
-                         ["cell_id"], [("n", "sum", "n")]).materialize()
+    down_link = _link_of(downs)
 
-    # per-link internal length + cell count (distributed partial agg,
-    # junction-sized result collected)
-    def emit_len(df: pd.DataFrame) -> pd.DataFrame:
-        cid = df["cell_id"].to_numpy(np.int64)
-        down = df["down_id"].to_numpy(np.int64)
-        lid = df["link_id"].to_numpy(np.int64)
-        dl = df["down_link"].to_numpy()
-        dl = np.where(pd.isna(dl), -1, dl).astype(np.int64)
-        intra = (down >= 0) & (dl == lid)
-        w = np.where(intra, _hops(cid, np.where(down >= 0, down, cid)), 0)
-        return pd.DataFrame({"link_id": lid, "ilen": w.astype(np.int64),
-                             "one": np.ones(len(cid), np.int64)})
+    # per-cell stream in-degree, aligned to cs (downstream closure: every
+    # down target of a stream cell is a stream cell)
+    indeg_cs = np.zeros(len(cs), np.int64)
+    tgt = downs[downs >= 0]
+    if len(tgt):
+        np.add.at(indeg_cs, np.searchsorted(cs, tgt), 1)
 
-    lstats = partial_agg(e.map_batches(emit_len, batch_format="pandas"),
-                         ["link_id"], [("ilen", "sum", "ilen"),
-                                       ("one", "sum", "n_cells")]).to_pandas()
+    # per-link internal length + cell count
+    intra = (downs >= 0) & (down_link == lids)
+    w = np.where(intra, _hops(cells, np.where(downs >= 0, downs, cells)), 0)
+    lstats = pd.DataFrame({"link_id": lids, "ilen": w.astype(np.int64),
+                           "one": np.ones(len(lids), np.int64)}) \
+        .groupby("link_id", as_index=False) \
+        .agg(ilen=("ilen", "sum"), n_cells=("one", "sum"))
 
     # head cell per link = the link cell with no INTRA-link predecessor
-    def emit_intra_tgt(df: pd.DataFrame) -> pd.DataFrame:
-        down = df["down_id"].to_numpy(np.int64)
-        lid = df["link_id"].to_numpy(np.int64)
-        dl = df["down_link"].to_numpy()
-        dl = np.where(pd.isna(dl), -1, dl).astype(np.int64)
-        m = (down >= 0) & (dl == lid)
-        return pd.DataFrame({"cell_id": down[m],
-                             "il": np.ones(int(m.sum()), np.int64)})
-
-    itgt = e.map_batches(emit_intra_tgt, batch_format="pandas")
-    hj = sg.join(itgt, join_type="left_outer", num_partitions=8,
-                 on=("cell_id",))
-    heads = hj.map_batches(
-        lambda df: pd.DataFrame({
-            "link_id": df.loc[pd.isna(df["il"]), "link_id"]
-            .to_numpy(np.int64),
-            "head_cell": df.loc[pd.isna(df["il"]), "cell_id"]
-            .to_numpy(np.int64)}),
-        batch_format="pandas").to_pandas()
+    itgt = np.sort(downs[intra])
+    if len(itgt):
+        pos = np.minimum(np.searchsorted(itgt, cells), len(itgt) - 1)
+        is_head = itgt[pos] != cells
+    else:
+        is_head = np.ones(len(cells), bool)
+    heads = pd.DataFrame({"link_id": lids[is_head],
+                          "head_cell": cells[is_head]})
 
     # head stream in-degree: 0 => exterior (source-headed), >=2 => junction
-    headset = np.sort(heads["head_cell"].to_numpy(np.int64))
-    href = ray.put(headset)
-
-    def pick_heads(df: pd.DataFrame) -> pd.DataFrame:
-        hs = _cached_get(href)
-        cid = df["cell_id"].to_numpy(np.int64)
-        if len(hs):
-            pos = np.minimum(np.searchsorted(hs, cid), len(hs) - 1)
-            m = hs[pos] == cid
-        else:
-            m = np.zeros(len(cid), bool)
-        return pd.DataFrame({"head_cell": cid[m],
-                             "head_n": df["n"].to_numpy(np.int64)[m]})
-
-    headn = sindeg.map_batches(pick_heads, batch_format="pandas").to_pandas()
+    hpos = np.searchsorted(cs, heads["head_cell"].to_numpy(np.int64))
+    headn = pd.DataFrame({"head_cell": heads["head_cell"].to_numpy(np.int64),
+                          "head_n": indeg_cs[hpos]})
 
     # parent linkage: the terminal cell of a link IS the link id; its down
     # cell's link (if any) is the parent
-    terms = e.map_batches(
-        lambda df: df.loc[df["cell_id"].to_numpy(np.int64)
-                          == df["link_id"].to_numpy(np.int64),
-                          ["link_id", "cell_id", "down_id", "down_link"]],
-        batch_format="pandas").to_pandas()
-    down = terms["down_id"].to_numpy(np.int64)
-    dl = terms["down_link"].to_numpy()
-    parent = np.where(pd.isna(dl), -1, dl).astype(np.int64)
-    hop_out = np.where((down >= 0) & (parent >= 0),
-                       _hops(terms["cell_id"].to_numpy(np.int64),
-                             np.where(down >= 0, down, 0)), 0).astype(np.int64)
-    pl = pd.DataFrame({"link_id": terms["link_id"].to_numpy(np.int64),
-                       "parent": parent, "hop_out": hop_out})
+    term = cells == lids
+    parent = down_link[term]
+    tdown = downs[term]
+    hop_out = np.where((tdown >= 0) & (parent >= 0),
+                       _hops(cells[term], np.where(tdown >= 0, tdown, 0)),
+                       0).astype(np.int64)
+    pl = pd.DataFrame({"link_id": lids[term], "parent": parent,
+                       "hop_out": hop_out})
 
     links = (lstats.merge(heads, on="link_id")
-             .merge(headn, on="head_cell")
+             .merge(headn.drop_duplicates("head_cell"), on="head_cell")
              .merge(pl, on="link_id"))
+
+    # distributed per-cell view: sg + down_link + stream in-degree via
+    # broadcast lookup (consumers label cells without any join)
+    lut_ref = ray.put((cs, ls, indeg_cs))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cs_b, ls_b, ind_b = _cached_get(lut_ref)
+        cid = df["cell_id"].to_numpy(np.int64)
+        down = df["down_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(cs_b, cid), len(cs_b) - 1)
+        dpos = np.minimum(np.searchsorted(cs_b, np.abs(down)), len(cs_b) - 1)
+        out = df.copy()
+        out["down_link"] = np.where((down >= 0) & (cs_b[dpos] == down),
+                                    ls_b[dpos], np.int64(-1)).astype(np.float64)
+        out.loc[out["down_link"] < 0, "down_link"] = np.nan
+        out["n"] = ind_b[pos]
+        return out
+
+    e = sg.map_batches(attach, batch_format="pandas")
+    sindeg = e.map_batches(lambda df: df[["cell_id", "n"]],
+                           batch_format="pandas")
     return _LinkTable(sg, e, sindeg, links)
 
 
@@ -562,8 +553,7 @@ def stream_link_class(sf_dir: str):
     lt = _link_table(sf_dir)
     ext = set(lt.links.loc[lt.links["head_n"] == 0, "link_id"].astype(int))
     eref = ray.put(ext)
-    j = lt.e.join(lt.sindeg, join_type="inner", num_partitions=8,
-                  on=("cell_id",))
+    j = lt.e  # already carries the stream in-degree column n
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.spatial_join import _cached_get
