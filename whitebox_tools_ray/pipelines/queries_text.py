@@ -598,12 +598,27 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 7):
     keyed = ds.map_batches(key_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        # whole hash bucket at once: almost every (band, sub-band) key is a
+        # singleton (population ~n/2^15), so a per-KEY walk pays dispatch
+        # 32k times for nothing — sort by key, keep only multi-member keys,
+        # and enumerate intra-key pairs from the group offsets
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [],
+                              "hamming": []}).astype(np.int64)
+        g = g.drop_duplicates(["key", "doc_id"]).sort_values(["key", "doc_id"])
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy(np.int64)
+        k = g["key"].to_numpy(np.int64)
+        _, starts, counts = np.unique(k, return_index=True,
+                                      return_counts=True)
+        m = counts >= 2
+        if not m.any():
+            return empty
+        ia_l, ib_l = [], []
+        for s, c in zip(starts[m], counts[m]):
+            a, b = np.triu_indices(int(c), k=1)
+            ia_l.append(s + a)
+            ib_l.append(s + b)
+        ia, ib = np.concatenate(ia_l), np.concatenate(ib_l)
         # exact un-signing: +2^63 on int64 silently upcasts through float64
         # and destroys the low ~10 bits (found by the SQL oracle); the stored
         # signed value's bit pattern is h XOR 2^63, so flip the top bit back
@@ -616,9 +631,9 @@ def simhash_hamming_pairs(sf_dir: str, *, max_hamming: int = 7):
 
     from ..relational import keyed_map_groups
 
-    cand = keyed_map_groups(keyed, "key", pairs)
+    cand = keyed_map_groups(keyed, "key", pairs, per_group=False)
     return tree_reduce(cand, lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-                       batch_format="pandas")
+                       batch_format="pandas", levels=(1,))
 
 
 # --------------------------------------------------------------------------
