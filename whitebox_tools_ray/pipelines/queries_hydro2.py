@@ -283,19 +283,32 @@ def subbasins(sf_dir: str):
     family, joined on the destination stream cell. Cells draining to a
     non-stream outlet are nodata (absent)."""
     from ..stages.pregel import basins_pregel
+    from ..stages.spatial_join import _cached_get  # noqa: F401 (workers)
     from .queries_raster import stream_link_id
 
-    link = stream_link_id(sf_dir).map_batches(
-        lambda df: pd.DataFrame({"dest": df["cell_id"].to_numpy(np.int64),
-                                 "subbasin": df["link_id"].to_numpy(np.int64)}),
-        batch_format="pandas")
+    # (stream cell -> link) as a broadcast sorted-array LUT — the table is
+    # stream-bounded (the blessed stream-walk pull), and the lookup
+    # replaces a full-grid hash join on dest
+    lp = stream_link_id(sf_dir).to_pandas()
+    cells = lp["cell_id"].to_numpy(np.int64)
+    order = np.argsort(cells, kind="stable")
+    lut_ref = ray.put((cells[order],
+                       lp["link_id"].to_numpy(np.int64)[order]))
+
     cut_ds, sref = _stream_cut_graphs(sf_dir)
     keep = _dest_in_stream(basins_pregel(cut_ds.materialize(), GRID1), sref)
-    j = keep.join(link, join_type="inner", num_partitions=8, on=("dest",))
-    return j.map_batches(
-        lambda df: pd.DataFrame({"cell_id": df["cell_id"].astype(np.int64),
-                                 "subbasin": df["subbasin"].astype(np.int64)}),
-        batch_format="pandas")
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        cs, ls = _cached_get(lut_ref)
+        dest = df["dest"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(cs, dest), len(cs) - 1)
+        m = len(cs) > 0
+        m = (cs[pos] == dest) if m else np.zeros(len(dest), bool)
+        return pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(np.int64)[m],
+            "subbasin": ls[pos][m]})
+
+    return keep.map_batches(label, batch_format="pandas")
 
 
 @query(
