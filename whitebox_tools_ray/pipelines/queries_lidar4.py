@@ -173,7 +173,8 @@ def _mixed_local(normals_ds, *, z_col: str = "cents"):
         if not own.any():
             return pd.DataFrame({"kind": np.empty(0, np.int64),
                                  "a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
+                                 "b": np.empty(0, np.int64),
+                                 "c": np.empty(0, np.int64)})
         ax = g["x"].to_numpy(np.float64)
         ay = g["y"].to_numpy(np.float64)
         az = g[z_col].to_numpy(np.float64)
@@ -208,15 +209,21 @@ def _mixed_local(normals_ds, *, z_col: str = "cents"):
             v = int(oid[i])
             cmin[r] = v if r not in cmin else min(cmin[r], v)
         lab = np.array([cmin[r] for r in roots.tolist()], np.int64)
+        # c carries the OWN endpoint's local label on border rows (each
+        # cross-block edge is emitted from BOTH home blocks — similarity is
+        # symmetric and replication covers all 8 neighbours — so a min/max
+        # aggregate over the edge key recovers both endpoint labels with no
+        # per-point join); on kind=0 rows c just mirrors the label
         outs = [pd.DataFrame({"kind": np.zeros(len(oid), np.int64),
-                              "a": oid, "b": lab})]
+                              "a": oid, "b": lab, "c": lab})]
         nb_pos = np.nonzero(~own)[0]
         if len(nb_pos):
             bi, bj = np.nonzero(cond[:, nb_pos])
             if len(bi):
                 outs.append(pd.DataFrame({
                     "kind": np.ones(len(bi), np.int64),
-                    "a": oid[bi], "b": aid[nb_pos][bj]}))
+                    "a": oid[bi], "b": aid[nb_pos][bj],
+                    "c": lab[bi]}))
         return pd.concat(outs, ignore_index=True)
 
     from ..relational import keyed_map_groups
@@ -240,28 +247,22 @@ def point_labels(normals_ds, *, z_col: str = "cents"):
         lambda df: df.loc[df["kind"] == 0, ["a", "b"]]
         .rename(columns={"a": "event_id", "b": "lab"}),
         batch_format="pandas")
-    border = mixed.map_batches(
-        lambda df: df.loc[df["kind"] == 1, ["a", "b"]]
-        .rename(columns={"a": "ea", "b": "eb"}),
-        batch_format="pandas")
+    # border rows already carry the own endpoint's LOCAL LABEL (c); each
+    # cross-block edge appears from both home blocks, so the two endpoint
+    # labels are exactly the min and max of c over the edge key — one
+    # border-bounded tree aggregate replaces the two per-point hash joins
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["kind"] == 1]
+        a = d["a"].to_numpy(np.int64)
+        b = d["b"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(a, b),
+                             "hi": np.maximum(a, b),
+                             "lab": d["c"].to_numpy(np.int64)})
 
-    l1 = labels0.map_batches(
-        lambda df: df.rename(columns={"event_id": "ea", "lab": "la"}),
-        batch_format="pandas")
-    j1 = border.join(l1, join_type="inner", num_partitions=8, on=("ea",))
-    l2 = labels0.map_batches(
-        lambda df: df.rename(columns={"event_id": "eb", "lab": "lb"}),
-        batch_format="pandas")
-    j2 = j1.join(l2, join_type="inner", num_partitions=8, on=("eb",))
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        la = df["la"].to_numpy(np.int64)
-        lb = df["lb"].to_numpy(np.int64)
-        return pd.DataFrame({"lo": np.minimum(la, lb),
-                             "hi": np.maximum(la, lb)})
-
-    pairs = partial_agg(j2.map_batches(norm, batch_format="pandas"),
-                        ["lo", "hi"], [("lo", "count", "n")]).to_pandas()
+    pairs = partial_agg(mixed.map_batches(edges, batch_format="pandas"),
+                        ["lo", "hi"], [("lab", "min", "la"),
+                                       ("lab", "max", "lb")]).to_pandas()
+    pairs = pairs[["la", "lb"]].rename(columns={"la": "lo", "lb": "hi"})
 
     # driver union-find over LABELS only (border component graph)
     parent: dict[int, int] = {}
