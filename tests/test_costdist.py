@@ -1,4 +1,4 @@
-"""Tile-sweep cost distance vs a global Dijkstra oracle (exact int64)."""
+"""Shard-actor cost distance vs a global Dijkstra oracle (exact int64)."""
 
 import heapq
 
@@ -34,15 +34,24 @@ def brute_dijkstra(cost, sources):
 
 @pytest.mark.usefixtures("ray_session")
 def test_cost_distance_matches_dijkstra():
-    from whitebox_tools_ray.stages.costdist import cost_distance
+    """Random (non-structured) costs against the brute oracle — the pregel
+    kernel is the only live cost-distance path (stages/costdist.py was a
+    superseded driver-side prototype, deleted round 5)."""
+    from whitebox_tools_ray.stages.pregel import cost_distance_pregel
 
     rng = np.random.default_rng(6)
     n = G.rows * G.cols
     cost = rng.integers(1, 20, n).astype(np.int64)
     sources = np.array([5, n // 2, n - 7], np.int64)
 
-    got = cost_distance(cost, sources, G, tile=8)
+    def cost_fn(cids):
+        return cost[np.asarray(cids, np.int64)]
+
+    got_df = cost_distance_pregel(cost_fn, sources, G, tile=8, n_shards=4) \
+        .to_pandas().sort_values("cell_id")
     want = brute_dijkstra(cost, sources)
+    got = np.full(n, np.iinfo(np.int64).max, np.int64)
+    got[got_df["cell_id"].to_numpy()] = got_df["cost_dist2"].to_numpy()
     np.testing.assert_array_equal(got, want)
     assert (got[sources] == 0).all()
     assert got.max() < np.iinfo(np.int64).max  # fully connected grid

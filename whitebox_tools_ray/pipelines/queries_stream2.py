@@ -266,7 +266,14 @@ def _link_table(sf_dir: str) -> _LinkTable:
     indeg_cs = np.zeros(len(cs), np.int64)
     tgt = downs[downs >= 0]
     if len(tgt):
-        np.add.at(indeg_cs, np.searchsorted(cs, tgt), 1)
+        pos = np.searchsorted(cs, tgt)
+        # downstream-closure invariant is load-bearing here: every down
+        # target of a stream cell must itself be a stream cell, else the
+        # searchsorted scatter silently corrupts in-degrees.
+        if pos.max(initial=-1) >= len(cs) or not (cs[np.minimum(pos, len(cs) - 1)] == tgt).all():
+            raise AssertionError("stream network not downstream-closed: "
+                                 "a stream cell's down target is off-stream")
+        np.add.at(indeg_cs, pos, 1)
 
     # per-link internal length + cell count
     intra = (downs >= 0) & (down_link == lids)

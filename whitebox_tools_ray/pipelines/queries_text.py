@@ -444,22 +444,22 @@ def _minhash_pairs(sf_dir: str, *, threshold: float = 0.5, num_perm: int = 128,
 
 
 @_session_memo
-def _minhash_default_m(sf_dir: str):
-    """Materialized default-parameter MinHash pair set — near_dup_clusters
-    composes on the same pairs, so one build serves both entries."""
-    return _minhash_pairs(sf_dir).materialize()
+def _minhash_pairs_m(sf_dir: str, threshold: float, num_perm: int, bands: int):
+    """Materialized MinHash pair set, memoized on the FULL parameter tuple
+    (not a hardcoded copy of the defaults, which could drift from the
+    signature) — near_dup_clusters composes on the default pairs, so one
+    build serves both entries."""
+    return _minhash_pairs(sf_dir, threshold=threshold, num_perm=num_perm,
+                          bands=bands).materialize()
 
 
 @query("minhash_near_dup", _minhash_sql())
 def minhash_near_dup(sf_dir: str, *, threshold: float = 0.5,
                      num_perm: int = 128, bands: int = 32):
     """MinHash+LSH near-dup pairs (plan and provenance in _minhash_pairs);
-    the default-parameter result is session-memoized and shared with
-    near_dup_clusters."""
-    if (threshold, num_perm, bands) != (0.5, 128, 32):
-        return _minhash_pairs(sf_dir, threshold=threshold,
-                              num_perm=num_perm, bands=bands)
-    return _minhash_default_m(sf_dir)
+    every parameterization routes through one session-memoized build keyed
+    on (sf_dir, threshold, num_perm, bands), shared with near_dup_clusters."""
+    return _minhash_pairs_m(sf_dir, threshold, num_perm, bands)
 
 
 _NGRAM_JACCARD_SQL = r"""

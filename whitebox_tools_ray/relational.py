@@ -55,6 +55,14 @@ def keyed_map_groups(ds, key: str, fn, *, parts: int = 32,
     Only int64-keyed co-groups use this; output row order is not defined,
     matching the Dataset contract.
 
+    Contract difference vs Ray's map_groups: when every group in a bucket
+    returns an EMPTY frame, fn is invoked once more with an empty input
+    frame (``g.iloc[0:0]``) purely to recover the output schema — so
+    kernels passed here must tolerate an empty input frame (returning an
+    empty frame with the right columns). Ray's own map_groups guarantees
+    non-empty groups; a kernel that indexes ``g.iloc[0]`` unconditionally
+    satisfies Ray's contract but not this one.
+
     ``per_group=False`` hands fn the WHOLE bucket instead (every row of
     each contained key, several keys per call) — for kernels that can
     vectorize across groups (rank-within-key via groupby.cumcount etc.),
