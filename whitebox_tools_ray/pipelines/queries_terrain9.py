@@ -157,8 +157,6 @@ def contours_from_points(sf_dir: str):
     crossings are computed in canonical vertex order. Output (a, b, c,
     level, x0, y0, x1, y1); independent scalar oracle in
     tests/test_terrain9.py."""
-    import ray.data
-
     from ..sources.tables import read_points
     from ..stages.tin import tiled_delaunay
 
@@ -166,23 +164,77 @@ def contours_from_points(sf_dir: str):
         lambda df: df.loc[df["event_id"] % 23 == 0,
                           ["event_id", "x", "y", "value"]],
         batch_format="pandas")
-    tris = tiled_delaunay(pts_ds)
-    tri_id = np.arange(len(tris), dtype=np.int64)
-    verts = ray.data.from_pandas(pd.DataFrame({
-        "tri": np.repeat(tri_id, 3),
-        "slot": np.tile(np.array([0, 1, 2], np.int64), len(tris)),
-        "event_id": tris[["a", "b", "c"]].to_numpy(np.int64).ravel()}))
+    tris = tiled_delaunay(pts_ds)  # Dataset[a, b, c], a < b < c
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["a", "b", "c"]].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": np.repeat(t[:, 0], 3), "b": np.repeat(t[:, 1], 3),
+            "c": np.repeat(t[:, 2], 3), "event_id": t.ravel()})
+
+    verts = tris.map_batches(explode, batch_format="pandas")
     j = verts.join(pts_ds, join_type="inner", num_partitions=8,
                    on=("event_id",))
 
-    def per_tri(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("slot")
-        xy = g[["x", "y"]].to_numpy(np.float64)
-        z = g["value"].to_numpy(np.float64)
-        seg = contour_segments(xy, z, np.array([[0, 1, 2]], np.int64))
-        ids = g["event_id"].to_numpy(np.int64)
-        return seg.assign(a=ids[0], b=ids[1], c=ids[2]) \
-            .drop(columns=["tri"])[["a", "b", "c", "level",
-                                    "x0", "y0", "x1", "y1"]]
+    # co-locate each triangle's 3 vertex rows by a hash of its triple
+    # (collisions only co-bucket triangles — correctness is key-exact),
+    # then run ONE vectorized crossing kernel per bucket: no per-triangle
+    # group dispatch, no driver state.
+    M1, M2, M3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9),
+                  np.uint64(0x94D049BB133111EB))
 
-    return j.groupby("tri").map_groups(per_tri, batch_format="pandas")
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64).astype(np.uint64)
+        b = df["b"].to_numpy(np.int64).astype(np.uint64)
+        c = df["c"].to_numpy(np.int64).astype(np.uint64)
+        h = (a * M1 + b * M2 + c * M3) >> np.uint64(33)
+        return df.assign(__part=(h % np.uint64(32)).astype(np.int64))
+
+    def bucket_segments(g: pd.DataFrame) -> pd.DataFrame:
+        # within a triple, event_id order == (a, b, c) vertex order
+        g = g.sort_values(["a", "b", "c", "event_id"], kind="mergesort")
+        n = len(g) // 3
+        xy = g[["x", "y"]].to_numpy(np.float64).reshape(n, 3, 2)
+        z = g["value"].to_numpy(np.float64).reshape(n, 3)
+        tri = g[["a", "b", "c"]].to_numpy(np.int64)[::3]
+        frames = []
+        for lv in _LEVELS:
+            ab = z >= lv
+            cross = ab.any(axis=1) & ~ab.all(axis=1)
+            if not cross.any():
+                continue
+            zc, xc, abc = z[cross], xy[cross], ab[cross]
+            m = len(zc)
+            ex = np.zeros((m, 3)), np.zeros((m, 3))
+            hit = np.zeros((m, 3), bool)
+            for e, (i, jj) in enumerate(((0, 1), (1, 2), (2, 0))):
+                sel = abc[:, i] != abc[:, jj]
+                t = (lv - zc[sel, i]) / (zc[sel, jj] - zc[sel, i])
+                ex[0][sel, e] = xc[sel, i, 0] + t * (xc[sel, jj, 0] - xc[sel, i, 0])
+                ex[1][sel, e] = xc[sel, i, 1] + t * (xc[sel, jj, 1] - xc[sel, i, 1])
+                hit[sel, e] = True
+            # a mixed triangle crosses exactly 2 of its 3 edges
+            assert (hit.sum(axis=1) == 2).all()
+            idx = np.argsort(~hit, axis=1, kind="stable")[:, :2]
+            px = np.take_along_axis(ex[0], idx, axis=1)
+            py = np.take_along_axis(ex[1], idx, axis=1)
+            tc = tri[cross]
+            frames.append(pd.DataFrame({
+                "a": tc[:, 0], "b": tc[:, 1], "c": tc[:, 2],
+                "level": np.float64(lv), "x0": px[:, 0], "y0": py[:, 0],
+                "x1": px[:, 1], "y1": py[:, 1]}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "level": pd.Series([], dtype=np.float64),
+                                 "x0": pd.Series([], dtype=np.float64),
+                                 "y0": pd.Series([], dtype=np.float64),
+                                 "x1": pd.Series([], dtype=np.float64),
+                                 "y1": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return j.map_batches(bucketize, batch_format="pandas") \
+        .groupby("__part").map_groups(
+            lambda g: bucket_segments(g.drop(columns=["__part"])),
+            batch_format="pandas")

@@ -343,15 +343,13 @@ def reclass_from_file(sf_dir: str):
 # --------------------------------------------------------------------------
 @query("construct_vector_tin")
 def construct_vector_tin(sf_dir: str):
-    import ray.data
-
     from ..sources.tables import read_points
     from ..stages.tin import tiled_delaunay
 
     pts_ds = read_points(sf_dir, extra_cols=()).map_batches(
         lambda df: df.loc[df["event_id"] % 23 == 0, ["event_id", "x", "y"]],
         batch_format="pandas")
-    return ray.data.from_pandas(tiled_delaunay(pts_ds))
+    return tiled_delaunay(pts_ds)
 
 
 # --------------------------------------------------------------------------

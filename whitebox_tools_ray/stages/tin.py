@@ -171,7 +171,7 @@ def natural_neighbour_grid(points_ds, grid: GridSpec, *, tile_deg: float = 30.0,
 # in the uncovered class are then VERIFIED empty against ALL points with
 # one broadcast partial-OR pass, so pass-2 false positives are impossible.
 # Equality with the single-task global triangulation is asserted in
-# tests/test_vector3.py / tests/test_tiled_delaunay.py.
+# tests/test_tiled_delaunay.py; Delaunay properties in tests/test_vector3.py.
 # ---------------------------------------------------------------------------
 def circumcircles(pts: np.ndarray, tris: np.ndarray):
     """(ux, uy, r2, degenerate_mask) for triangle vertex-index rows."""
@@ -193,13 +193,22 @@ def circumcircles(pts: np.ndarray, tris: np.ndarray):
 def tiled_delaunay(points_ds, *, tile_deg: float = 45.0, buffer: float = 15.0,
                    west: float = -180.0, north: float = 85.0,
                    east: float = 180.0, south: float = -85.0,
-                   x_col="x", y_col="y", seq_col="event_id"):
-    """Global Delaunay triangles of the point Dataset as a SMALL driver
-    frame of canonical ascending seq-id triples (a, b, c), sorted. The
-    triangle count is O(points); callers keep it driver-side only for the
-    fixed subsampled fixtures — the heavy lifting (pass 1 + the verify
-    sweep) is distributed."""
+                   x_col="x", y_col="y", seq_col="event_id",
+                   stats: dict | None = None):
+    """Global Delaunay triangles of the point Dataset as a DATASET of
+    canonical ascending seq-id triples (a, b, c). The O(points)-sized
+    owned-triangle inventory never leaves the cluster: pass 1 emits it as
+    Dataset blocks (materialized in the object store), and only the
+    O(hull + tile boundary) candidate POINTS reach the driver for the
+    pass-2 sliver triangulation, whose verified triangles are unioned
+    back distributively. Owned (pass 1) and pass-2 triangle classes are
+    disjoint by construction — ownership is 'circumradius < buffer AND
+    circumcentre inside the (half-open) owner tile', pass 2 keeps only
+    the complement, and a triangle's circumcircle is a deterministic
+    float64 function of its three vertices alone — so no cross-class
+    dedup shuffle is needed."""
     import ray as _ray
+    import ray.data as _rd
 
     from .spatial_join import _cached_get
 
@@ -277,10 +286,20 @@ def tiled_delaunay(points_ds, *, tile_deg: float = 45.0, buffer: float = 15.0,
         return pd.concat(rows, ignore_index=True)
 
     res = tiled.groupby("tin_tile").map_groups(
-        tile_pass, batch_format="pandas").to_pandas()
-    owned = res[res["kind"] == 1][["a", "b", "c"]].drop_duplicates()
-    cand = res[res["kind"] == 0][["a", "x", "y"]] \
+        tile_pass, batch_format="pandas").materialize()
+    # pass-1 owned triangles stay distributed (each emitted exactly once,
+    # by the tile whose half-open bounds contain its circumcentre)
+    owned_ds = res.map_batches(
+        lambda df: df.loc[df["kind"] == 1, ["a", "b", "c"]],
+        batch_format="pandas")
+    # only the small candidate point set (local hulls + risky-triangle
+    # vertices, O(boundary) not O(n)) is pulled to the driver
+    cand = res.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["a", "x", "y"]],
+        batch_format="pandas").to_pandas() \
         .drop_duplicates("a").sort_values("a")
+    if stats is not None:
+        stats["n_candidates"] = len(cand)  # the ONLY driver-side pull
 
     pass2 = pd.DataFrame({"a": [], "b": [], "c": []})
     if len(cand) >= 3:
@@ -328,8 +347,7 @@ def tiled_delaunay(points_ds, *, tile_deg: float = 45.0, buffer: float = 15.0,
             pass2 = pd.DataFrame({"a": tverts[ok, 0], "b": tverts[ok, 1],
                                   "c": tverts[ok, 2]})
 
-    out = pd.concat([owned, pass2], ignore_index=True) \
-        .drop_duplicates().astype(np.int64)
-    order = np.lexsort((out["c"].to_numpy(), out["b"].to_numpy(),
-                        out["a"].to_numpy()))
-    return out.iloc[order].reset_index(drop=True)
+    if len(pass2):
+        pass2 = pass2.astype(np.int64).drop_duplicates()
+        return owned_ds.union(_rd.from_pandas(pass2))
+    return owned_ds
