@@ -73,6 +73,63 @@ def test_idw_faithful_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_idw_faithful_sparse_fallback_rounds():
+    """Sparse points force the kNN(min_points) fallback for most cells across
+    several doubling rounds (the path that previously held O(grid) driver
+    arrays — now distributed range-bucket anti-joins). 8 points, radius 20:
+    almost every cell is short of min_points at the base radius."""
+    import ray.data
+
+    from whitebox_tools_ray.stages.gridding import idw_grid
+
+    rng = np.random.default_rng(99)
+    n = 8
+    px = rng.uniform(-170, 170, n)
+    py = rng.uniform(-80, 80, n)
+    pv = rng.uniform(-50, 50, n)
+    seq = np.arange(n, dtype=np.int64)
+
+    radius = 20.0
+
+    def brute(px, py, pv, seq):
+        rows = []
+        for cell in range(GRID.rows * GRID.cols):
+            col, row = cell % GRID.cols, cell // GRID.cols
+            cx = GRID.west + (np.float64(col) + 0.5) * GRID.res_x
+            cy = GRID.north - (np.float64(row) + 0.5) * GRID.res_y
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            order = np.lexsort((seq, d2))
+            within = order[d2[order] <= radius * radius]
+            if len(within) < MIN_POINTS:
+                within = order[:MIN_POINTS]
+            d = np.sqrt(d2[within])
+            v = pv[within]
+            if d[0] == 0.0:
+                rows.append((cell, len(within), v[0]))
+                continue
+            w = 1.0 / d ** WEIGHT
+            rows.append((cell, len(within), float(np.sum(w * v) / np.sum(w))))
+        return pd.DataFrame(rows, columns=["cell_id", "n_neighbors", "idw"])
+
+    pts = ray.data.from_pandas(pd.DataFrame(
+        {"event_id": seq, "x": px, "y": py, "value": pv}))
+    got = idw_grid(pts, GRID, radius, weight=WEIGHT, min_points=MIN_POINTS,
+                   max_rounds=6) \
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    want = brute(px, py, pv, seq).sort_values("cell_id").reset_index(drop=True)
+    # radius * 2^6 = 1280 covers the whole extent: every cell resolves
+    assert len(got) == GRID.rows * GRID.cols
+    np.testing.assert_array_equal(got["cell_id"].to_numpy(),
+                                  want["cell_id"].to_numpy())
+    np.testing.assert_array_equal(got["n_neighbors"].to_numpy(np.int64),
+                                  want["n_neighbors"].to_numpy(np.int64))
+    np.testing.assert_allclose(got["idw"].to_numpy(), want["idw"].to_numpy(),
+                               rtol=1e-12)
+    # most cells went through the fallback (exactly MIN_POINTS neighbours)
+    assert (got["n_neighbors"].to_numpy() == MIN_POINTS).mean() > 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_rbf_grid_matches_bruteforce():
     """RBF thin-plate solve vs a dense per-cell brute force (same k-nearest
     selection rule, same system) at sf0.001."""

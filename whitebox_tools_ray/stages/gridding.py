@@ -190,7 +190,7 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
     radius search; if fewer than min_points neighbours, kNN(min_points)
     fallback; weight 1/dist^weight over EUCLIDEAN distance; an exact hit
     (dist == 0) short-circuits to the point value; cells that never reach
-    min_points stay nodata (omitted).
+    min_points within max_rounds doubling rounds stay nodata (omitted).
 
     Distributed plan: candidate (cell, point) pairs at the base radius; cells
     short of min_points re-probe in doubling-radius rounds (the expanding
@@ -201,19 +201,38 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
     heuristic misses a true neighbour. Per-cell reduction orders candidates
     by (d2, seq) before summing, so results are parallelism-invariant.
 
+    Scale discipline: NOTHING O(grid) touches the driver. Cell space is
+    split into fixed cell-id RANGE buckets; each bucket task derives its
+    own unsatisfied set with a local bincount over its dense range, reduces
+    its satisfied cells vectorized (segment reduceat over (cell, d2, seq)-
+    sorted rows) and emits still-unsat cell ids as marker ROWS. Refinement
+    rounds co-locate those marker rows with the new candidates by the same
+    range bucketing, so satisfied/unsat tracking is a distributed
+    anti-join, never a driver array. The only driver-side state per round
+    is the coarse-tile occupancy mask used to prefilter points before
+    candidate expansion — O(grid / TILE^2) with TILE grown geometrically so
+    the mask stays <= ~4M tiles at any grid size — plus the scalar unsat
+    count that terminates the loop.
+
     Output: cell_id, n_neighbors, idw (float64).
     """
+    import ray as _ray
+    import ray.data as _rd  # noqa: F401
 
+    ncells = grid.rows * grid.cols
+    NB = 32  # cell-range buckets (each task owns a dense cell-id range)
+    stride = -(-ncells // NB)
     TILE = 16  # coarse prefilter granularity for refinement rounds
+    while (-(-grid.rows // TILE)) * (-(-grid.cols // TILE)) > (1 << 22):
+        TILE *= 2
 
-    def make_cand(r: float, keep_ref=None, mask_ref=None):
-        """keep_ref: ray.put(SORTED unsat cell ids) — broadcast once per
-        round, fetched once per worker (round 1 shipped the array inside
-        every task closure). mask_ref: ray.put integral image of the unsat
-        TILE mask — points whose radius window contains no unsat tile are
-        dropped BEFORE candidate expansion, so refinement rounds only
-        re-expand points near still-unsatisfied cells instead of the whole
-        dataset."""
+    def make_cand(r: float, mask_ref=None):
+        """mask_ref: ray.put integral image of the unsat TILE mask — points
+        whose radius window contains no unsat tile are dropped BEFORE
+        candidate expansion, so refinement rounds only re-expand points near
+        still-unsatisfied cells instead of the whole dataset. Candidates for
+        satisfied cells that slip through the coarse mask are dropped in the
+        bucket kernel (exact membership against the bucket's marker rows)."""
         def cand(t: pa.Table) -> pa.Table:
             from .spatial_join import _cached_get
 
@@ -234,91 +253,175 @@ def idw_grid(points_ds, grid: GridSpec, radius: float, *, weight: float = 2.0,
                 near = windowed > 0
                 x, y, seq, val = x[near], y[near], seq[near], val[near]
             out = _candidate_cells_centres(x, y, {"seq": seq, "value": val}, grid, r)
-            if keep_ref is not None:
-                keep = _cached_get(keep_ref)  # sorted unsat cell ids
-                if len(keep):
-                    pos = np.minimum(np.searchsorted(keep, out["cell_id"]),
-                                     len(keep) - 1)
-                    mask = keep[pos] == out["cell_id"]
-                else:
-                    mask = np.zeros(len(out["cell_id"]), bool)
-                out = {k: v[mask] for k, v in out.items()}
+            out["__b"] = out["cell_id"] // stride
             return pa.table(out)
 
         return cand
 
-    def _unsat_refs(unsat: np.ndarray):
-        """Broadcast the sorted unsat set + the integral image of its coarse
-        tile occupancy mask."""
-        srt = np.sort(unsat)
+    def _reduce_sorted(cell, d2, v):
+        """Vectorized per-cell IDW over rows sorted by (cell, d2, seq):
+        segment reduceat with the exact-hit (d2 == 0 first row) short-circuit.
+        Returns (cell_ids, n_neighbors, idw)."""
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        n = ends - starts
+        dist = np.sqrt(d2)
+        exact = dist[starts] == 0.0
+        with np.errstate(divide="ignore"):
+            w = 1.0 / dist ** weight
+        w_safe = np.where(np.isfinite(w), w, 0.0)
+        sw = np.add.reduceat(w_safe, starts)
+        swv = np.add.reduceat(w_safe * v, starts)
+        with np.errstate(invalid="ignore"):
+            idw = swv / sw
+        idw[exact] = v[starts[exact]]
+        return cell[starts], n.astype(np.int64), idw
+
+    def _sort_cds(df: pd.DataFrame):
+        order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy(),
+                            df["cell_id"].to_numpy()))
+        return (df["cell_id"].to_numpy(np.int64)[order],
+                df["d2"].to_numpy(np.float64)[order],
+                df["value"].to_numpy(np.float64)[order])
+
+    _OUT = {"cell_id": np.int64, "n_neighbors": np.int64, "idw": np.float64}
+
+    def _frame(cell, n, idw):
+        return pd.DataFrame({"cell_id": cell.astype(np.int64),
+                             "n_neighbors": n.astype(np.int64),
+                             "idw": idw.astype(np.float64)})
+
+    def round0_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        """One dense cell-id range: reduce satisfied cells, emit unsat cells
+        of the range as marker rows (n_neighbors == -1). Every bucket is
+        guaranteed a group by the seq == -2 seed rows (a bucket whose range
+        drew zero base candidates still owes its whole range as unsat)."""
+        b = int(g["__b"].iloc[0])
+        lo, hi = b * stride, min((b + 1) * stride, ncells)
+        g = g.loc[g["seq"].to_numpy() >= 0]
+        cell, d2, v = _sort_cds(g)
+        cnt = np.bincount(cell - lo, minlength=hi - lo)
+        sat_local = cnt >= min_points
+        keep = sat_local[cell - lo]
+        out = [_frame(*_reduce_sorted(cell[keep], d2[keep], v[keep]))
+               if keep.any() else _frame(np.array([], np.int64),
+                                         np.array([], np.int64),
+                                         np.array([], np.float64))]
+        unsat = np.flatnonzero(~sat_local).astype(np.int64) + lo
+        out.append(_frame(unsat, np.full(len(unsat), -1, np.int64),
+                          np.zeros(len(unsat), np.float64)))
+        return pd.concat(out, ignore_index=True)
+
+    def roundr_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        """Co-group of this round's candidates (seq >= 0) and the previous
+        round's unsat marker rows (seq == -1) for one cell-id range: cells
+        reaching min_points candidates get an EXACT kNN(min_points) trim +
+        reduction; the rest re-emit as markers for the next round."""
+        is_marker = g["seq"].to_numpy() < 0
+        unsat = np.unique(g["cell_id"].to_numpy(np.int64)[is_marker])
+        out_empty = pd.DataFrame({k: pd.Series([], dtype=t)
+                                  for k, t in _OUT.items()})
+        if len(unsat) == 0:
+            return out_empty
+        c = g.loc[~is_marker]
+        if len(c):
+            pos = np.minimum(np.searchsorted(unsat, c["cell_id"].to_numpy()),
+                             len(unsat) - 1)
+            c = c.loc[unsat[pos] == c["cell_id"].to_numpy()]
+        outs = []
+        still = unsat
+        if len(c):
+            cell, d2, v = _sort_cds(c)
+            starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+            ends = np.r_[starts[1:], len(cell)]
+            n = ends - starts
+            ok = n >= min_points
+            # rank within cell; keep the min_points nearest of ok cells
+            rank = np.arange(len(cell)) - np.repeat(starts, n)
+            keep = np.repeat(ok, n) & (rank < min_points)
+            if keep.any():
+                outs.append(_frame(*_reduce_sorted(cell[keep], d2[keep],
+                                                   v[keep])))
+            done = cell[starts[ok]]
+            pos = np.minimum(np.searchsorted(unsat, done), len(unsat) - 1)
+            gone = np.zeros(len(unsat), bool)
+            gone[pos[unsat[pos] == done]] = True
+            still = unsat[~gone]
+        outs.append(_frame(still, np.full(len(still), -1, np.int64),
+                           np.zeros(len(still), np.float64)))
+        return pd.concat(outs, ignore_index=True) if outs else out_empty
+
+    def _split(res_ds):
+        """Materialized mixed frame -> (result rows, unsat marker Dataset).
+        Marker rows carry the candidate schema (+ __b) so refinement rounds
+        can union them straight into the next candidate stream."""
+        res = res_ds.materialize()
+        done = res.map_batches(lambda df: df.loc[df["n_neighbors"] >= 0],
+                               batch_format="pandas")
+
+        def to_markers(df: pd.DataFrame) -> pa.Table:
+            cid = df.loc[df["n_neighbors"] < 0, "cell_id"].to_numpy(np.int64)
+            return pa.table({
+                "cell_id": cid,
+                "d2": np.full(len(cid), -1.0),
+                "seq": np.full(len(cid), -1, np.int64),
+                "value": np.zeros(len(cid)),
+                "__b": cid // stride})
+
+        return done, res.map_batches(to_markers, batch_format="pandas")
+
+    def _mask_ref(unsat_ds, r: float):
+        """Integral image of the unsat coarse-tile occupancy, built from the
+        DISTRIBUTED unsat set; only the O(occupied tiles) distinct tile list
+        (bounded by the TILE growth rule) reaches the driver."""
         trows = -(-grid.rows // TILE)
         tcols = -(-grid.cols // TILE)
+
+        def to_tiles(df: pd.DataFrame) -> pd.DataFrame:
+            cid = df["cell_id"].to_numpy(np.int64)
+            tid = np.unique(((cid // grid.cols) // TILE) * tcols
+                            + (cid % grid.cols) // TILE)
+            return pd.DataFrame({"tile": tid,
+                                 "n": np.ones(len(tid), np.int64)})
+
+        tiles = partial_agg(unsat_ds.map_batches(to_tiles, batch_format="pandas"),
+                            ["tile"], [("n", "sum", "n")]).to_pandas()
+        tid = tiles["tile"].to_numpy(np.int64)
         mask = np.zeros((trows, tcols), np.int64)
-        tr = (srt // grid.cols) // TILE
-        tc = (srt % grid.cols) // TILE
-        mask[tr, tc] = 1
+        mask[tid // tcols, tid % tcols] = 1
         ii = np.zeros((trows + 1, tcols + 1), np.int64)
         ii[1:, 1:] = mask.cumsum(axis=0).cumsum(axis=1)
-        return ray.put(srt), ray.put(ii)
+        return _ray.put(ii)
 
-    def reduce_cell(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
-        d2 = df["d2"].to_numpy()[order]
-        v = df["value"].to_numpy()[order]
-        if len(d2) < min_points:
-            return pd.DataFrame({"cell_id": pd.Series([], dtype=np.int64),
-                                 "n_neighbors": pd.Series([], dtype=np.int64),
-                                 "idw": pd.Series([], dtype=np.float64)})
-        dist = np.sqrt(d2)
-        if dist[0] == 0.0:
-            return pd.DataFrame({"cell_id": [df["cell_id"].iloc[0]],
-                                 "n_neighbors": [np.int64(len(d2))], "idw": [v[0]]})
-        # reference sums in retrieval order; our deterministic order is by
-        # (dist, seq) — fix the order, then the float64 sum is reproducible
-        w = 1.0 / dist ** weight
-        return pd.DataFrame({"cell_id": [df["cell_id"].iloc[0]],
-                             "n_neighbors": [np.int64(len(d2))],
-                             "idw": [float(np.sum(w * v) / np.sum(w))]})
+    nb_used = -(-ncells // stride)
+    seeds = _rd.from_arrow(pa.table({
+        "cell_id": np.arange(nb_used, dtype=np.int64) * stride,
+        "d2": np.full(nb_used, -1.0),
+        "seq": np.full(nb_used, -2, np.int64),
+        "value": np.zeros(nb_used),
+        "__b": np.arange(nb_used, dtype=np.int64)}))
 
-    base = points_ds.map_batches(make_cand(radius), batch_format="pyarrow").materialize()
-    counts = partial_agg(base, ["cell_id"], [("seq", "count", "n")]).to_pandas()
-    satisfied = counts[counts["n"] >= min_points]["cell_id"].to_numpy()
+    base = points_ds.map_batches(make_cand(radius), batch_format="pyarrow")
+    done0, unsat_ds = _split(base.union(seeds).groupby("__b").map_groups(
+        round0_kernel, batch_format="pandas"))
+    results = [done0]
 
-    results = [base.map_batches(
-        lambda t: t.filter(pa.array(np.isin(t["cell_id"].to_numpy(zero_copy_only=False), satisfied))),
-        batch_format="pyarrow")]
-
-    all_cells = np.arange(grid.rows * grid.cols, dtype=np.int64)
-    unsat = np.setdiff1d(all_cells, satisfied)
     r = radius
     for _ in range(max_rounds):
-        if len(unsat) == 0:
+        if unsat_ds.count() == 0:
             break
         r *= 2.0
-        keep_ref, mask_ref = _unsat_refs(unsat)
-        cand_r = points_ds.map_batches(make_cand(r, keep_ref, mask_ref),
-                                       batch_format="pyarrow").materialize()
-        cnt = partial_agg(cand_r, ["cell_id"], [("seq", "count", "n")]).to_pandas()
-        ok_cells = cnt[cnt["n"] >= min_points]["cell_id"].to_numpy()
-        if len(ok_cells):
-            # kNN(min_points): keep only the min_points nearest per cell
-            def knn_trim(df: pd.DataFrame, _ok=ok_cells) -> pd.DataFrame:
-                df = df[df["cell_id"].isin(_ok)]
-                order = np.lexsort((df["seq"].to_numpy(), df["d2"].to_numpy()))
-                df = df.iloc[order]
-                return df.groupby("cell_id", sort=False).head(min_points)
+        cand_r = points_ds.map_batches(make_cand(r, _mask_ref(unsat_ds, r)),
+                                       batch_format="pyarrow")
+        done_r, unsat_ds = _split(unsat_ds.union(cand_r).groupby("__b")
+                                  .map_groups(roundr_kernel,
+                                              batch_format="pandas"))
+        results.append(done_r)
 
-            trimmed = tree_reduce(cand_r, knn_trim, batch_format="pandas",
-                                  levels=(1,))
-            results.append(trimmed)
-        unsat = np.setdiff1d(unsat, ok_cells)
-
-    cands = results[0]
+    out = results[0]
     for extra in results[1:]:
-        cands = cands.union(extra)
-    from ..relational import keyed_map_groups
-
-    return keyed_map_groups(cands, "cell_id", reduce_cell)
+        out = out.union(extra)
+    return out
 
 
 def _candidate_cells_centres(x, y, extra, grid: GridSpec, radius: float):
