@@ -101,6 +101,128 @@ def test_geotiff_slope_query(tmp_path):
     assert abs(got - want) < 1e-9
 
 
+def test_lzw_codec_vector_and_roundtrip():
+    """Pin the TIFF-LZW bitstream layout with a hand-packed vector (MSB-first
+    9-bit codes: CLEAR,0x07,258,0x08,EOI for input 07 07 07 08), then fuzz
+    encode->decode round trips across width growth and a table reset."""
+    from whitebox_tools_ray.sources.geotiff import lzw_decode, lzw_encode
+
+    enc = lzw_encode(b"\x07\x07\x07\x08")
+    assert enc == bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+    assert lzw_decode(enc) == b"\x07\x07\x07\x08"
+
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 500, 5000, 80_000):
+        # low-entropy bytes so the table grows through 9->10->11->12 bits
+        # and (at 80k) wraps through a table reset
+        data = (rng.integers(0, 7, n, dtype=np.uint8)
+                * rng.integers(1, 3, n, dtype=np.uint8)).tobytes()
+        assert lzw_decode(lzw_encode(data)) == data
+    runs = b"".join(bytes([i % 251]) * (i % 17 + 1) for i in range(2000))
+    assert lzw_decode(lzw_encode(runs)) == runs
+
+
+def test_packbits_codec_roundtrip():
+    from whitebox_tools_ray.sources.geotiff import (packbits_decode,
+                                                    packbits_encode)
+
+    rng = np.random.default_rng(5)
+    cases = [b"", b"\x00", b"aaa", b"ab", b"a" * 400,
+             rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes(),
+             b"ab" * 100 + b"c" * 300 + bytes(range(256))]
+    for data in cases:
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_lzw_predictor_multistrip(tmp_path):
+    """LZW + horizontal predictor, multi-strip int32 single band — the most
+    common real-world GeoTIFF layout (whitebox-raster/src/geotiff/mod.rs
+    compression dispatch)."""
+    from whitebox_tools_ray.sources.geotiff import (geotiff_to_tiles,
+                                                    read_info, write_geotiff)
+
+    dem = ((np.arange(90 * 77) * 13) % 500).astype(np.int32).reshape(90, 77)
+    p = str(tmp_path / "lzw.tif")
+    write_geotiff(p, dem, west=2.0, north=90.0, res=1.0,
+                  compression="lzw", predictor=2, rows_per_strip=16)
+    info = read_info(p)
+    assert info.compression == 5 and info.predictor == 2
+    assert len(info.offsets) == 6
+    tiles = geotiff_to_tiles(p, tile=32).to_pandas()
+    back = np.full(dem.shape, np.nan)
+    for t in tiles.itertuples():
+        r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+        back[r0:r0 + int(t.nrows), c0:c0 + int(t.ncols)] = \
+            np.asarray(t.data).reshape(int(t.nrows), int(t.ncols))
+    np.testing.assert_array_equal(back, dem.astype(np.float64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_packbits_rgb(tmp_path):
+    from whitebox_tools_ray.sources.geotiff import (geotiff_to_tiles,
+                                                    read_info, write_geotiff)
+
+    rng = np.random.default_rng(7)
+    rgb = np.repeat(rng.integers(0, 256, (40, 8, 3), dtype=np.uint8),
+                    7, axis=1)  # horizontal runs so packbits compresses
+    p = str(tmp_path / "pb.tif")
+    write_geotiff(p, rgb, compression="packbits", rows_per_strip=11)
+    info = read_info(p)
+    assert info.compression == 32773 and info.spp == 3
+    for band in (0, 2):
+        tiles = geotiff_to_tiles(p, tile=32, band=band).to_pandas()
+        back = np.full((40, 56), -1.0)
+        for t in tiles.itertuples():
+            r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+            back[r0:r0 + int(t.nrows), c0:c0 + int(t.ncols)] = \
+                np.asarray(t.data).reshape(int(t.nrows), int(t.ncols))
+        np.testing.assert_array_equal(back, rgb[:, :, band].astype(float))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_planar_bands(tmp_path):
+    """PlanarConfiguration 2: one strip sequence per band, LZW + predictor
+    and deflate variants, every band reassembled exactly."""
+    from whitebox_tools_ray.sources.geotiff import (geotiff_to_tiles,
+                                                    read_info, write_geotiff)
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (53, 38, 4), dtype=np.uint8)
+    for comp, pred in (("lzw", 2), ("deflate", 1), ("none", 1)):
+        p = str(tmp_path / f"planar_{comp}.tif")
+        write_geotiff(p, rgb, planar=2, compression=comp, predictor=pred,
+                      rows_per_strip=10)
+        info = read_info(p)
+        assert info.planar == 2 and info.spp == 4
+        assert len(info.offsets) == 4 * 6 and info.chunks_per_plane == 6
+        for band in range(4):
+            tiles = geotiff_to_tiles(p, tile=32, band=band).to_pandas()
+            back = np.full((53, 38), -1.0)
+            for t in tiles.itertuples():
+                r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+                back[r0:r0 + int(t.nrows), c0:c0 + int(t.ncols)] = \
+                    np.asarray(t.data).reshape(int(t.nrows), int(t.ncols))
+            np.testing.assert_array_equal(back, rgb[:, :, band].astype(float))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geotiff_float_lzw(tmp_path):
+    """LZW on float64 samples (predictor 1) round-trips bit-exactly."""
+    from whitebox_tools_ray.sources.geotiff import geotiff_to_tiles, write_geotiff
+
+    dem = _synthetic_dem(48, 31) / 7.0
+    p = str(tmp_path / "flzw.tif")
+    write_geotiff(p, dem, compression="lzw", rows_per_strip=13)
+    tiles = geotiff_to_tiles(p, tile=32).to_pandas()
+    back = np.full(dem.shape, np.nan)
+    for t in tiles.itertuples():
+        r0, c0 = int(t.trow) * 32, int(t.tcol) * 32
+        back[r0:r0 + int(t.nrows), c0:c0 + int(t.ncols)] = \
+            np.asarray(t.data).reshape(int(t.nrows), int(t.ncols))
+    np.testing.assert_array_equal(back, dem)
+
+
 def test_rgb_multiband_round_trip(ray_session):
     import numpy as np
 

@@ -1168,6 +1168,50 @@ def geotiff_tile_stats(sf_dir: str):
 
 
 @query(
+    "geotiff_tile_stats_lzw",
+    f"""
+    WITH cells AS (SELECT CAST(t.i AS BIGINT) AS i,
+                          CAST(t.i // {GEOTIFF_COLS} AS BIGINT) AS r,
+                          CAST(t.i % {GEOTIFF_COLS} AS BIGINT) AS c,
+                          (100 + (t.i * 31) % 57) AS v
+                   FROM range({GEOTIFF_ROWS * GEOTIFF_COLS}) t(i))
+    SELECT (r // 64) * {-(-GEOTIFF_COLS // 64)} + (c // 64) AS tile_id,
+           CAST(SUM(v) AS BIGINT) AS vsum, COUNT(*) AS n
+    FROM cells GROUP BY tile_id
+    """,
+)
+def geotiff_tile_stats_lzw(sf_dir: str):
+    """geotiff_tile_stats sibling over the LZW + horizontal-predictor
+    multi-strip layout (the most common real-world GeoTIFF;
+    whitebox-raster/src/geotiff/mod.rs LZW dispatch, sources/geotiff.py
+    lzw_decode) — same generating formula, so the same oracle proves the
+    compressed read path byte-exact."""
+    import os
+
+    from ..sources.geotiff import geotiff_to_tiles, write_geotiff
+
+    path = "/tmp/wbt_geotiff_fixture_lzw.tif"
+    if not os.path.exists(path):
+        cells = np.arange(GEOTIFF_ROWS * GEOTIFF_COLS, dtype=np.int64)
+        dem = ((100 + (cells * 31) % 57).astype(np.int32)
+               .reshape(GEOTIFF_ROWS, GEOTIFF_COLS))
+        write_geotiff(path + ".tmp", dem, west=-180.0, north=85.0, res=1.0,
+                      compression="lzw", predictor=2, rows_per_strip=32)
+        os.rename(path + ".tmp", path)
+
+    tiles = geotiff_to_tiles(path, tile=64)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df.itertuples():
+            arr = np.asarray(t.data, np.float64)
+            out.append((int(t.tile_id), int(np.rint(arr.sum())), len(arr)))
+        return pd.DataFrame(out, columns=["tile_id", "vsum", "n"]).astype(np.int64)
+
+    return tiles.map_batches(stats, batch_format="pandas")
+
+
+@query(
     "shreve_magnitude",
     f"""
     WITH RECURSIVE {_GRAPH_CTES},
