@@ -103,13 +103,22 @@ def test_media_features_decode_planted_image(ray_session):
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
-def test_synth_image_table_payloads_are_valid_png(ray_session):
+def test_synth_image_table_payloads_decode(ray_session):
+    """Mixed PNG/JPEG payload corpus: every payload decodes through the
+    real codec boundary to metadata-matching pixel dims, and both formats
+    are actually present."""
     import numpy as np
 
-    from whitebox_tools_ray.functions.png import decode_png
     from whitebox_tools_ray.stages.multimodal import synth_image_table
 
     t = synth_image_table(25)
+    seen = set()
     for i in range(25):
-        img = decode_png(t["payload"][i].as_py())
-        assert img.shape == (t["height"][i].as_py(), t["width"][i].as_py())
+        p = t["payload"][i].as_py()
+        seen.add("jpg" if p[:2] == b"\xff\xd8" else "png")
+        img = decode_image(p)
+        assert img.shape[:2] == (t["height"][i].as_py(),
+                                 t["width"][i].as_py())
+        assert t["url"][i].as_py().endswith(
+            ".jpg" if p[:2] == b"\xff\xd8" else ".png")
+    assert seen == {"jpg", "png"}

@@ -2,11 +2,12 @@
 
 Driver mandate: treat media as opaque ``binary`` columns with typed metadata;
 implement decode / feature-extract / resize / frame-sample as actor-pool
-``map_batches`` stages. Round-4: the codec boundary is a real pure-python
-PNG decoder (functions/png.py — 8-bit gray/RGB/RGBA, all five scanline
-filters) plus int16-PCM interpretation for audio payloads; JPEG and real
-video codecs remain a documented NotImplementedError (no PIL/cv2/ffmpeg in
-this container). The legacy deterministic fake decoder is kept behind
+``map_batches`` stages. The codec boundary is real pure-python decoders:
+PNG (functions/png.py — 8-bit gray/RGB/RGBA, all five scanline filters) and
+baseline JPEG (functions/jpeg.py — sequential DCT, 4:4:4/4:2:2/4:2:0 chroma,
+restart markers), plus int16-PCM interpretation for audio payloads; video
+codecs remain a documented NotImplementedError (no ffmpeg in this
+container). The legacy deterministic fake decoder is kept behind
 ``fake=True`` for payload-integrity tests.
 
 Schema of a media table:
@@ -58,9 +59,10 @@ def synth_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096) ->
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
-    """Codec boundary. PNG payloads decode for real (functions/png.py);
-    other formats raise NotImplementedError (JPEG needs a DCT codec not in
-    this container). ``fake=True`` keeps the legacy hash-stub decoder."""
+    """Codec boundary. PNG (functions/png.py) and baseline JPEG
+    (functions/jpeg.py — sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+    markers) payloads decode for real; other formats raise
+    NotImplementedError. ``fake=True`` keeps the legacy hash-stub decoder."""
     if fake:
         arr = np.frombuffer(payload[: 48 * 48], dtype=np.uint8)
         arr = np.pad(arr, (0, 48 * 48 - len(arr)))
@@ -69,9 +71,13 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes in this environment (pure-python codec); "
-        "JPEG/video need PIL/cv2/ffmpeg at deployment")
+        "only PNG and baseline JPEG decode in this environment "
+        "(pure-python codecs); video needs ffmpeg at deployment")
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -84,15 +90,18 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def synth_image_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Media rows whose image payloads are REAL PNGs (deterministic
-    gradient + hash-texture patterns, varying small sizes); width/height
-    metadata match the encoded pixels."""
+    """Media rows whose image payloads are REAL encoded images
+    (deterministic gradient + hash-texture patterns, varying small sizes):
+    ~2/3 PNG (all five scanline filters), ~1/3 baseline JPEG (grayscale and
+    RGB, 4:4:4 and 4:2:0, some with restart intervals) — a CC-crawl-shaped
+    format mix. width/height metadata match the encoded pixels."""
+    from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
     from ..sources.synthetic import splitmix64
 
     ids = np.arange(n_rows, dtype=np.int64)
     h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
-    payloads, ws, hs = [], [], []
+    payloads, ws, hs, urls = [], [], [], []
     for i in range(n_rows):
         hh = int(h[i] % 24) + 8
         ww = int((h[i] >> np.uint64(8)) % np.uint64(24)) + 8
@@ -101,13 +110,28 @@ def synth_image_table(n_rows: int, seed: int = 42) -> pa.Table:
         tex = splitmix64((yy.astype(np.uint64) * np.uint64(ww)
                           + xx.astype(np.uint64)) + h[i]) % np.uint64(64)
         img = ((base + tex.astype(np.int64)) % 256).astype(np.uint8)
-        payloads.append(encode_png(img, filter_type=int(h[i] % 5)))
+        sel = int(h[i] % 3)
+        if sel == 0:  # baseline JPEG
+            quality = 85 + int((h[i] >> np.uint64(16)) % np.uint64(11))
+            if int(h[i] >> np.uint64(24)) % 2:
+                rgb = np.stack([img, np.roll(img, 1, axis=1),
+                                np.roll(img, 1, axis=0)], axis=2)
+                sub = "420" if int(h[i] >> np.uint64(32)) % 2 else "444"
+                payloads.append(encode_jpeg(rgb, quality=quality,
+                                            subsample=sub,
+                                            restart_interval=int(h[i] % 4)))
+            else:
+                payloads.append(encode_jpeg(img, quality=quality))
+            ext = "jpg"
+        else:
+            payloads.append(encode_png(img, filter_type=int(h[i] % 5)))
+            ext = "png"
+        urls.append(f"https://img{int(h[i]) % 100}.example/{i}.{ext}")
         ws.append(ww)
         hs.append(hh)
     return pa.table({
         "item_id": ids,
-        "url": pa.array([f"https://img{int(x) % 100}.example/{i}.png"
-                         for i, x in enumerate(h)], pa.string()),
+        "url": pa.array(urls, pa.string()),
         "media_type": pa.array(["image"] * n_rows, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "width": pa.array(np.asarray(ws, np.int32)),
