@@ -211,3 +211,56 @@ def test_buffer_rings_encode_the_capsule_region(ray_session):
         got = region_inside(rings, px, py)
         # raster-resolution boundary: tolerate a thin disagreement band
         assert (got != want).mean() < 0.06
+
+
+def test_overlay_rings_shapefile_roundtrip(ray_session, tmp_path):
+    """Ring rows -> .shp/.shx/.dbf -> reader: same ring structure (vertex
+    sets exact modulo rotation/orientation/closure), hole flags follow the
+    parity depth, and the re-read region equals the original region."""
+    import numpy as np
+
+    from whitebox_tools_ray.pipelines.queries import QUERIES
+    from whitebox_tools_ray.sources.shapefile import (
+        read_dbf, read_shapefile_ds, write_rings_shapefile)
+    from whitebox_tools_ray.stages.overlay import region_inside
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["overlay_symdiff_rings"](sf).to_pandas()
+    pids = sorted(df["pair_id"].unique())[:8]
+    df = df[df["pair_id"].isin(pids)]
+    shp = str(tmp_path / "rings.shp")
+    write_rings_shapefile(shp, df)
+
+    parts = read_shapefile_ds(shp).to_pandas()
+    attrs = read_dbf(shp[:-4] + ".dbf")
+    assert len(attrs) == len(pids)
+    for rec, pid in enumerate(pids):
+        orig = []
+        for _ri, g in df[df["pair_id"] == pid].groupby("ring_idx"):
+            g = g.sort_values("vtx_idx")
+            orig.append(np.column_stack([
+                g["x_micro"].to_numpy(np.float64) / 1e6,
+                g["y_micro"].to_numpy(np.float64) / 1e6]))
+        back_rows = parts[parts["feature_id"] == rec] \
+            .sort_values("part_idx")
+        back = [np.frombuffer(r.ring, "<f8").reshape(-1, 2)
+                for r in back_rows.itertuples()]
+        assert len(back) == len(orig)
+        # vertex-set equality: every written ring matches one source ring
+        orig_sets = [frozenset(map(tuple, r)) for r in orig]
+        for b in back:
+            assert frozenset(map(tuple, b)) in orig_sets
+        # region equality on a dense sample (rings are closed on disk)
+        ctr = np.concatenate(orig).mean(axis=0)
+        rng = np.random.default_rng(int(pid))
+        px = rng.uniform(-4, 4, 500) + ctr[0]
+        py = rng.uniform(-4, 4, 500) + ctr[1]
+        got = region_inside(back, px, py)
+        want = region_inside(orig, px, py)
+        np.testing.assert_array_equal(got, want)
+        # winding/hole consistency (reader derives is_hole from winding)
+        for r in back_rows.itertuples():
+            ring = np.frombuffer(r.ring, "<f8").reshape(-1, 2)
+            x, y = ring[:, 0], ring[:, 1]
+            a = float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
+            assert (a > 0) == bool(r.is_hole)

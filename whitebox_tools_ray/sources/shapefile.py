@@ -84,6 +84,63 @@ def write_shapefile(path: str, features, attrs: pd.DataFrame | None = None,
     _write_dbf(path[:-4] + ".dbf", attrs)
 
 
+def _point_in_ring_evenodd(ring: np.ndarray, x: float, y: float) -> bool:
+    """Even-odd crossing test of one point against an open or closed ring."""
+    rx, ry = ring[:, 0], ring[:, 1]
+    nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+    cond = (ry > y) != (ny > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = rx + (y - ry) / (ny - ry) * (nx - rx)
+    return bool(np.count_nonzero(cond & (x < xs)) % 2)
+
+
+def write_rings_shapefile(path: str, df: pd.DataFrame, *,
+                          feature_col: str = "pair_id",
+                          ring_col: str = "ring_idx",
+                          vtx_col: str = "vtx_idx",
+                          x_col: str = "x_micro", y_col: str = "y_micro",
+                          inv_scale: float = 1e6,
+                          attrs: pd.DataFrame | None = None) -> None:
+    """Sink for the overlay/dissolve ring-row outputs (overlay_*_rings,
+    split_with_lines_rings, dissolve rings): (feature, ring, vtx) rows ->
+    a Polygon shapefile, finishing the reference's .shp output parity
+    (gis_analysis/intersect.rs etc. emit shapefiles).
+
+    The ring rows encode the region by even-odd parity; the ESRI spec
+    encodes holes by winding (outer CW, holes CCW — the reader's
+    convention). Conversion: a ring's containment DEPTH within its
+    feature's other rings decides hole-ness (odd depth = hole), then each
+    ring is oriented to the spec winding and closed."""
+    feats = []
+    for fid, sub in df.groupby(feature_col, sort=True):
+        rings = []
+        for _ri, g in sub.groupby(ring_col, sort=True):
+            g = g.sort_values(vtx_col, kind="mergesort")
+            # divide (not multiply by the reciprocal): v / 1e6 and v * 1e-6
+            # differ in the last ulp, and consumers compare doubles exactly
+            rings.append(np.column_stack([
+                g[x_col].to_numpy(np.float64) / inv_scale,
+                g[y_col].to_numpy(np.float64) / inv_scale]))
+        parts = []
+        for i, r in enumerate(rings):
+            depth = sum(_point_in_ring_evenodd(o, float(r[0, 0]),
+                                               float(r[0, 1]))
+                        for j, o in enumerate(rings) if j != i)
+            hole = depth % 2 == 1
+            closed = r if len(r) >= 2 and (r[0] == r[-1]).all() \
+                else np.vstack([r, r[:1]])
+            area = _ring_signed_area(closed)
+            # spec winding: outer CW (area < 0), hole CCW (area > 0)
+            if (area > 0) != hole:
+                closed = closed[::-1]
+            parts.append((closed, hole))
+        feats.append((int(fid), parts))
+    if attrs is None:
+        attrs = pd.DataFrame({"FID": [f for f, _p in feats],
+                              "NPARTS": [len(p) for _f, p in feats]})
+    write_shapefile(path, feats, attrs=attrs)
+
+
 def _write_dbf(path: str, attrs: pd.DataFrame) -> None:
     fields = []
     for col in attrs.columns:
