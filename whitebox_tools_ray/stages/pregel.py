@@ -128,6 +128,30 @@ class FlowShard:
         self._topo = None
         return len(cells)
 
+    def load_universe(self, sid: int) -> int:
+        """Synthesize this shard's full cell universe locally (down = -1):
+        shard sid owns the blocked tile range [ceil(sid*T/S),
+        ceil((sid+1)*T/S)) of shard_of_tiles, expanded to cell ids without
+        any object-store traffic — for algorithms that need every grid
+        cell but no pointer data (fill / fd8 / mfd / dinf / cost dist)."""
+        T = self._ntiles()
+        S = self.n_shards
+        t_lo = -(-sid * T // S)
+        t_hi = -(-(sid + 1) * T // S)
+        tile = self.tile
+        parts = []
+        for t in range(t_lo, min(t_hi, T)):
+            tr, tc = divmod(t, self.tcols)
+            r0 = tr * tile
+            c0 = tc * tile
+            parts.append((np.arange(r0, min(r0 + tile, self.rows),
+                                    dtype=np.int64)[:, None] * self.cols
+                          + np.arange(c0, min(c0 + tile, self.cols),
+                                      dtype=np.int64)[None, :]).ravel())
+        cells = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        return self.load_arrays(cells, np.full(len(cells), -1, np.int64))
+
     def reset(self) -> bool:
         """Return the actor to a pristine state so the shard pool can reuse
         the process (spawning 16 actor processes costs ~1.5 s per pregel
@@ -155,7 +179,8 @@ class FlowShard:
                      "cost_fn", "z_fn", "init_mass", "fplen", "fl_memo",
                      "basin", "memo", "_lc_nbr", "_lc_val", "_lc_self",
                      "_hp_val", "_hp_z", "_hp_ppos", "_hp_arrpos",
-                     "_hp_offs", "_hp_used"):
+                     "_hp_offs", "_hp_used",
+                     "_fl_L", "_fl_lab", "_fl_seeds", "_fl_final"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return True
@@ -1613,9 +1638,167 @@ class FlowShard:
         return self._lc_relax(arr[:, 0], arr[:, 1], "fl")
 
     def fl_result(self) -> pd.DataFrame:
+        if getattr(self, "_fl_final", None) is not None:
+            return pd.DataFrame({"cell_id": self.cells_arr,
+                                 "fill": self._fl_final})
         m = self._lc_val < (1 << 62)
         return pd.DataFrame({"cell_id": self.cells_arr[m],
                              "fill": self._lc_val[m]})
+
+    # ---- two-superstep fill (watershed spill graph) ----------------------
+    def fl_flood_local(self, z_fn):
+        """Superstep 1 of the two-superstep parallel priority-flood
+        (R. Barnes, "Parallel Priority-Flood: an optimal two-pass
+        depression filling algorithm for trillion cell DEMs",
+        C&G 2016; reference semantics hydro_analysis/fill_depressions.rs:
+        131-210). Floods the shard in the (min, max) semiring seeded
+        from every PERIMETER cell (raster border + any cell with an
+        out-of-shard in-grid 8-neighbour) at its own elevation, tracking
+        per cell the seed label that settled it. L(c) <= true fill, and
+        within a labelled watershed any two cells connect by a path whose
+        max is <= max of their L values (flood-tree monotonicity), so the
+        watershed-granularity contraction is exact: the driver solves
+        minimax-to-ocean over the spill graph and the final fill is
+        max(L(c), W(lab(c))) — zero cross-shard message rounds.
+
+        Perimeter seeds keep their own label and L(seed) = z(seed)
+        (every arriving value maxes with the cell's own z, and pushes
+        improve strictly), so cross-shard spill edges are computable
+        LOCALLY: for border-adjacent (a owned, b not), both are seeds of
+        their shards and the edge is (a, b, max(z(a), z(b))).
+
+        Returns (edges, seeds): edges (m, 3) int64 (u, v, w) over
+        seed-cell node ids (-1 = ocean), within-shard pairs min-reduced;
+        seeds = this shard's sorted seed cell ids."""
+        self._ensure()
+        cells = self.cells_arr
+        n = len(cells)
+        INF = 1 << 62
+        if n == 0:
+            self._fl_L = self._fl_lab = np.empty(0, np.int64)
+            self._fl_seeds = np.empty(0, np.int64)
+            self._fl_final = self._fl_L
+            return np.empty((0, 3), np.int64), self._fl_seeds
+        zself = np.asarray(z_fn(cells), np.int64)
+        rows, cols = self.rows, self.cols
+        rmin = int(cells[0] // cols)
+        rmax = int(cells[-1] // cols)
+        wp = cols + 2
+        size = (rmax - rmin + 3) * wp
+        ppos = (cells // cols - rmin + 1) * wp + cells % cols + 1
+        zc = np.full(size, INF, np.int64)
+        zc[ppos] = zself
+        arrpos = np.full(size, -1, np.int64)
+        arrpos[ppos] = np.arange(n, dtype=np.int64)
+        own = arrpos >= 0
+        offs = (-wp - 1, -wp, -wp + 1, -1, 1, wp - 1, wp, wp + 1)
+        r = cells // cols
+        c = cells % cols
+        border_m = (r == 0) | (r == rows - 1) | (c == 0) | (c == cols - 1)
+        seed_m = border_m.copy()
+        cross_parts = []
+        for o in offs:
+            q = ppos + o
+            qr = q // wp + rmin - 1
+            qc = q % wp - 1
+            m = (qr >= 0) & (qr < rows) & (qc >= 0) & (qc < cols) \
+                & ~own[q]
+            if m.any():
+                seed_m |= m
+                bcell = qr[m] * cols + qc[m]
+                zb = np.asarray(z_fn(bcell), np.int64)
+                cross_parts.append(np.stack(
+                    [cells[m], bcell, np.maximum(zself[m], zb)], axis=1))
+        sp = ppos[seed_m]
+        hv = np.full(size, INF, np.int64)
+        hv[sp] = zself[seed_m]
+        hlab = np.full(size, -1, np.int64)
+        hlab[sp] = sp
+        lvl = np.unique(zself)
+        zrank = np.full(size, -1, np.int64)
+        zrank[ppos] = np.searchsorted(lvl, zself)
+        K = len(lvl)
+        buckets: list[list[int]] = [[] for _ in range(K)]
+        for p, rk in zip(sp.tolist(), zrank[sp].tolist()):
+            buckets[rk].append(p)
+        hvl = hv.tolist()
+        hzl = zc.tolist()
+        hll = hlab.tolist()
+        zrl = zrank.tolist()
+        lvl_l = lvl.tolist()
+        rk = 0
+        while rk < K:
+            b = buckets[rk]
+            if not b:
+                rk += 1
+                continue
+            v = lvl_l[rk]
+            bpop = b.pop
+            bapp = b.append
+            while b:  # b grows with same-level (flood) pushes
+                p = bpop()
+                if hvl[p] != v:
+                    continue  # superseded by a lower level
+                lb = hll[p]
+                for o in offs:
+                    q = p + o
+                    zq = hzl[q]
+                    if zq < INF and (v if v > zq else zq) < hvl[q]:
+                        hll[q] = lb
+                        if zq <= v:
+                            hvl[q] = v
+                            bapp(q)
+                        else:
+                            hvl[q] = zq
+                            buckets[zrl[q]].append(q)
+            rk += 1
+        Vc = np.asarray(hvl, np.int64)
+        labp = np.asarray(hll, np.int64)
+        L = Vc[ppos]
+        assert (L < INF).all(), "shard not fully flooded (disconnected?)"
+        self._fl_L = L
+        self._fl_lab = cells[arrpos[labp[ppos]]]
+        self._fl_seeds = cells[seed_m]  # cells sorted -> seeds sorted
+        self._fl_final = None
+        # ---- within-shard watershed adjacency, min-reduced per pair ----
+        ew = []
+        for o in (1, wp - 1, wp, wp + 1):  # 4 dirs cover all unordered pairs
+            m = own[:-o] & own[o:]
+            i = np.flatnonzero(m)
+            la = labp[i]
+            lb = labp[i + o]
+            d = la != lb
+            if d.any():
+                ii = i[d]
+                ew.append(np.stack(
+                    [np.minimum(la[d], lb[d]), np.maximum(la[d], lb[d]),
+                     np.maximum(Vc[ii], Vc[ii + o])], axis=1))
+        parts = []
+        if ew:
+            e = np.concatenate(ew)
+            key = e[:, 0] * np.int64(size) + e[:, 1]
+            uk, inv = np.unique(key, return_inverse=True)
+            mw = np.full(len(uk), INF, np.int64)
+            np.minimum.at(mw, inv, e[:, 2])
+            parts.append(np.stack(
+                [cells[arrpos[uk // size]], cells[arrpos[uk % size]], mw],
+                axis=1))
+        parts.extend(cross_parts)
+        if border_m.any():
+            parts.append(np.stack(
+                [np.full(int(border_m.sum()), -1, np.int64),
+                 cells[border_m], zself[border_m]], axis=1))
+        edges = np.concatenate(parts) if parts \
+            else np.empty((0, 3), np.int64)
+        return edges, self._fl_seeds
+
+    def fl_apply_levels(self, seed_ids: np.ndarray, wv: np.ndarray) -> int:
+        """Superstep 2: raise each cell to its watershed's global spill
+        level. seed_ids are this shard's (sorted) seeds, wv the solved
+        minimax-to-ocean level per seed."""
+        idx = np.searchsorted(seed_ids, self._fl_lab)
+        self._fl_final = np.maximum(self._fl_L, wv[idx])
+        return len(self._fl_final)
 
     # ---- strahler --------------------------------------------------------
     def str_init_load(self, indeg_df: pd.DataFrame) -> int:
@@ -1759,12 +1942,9 @@ _RUN_SEQ = [0]  # unique actor-name suffix per invocation (no Date/random)
 _POOL: dict[tuple, tuple[list, str]] = {}
 
 
-def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
-                    n_shards: int):
-    """One-time distributed load: every read batch splits its rows by shard
-    locally and pushes the slices straight into the named shard actors
-    (named-actor lookup from inside map_batches) — rows never visit the
-    driver and there is no all-to-all shuffle."""
+def _pool_actors(grid: GridSpec, tile: int, n_shards: int):
+    """Fetch-or-spawn the named shard-actor pool for this grid key
+    (actors reset between runs; spawn = ~1.5 s per run otherwise)."""
     import os
 
     key = (grid.rows, grid.cols, tile, n_shards)
@@ -1788,6 +1968,27 @@ def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
                   for i in range(n_shards)]
         ray.get([s.__ray_ready__.remote() for s in shards])
     _POOL_KEY[id(shards)] = (key, prefix)
+    return shards, prefix
+
+
+def _spawn_full_universe(grid: GridSpec, tile: int, n_shards: int):
+    """Shard pool over the full cell universe with NO pointer data: each
+    actor synthesizes its own blocked tile range locally (down = -1), so
+    nothing crosses the object store. Replaces pushing a synthetic
+    range(n) Dataset for fill / fd8 / mfd / dinf / cost distance — the
+    push was ~3 s at 6.12M cells, half the fill wall."""
+    shards, prefix = _pool_actors(grid, tile, n_shards)
+    ray.get([s.load_universe.remote(i) for i, s in enumerate(shards)])
+    return shards, prefix
+
+
+def _spawn_and_load(down_ds: ray.data.Dataset, grid: GridSpec, tile: int,
+                    n_shards: int):
+    """One-time distributed load: every read batch splits its rows by shard
+    locally and pushes the slices straight into the named shard actors
+    (named-actor lookup from inside map_batches) — rows never visit the
+    driver and there is no all-to-all shuffle."""
+    shards, prefix = _pool_actors(grid, tile, n_shards)
 
     def push_batch(df: pd.DataFrame) -> pd.DataFrame:
         # no groupby shuffle: every read batch splits its rows by shard
@@ -2049,15 +2250,7 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
     borders travel as (cell, dist) messages. Positive costs guarantee
     convergence in <= (shards a least-cost path crosses) rounds. Needs a
     full cell universe, so a synthetic down table (all -1) feeds the load."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.cd_load.remote(cost_fn) for s in shards])
         outs = ray.get([s.cd_seed.remote(sources) for s in shards])
@@ -2073,25 +2266,97 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
         _teardown(shards)
 
 
+def _fill_solve_graph(edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimax-to-ocean over the watershed spill graph via ascending
+    Kruskal: a node's level is the weight of the edge that first joins its
+    component to the ocean component (node id -1). Union-find with path
+    halving; per-root member linked lists so levels are assigned exactly
+    once per node (O(E log E) sort + O(E alpha) unions). Returns (sorted
+    node ids, level per node)."""
+    u = edges[:, 0]
+    v = edges[:, 1]
+    w = edges[:, 2]
+    nodes = np.unique(np.concatenate([u, v]))
+    if len(nodes) and nodes[0] == -1:
+        nodes = nodes[1:]
+    nn = len(nodes)
+    du = np.where(u == -1, 0, np.searchsorted(nodes, u) + 1)
+    dv = np.where(v == -1, 0, np.searchsorted(nodes, v) + 1)
+    order = np.argsort(w, kind="stable")
+    parent = list(range(nn + 1))
+    ocean = [False] * (nn + 1)
+    ocean[0] = True
+    head = list(range(nn + 1))
+    tail = list(range(nn + 1))
+    nxt = [-1] * (nn + 1)
+    level = np.full(nn, -1, np.int64)  # placeholder; weights may be ANY
+    remaining = nn                     # int64 (negative DEMs are legal)
+    for a, b, ww in zip(du[order].tolist(), dv[order].tolist(),
+                        w[order].tolist()):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        while parent[b] != b:
+            parent[b] = parent[parent[b]]
+            b = parent[b]
+        if a == b:
+            continue
+        if ocean[b] and not ocean[a]:
+            a, b = b, a
+        if ocean[a] and not ocean[b]:
+            m = head[b]
+            while m != -1:
+                level[m - 1] = ww
+                remaining -= 1
+                m = nxt[m]
+            parent[b] = a
+            if remaining == 0:
+                break
+        elif ocean[a]:  # both ocean-connected: plain union
+            parent[b] = a
+        else:  # neither: union + O(1) member-list concat
+            parent[b] = a
+            nxt[tail[a]] = head[b]
+            tail[a] = tail[b]
+    assert remaining == 0, "spill graph not connected to the ocean"
+    return nodes, level
+
+
 def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
-                            n_shards: int = 8,
-                            max_rounds: int = 256) -> ray.data.Dataset:
+                            n_shards: int = 8, max_rounds: int = 256,
+                            method: str = "graph") -> ray.data.Dataset:
     """Dataset (cell_id, fill): parallel priority-flood depression filling
     (hydro_analysis/fill_depressions.rs semantics — every cell raised to its
-    spill elevation; D8 connectivity). Sharded label-correcting sweep in the
-    (min, max) semiring: raster-border cells seed at their own elevation,
-    floods cross shard borders as (cell, candidate fill) messages. Same
-    convergence argument as cost distance (monotone decreasing labels)."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
+    spill elevation; D8 connectivity).
 
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    method="graph" (default): two-superstep watershed-spill-graph
+    decomposition (Barnes 2016) — each shard floods locally from its
+    perimeter with labels, the driver solves minimax-to-ocean over the
+    contracted spill graph (O(perimeter)-sized, never O(grid)), one
+    vectorized max-join finishes. Superstep count is independent of the
+    shard count, so shards scale with cluster width freely.
+    method="bsp": sharded label-correcting sweep — raster-border cells
+    seed at their own elevation, floods cross shard borders as (cell,
+    candidate fill) messages over O(shard-graph diameter) rounds."""
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
+        if method == "graph":
+            # the flood's footprint is the Python-list canvases
+            # (~90 B/cell); stagger only when shards are huge enough to
+            # trip the guest's lazy-memory throttle (see _staggered_load)
+            thunks = [lambda s=s: s.fl_flood_local.remote(z_fn)
+                      for s in shards]
+            if grid.rows * grid.cols // max(1, n_shards) > 2_500_000:
+                packs = _staggered_load(thunks)
+            else:
+                packs = ray.get([t() for t in thunks])
+            nodes, levels = _fill_solve_graph(
+                np.concatenate([p[0] for p in packs]))
+            ray.get([s.fl_apply_levels.remote(
+                p[1], levels[np.searchsorted(nodes, p[1])])
+                for s, p in zip(shards, packs)])
+            refs = [s.fl_result.remote() for s in shards]
+            return ray.data.from_pandas_refs(refs).materialize()
         _staggered_load([lambda s=s: s.fl_load.remote(z_fn) for s in shards])
         outs = ray.get([s.fl_seed.remote() for s in shards])
         for _ in range(max_rounds):
@@ -2202,15 +2467,7 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     in-degree is computed locally (the surface is a pure function of cell
     id, so neighbour elevations need no exchange). acc_units / 2^20 is the
     upslope-area measure in cells."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.fd8_load.remote(z_fn, exponent)
                         for s in shards])
@@ -2241,15 +2498,7 @@ def mfd_accumulation_pregel(edge_fn, grid: GridSpec, *, tile: int = 64,
     the scan-ordered edge list (fixed-point 2^20 weights) and the upslope
     in-degree — serves the Qin/Quinn plugin analogs on the shared fd8 wave
     (whitebox-plugins/src/{qin,quinn}_flow_accumulation/main.rs)."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.mfd_load.remote(edge_fn) for s in shards])
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
@@ -2277,15 +2526,7 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
     (hydro_analysis/dinf_flow_accum.rs, Tarboton facets) — at most two
     receivers per cell, angular flow split, fixed-point mass; same
     topological shard wave as FD8."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
@@ -2331,15 +2572,7 @@ def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     facets, slope^exponent proportioning over up to 8 receivers) — the fd8
     topological shard wave with the MDInf weight loader in exact-weights
     (non-conserving, like the reference) mode."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.mdinf_load.remote(z_fn, exponent)
                         for s in shards])
@@ -2357,15 +2590,7 @@ def dinf_mass_flux_pregel(z_fn, load_fn, eff_fp_fn, absorp_fn,
     forwarded flux is (value - absorption) * efficiency split over the
     Tarboton facet pair. Integer loading/absorption units; efficiency a
     2^20 fixed-point proportion; floor rounding (documented contract)."""
-    def _gen(batch: dict) -> pd.DataFrame:
-        cid = batch["id"].astype(np.int64)
-        return pd.DataFrame({"cell_id": cid, "down_id": np.int64(-1),
-                             "tile": _tile_of(cid, grid, tile)})
-
-    dds = ray.data.range(grid.rows * grid.cols,
-                         override_num_blocks=max(2, n_shards)) \
-        .map_batches(_gen, batch_format="numpy")
-    shards, _prefix = _spawn_and_load(dds, grid, tile, n_shards)
+    shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
         _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
         ray.get([s.mf_configure.remote(load_fn, eff_fp_fn, absorp_fn)
