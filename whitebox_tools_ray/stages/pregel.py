@@ -1917,7 +1917,21 @@ class FlowShard:
 
 
 
-_LOAD_GROUP = int(os.environ.get("WBT_MAX_PARALLEL_LOADS", "6"))
+_LOAD_GROUP_ENV = os.environ.get("WBT_MAX_PARALLEL_LOADS", "")
+
+
+def _load_group() -> int:
+    """Concurrent heavy-load budget: 6 per ALIVE node (the measured
+    single-node collapse point of this guest's lazy memory provisioning),
+    so multi-node clusters stagger per node instead of per cluster.
+    WBT_MAX_PARALLEL_LOADS pins it explicitly."""
+    if _LOAD_GROUP_ENV:
+        return max(1, int(_LOAD_GROUP_ENV))
+    try:
+        alive = sum(1 for nd in ray.nodes() if nd.get("Alive"))
+    except Exception:
+        alive = 1
+    return 6 * max(1, alive)
 
 
 def _staggered_load(thunks: list) -> list:
@@ -1930,7 +1944,7 @@ def _staggered_load(thunks: list) -> list:
     tasks. Multi-node clusters spread shards across hosts and should
     raise WBT_MAX_PARALLEL_LOADS."""
     out = []
-    g = max(1, _LOAD_GROUP)
+    g = _load_group()
     for i in range(0, len(thunks), g):
         out.extend(ray.get([t() for t in thunks[i:i + g]]))
     return out
@@ -1963,7 +1977,10 @@ def _pool_actors(grid: GridSpec, tile: int, n_shards: int):
     if shards is None:
         _RUN_SEQ[0] += 1
         prefix = f"wbt_flow_{os.getpid()}_{_RUN_SEQ[0]}"
-        shards = [FlowShard.options(name=f"{prefix}_{i}", namespace="wbt")
+        # SPREAD: shard interiors are DRAM-bandwidth-bound, so each shard
+        # should land on its own node where possible (no-op single-node)
+        shards = [FlowShard.options(name=f"{prefix}_{i}", namespace="wbt",
+                                    scheduling_strategy="SPREAD")
                   .remote((grid.rows, grid.cols), tile, n_shards)
                   for i in range(n_shards)]
         ray.get([s.__ray_ready__.remote() for s in shards])
