@@ -30,6 +30,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -331,7 +332,7 @@ class FlowShard:
         rows = np.stack([uniq, mm], axis=1)
         return self._group_rows(self._vec_shard(uniq), rows)
 
-    def acc_result(self) -> pd.DataFrame:
+    def acc_result(self) -> pa.Table:
         self._ensure()
         mask = self.acc_arr > 0
         cells = self.cells_arr[mask]
@@ -341,7 +342,7 @@ class FlowShard:
                                                        np.int64)])
             acc = np.concatenate([acc, np.fromiter(self.acc_extra.values(),
                                                    np.int64)])
-        return pd.DataFrame({"cell_id": cells, "acc": acc})
+        return pa.table({"cell_id": cells, "acc": acc})
 
     # ---- max-upslope accumulation (max semiring over the D8 DAG) ---------
     # whitebox-plugins/src/max_upslope_value/main.rs:276-366: output starts
@@ -409,9 +410,9 @@ class FlowShard:
         rows = np.stack([uniq, mm], axis=1)
         return self._group_rows(self._vec_shard(uniq), rows)
 
-    def macc_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": self.cells_arr,
-                             "max_up": self.macc_arr})
+    def macc_result(self) -> pa.Table:
+        return pa.table({"cell_id": self.cells_arr,
+                         "max_up": self.macc_arr})
 
     # ---- FD8 multiple-flow-direction accumulation ------------------------
     # hydro_analysis/fd8_flow_accum.rs: flow disperses to EVERY downslope
@@ -857,9 +858,9 @@ class FlowShard:
         rows = np.stack([uniq, usum, ucnt], axis=1)
         return self._group_rows(self._vec_shard(uniq), rows)
 
-    def fd8_result(self) -> pd.DataFrame:
-        return pd.DataFrame({"cell_id": self.cells_arr[self.fd8_done],
-                             "acc_units": self.fd8_acc_arr[self.fd8_done]})
+    def fd8_result(self) -> pa.Table:
+        return pa.table({"cell_id": self.cells_arr[self.fd8_done],
+                         "acc_units": self.fd8_acc_arr[self.fd8_done]})
 
     def fd8_unresolved(self) -> int:
         return int((~self.fd8_done).sum())
@@ -957,12 +958,12 @@ class FlowShard:
         rows = np.stack([origin[~present], units[~present]], axis=1)
         return self._group_rows(self._vec_shard(origin[~present]), rows)
 
-    def fl_len_result(self) -> pd.DataFrame:
+    def fl_len_result(self) -> pa.Table:
         origin = np.concatenate([p[0] for p in self.fpl_parts]) \
             if self.fpl_parts else np.empty(0, np.int64)
         units = np.concatenate([p[1] for p in self.fpl_parts]) \
             if self.fpl_parts else np.empty(0, np.int64)
-        return pd.DataFrame({"cell_id": origin, "len_units": units})
+        return pa.table({"cell_id": origin, "len_units": units})
 
     # ---- downslope index (bounded-drop walk) -----------------------------
     # Probes walk hop-by-hop until the cumulative elevation drop reaches
@@ -1085,12 +1086,12 @@ class FlowShard:
         rows = np.stack([origin[~present], dest[~present]], axis=1)
         return self._group_rows(self._vec_shard(origin[~present]), rows)
 
-    def bas_result(self) -> pd.DataFrame:
+    def bas_result(self) -> pa.Table:
         origin = np.concatenate([p[0] for p in self.bas_parts]) \
             if self.bas_parts else np.empty(0, np.int64)
         dest = np.concatenate([p[1] for p in self.bas_parts]) \
             if self.bas_parts else np.empty(0, np.int64)
-        return pd.DataFrame({"cell_id": origin, "basin": dest})
+        return pa.table({"cell_id": origin, "basin": dest})
 
     # ---- path visit enumeration (MaxBranchLength support) ---------------
     # Probes (origin, cur, units) walk hop-by-hop; every VISITED cell's
@@ -1605,10 +1606,10 @@ class FlowShard:
             arr = np.empty((0, 2), np.int64)
         return self._lc_relax(arr[:, 0], arr[:, 1], "cd")
 
-    def cd_result(self) -> pd.DataFrame:
+    def cd_result(self) -> pa.Table:
         m = self._lc_val < (1 << 62)
-        return pd.DataFrame({"cell_id": self.cells_arr[m],
-                             "cost_dist2": self._lc_val[m]})
+        return pa.table({"cell_id": self.cells_arr[m],
+                         "cost_dist2": self._lc_val[m]})
 
     # ---- priority-flood depression filling -------------------------------
     # Same label-correcting shard sweep as cost distance, in the (min, max)
@@ -1637,13 +1638,13 @@ class FlowShard:
             arr = np.empty((0, 2), np.int64)
         return self._lc_relax(arr[:, 0], arr[:, 1], "fl")
 
-    def fl_result(self) -> pd.DataFrame:
+    def fl_result(self) -> pa.Table:
         if getattr(self, "_fl_final", None) is not None:
-            return pd.DataFrame({"cell_id": self.cells_arr,
-                                 "fill": self._fl_final})
+            return pa.table({"cell_id": self.cells_arr,
+                             "fill": self._fl_final})
         m = self._lc_val < (1 << 62)
-        return pd.DataFrame({"cell_id": self.cells_arr[m],
-                             "fill": self._lc_val[m]})
+        return pa.table({"cell_id": self.cells_arr[m],
+                         "fill": self._lc_val[m]})
 
     # ---- two-superstep fill (watershed spill graph) ----------------------
     def fl_flood_local(self, z_fn):
@@ -2089,7 +2090,7 @@ class ShardedGraph:
             inboxes = _route(outs, self.n_shards)
             if not any(inboxes):
                 refs = [s.acc_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize()
+                return ray.data.from_arrow_refs(refs).materialize()
             outs = ray.get([s.acc_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("flow accumulation did not converge (cycle?)")
@@ -2110,7 +2111,7 @@ class ShardedGraph:
         inboxes = _route(homeless, self.n_shards)
         ray.get([s.bas_resolve.remote(inboxes[i]) for i, s in enumerate(shards)])
         refs = [s.bas_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
+        return ray.data.from_arrow_refs(refs).materialize()
 
     def flowpath_length(self, max_rounds: int = 256, *,
                         weight: str = "hops") -> ray.data.Dataset:
@@ -2139,7 +2140,7 @@ class ShardedGraph:
         ray.get([s.fl_len_resolve.remote(inboxes[i])
                  for i, s in enumerate(shards)])
         refs = [s.fl_len_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
+        return ray.data.from_arrow_refs(refs).materialize()
 
 
 def flow_accumulation_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
@@ -2165,7 +2166,7 @@ def max_value_accumulation_pregel(down_ds: ray.data.Dataset, value_fn,
             inboxes = _route(outs, n_shards)
             if not any(inboxes):
                 refs = [s.macc_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize()
+                return ray.data.from_arrow_refs(refs).materialize()
             outs = ray.get([s.macc_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("max accumulation did not converge")
@@ -2275,7 +2276,7 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
             inboxes = _route(outs, n_shards)
             if not any(inboxes):
                 refs = [s.cd_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize()
+                return ray.data.from_arrow_refs(refs).materialize()
             outs = ray.get([s.cd_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("cost distance did not converge")
@@ -2373,14 +2374,14 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
                 p[1], levels[np.searchsorted(nodes, p[1])])
                 for s, p in zip(shards, packs)])
             refs = [s.fl_result.remote() for s in shards]
-            return ray.data.from_pandas_refs(refs).materialize()
+            return ray.data.from_arrow_refs(refs).materialize()
         _staggered_load([lambda s=s: s.fl_load.remote(z_fn) for s in shards])
         outs = ray.get([s.fl_seed.remote() for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
             if not any(inboxes):
                 refs = [s.fl_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize()
+                return ray.data.from_arrow_refs(refs).materialize()
             outs = ray.get([s.fl_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("depression filling did not converge")
@@ -2420,7 +2421,7 @@ def shreve_pregel(down_ds: ray.data.Dataset, grid: GridSpec, *,
             inboxes = _route(outs, n_shards)
             if not any(inboxes):
                 refs = [s.acc_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize().map_batches(
+                return ray.data.from_arrow_refs(refs).materialize().map_batches(
                     lambda df: df.rename(columns={"acc": "shreve"}),
                     batch_format="pandas")
             outs = ray.get([s.acc_round.remote(inboxes[i])
@@ -2464,7 +2465,7 @@ def weighted_accumulation_pregel(down_ds: ray.data.Dataset,
             inboxes = _route(outs, n_shards)
             if not any(inboxes):
                 refs = [s.acc_result.remote() for s in shards]
-                return ray.data.from_pandas_refs(refs).materialize()
+                return ray.data.from_arrow_refs(refs).materialize()
             outs = ray.get([s.acc_round.remote(inboxes[i])
                             for i, s in enumerate(shards)])
         raise RuntimeError("weighted accumulation did not converge (cycle?)")
@@ -2501,7 +2502,7 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
         if left:
             raise RuntimeError(f"fd8 left {left} unresolved cells (flat ties?)")
         refs = [s.fd8_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
+        return ray.data.from_arrow_refs(refs).materialize()
     finally:
         _teardown(shards)
 
@@ -2531,7 +2532,7 @@ def mfd_accumulation_pregel(edge_fn, grid: GridSpec, *, tile: int = 64,
         if left:
             raise RuntimeError(f"mfd left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
+        return ray.data.from_arrow_refs(refs).materialize()
     finally:
         _teardown(shards)
 
@@ -2559,7 +2560,7 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
         if left:
             raise RuntimeError(f"dinf left {left} unresolved cells")
         refs = [s.fd8_result.remote() for s in shards]
-        return ray.data.from_pandas_refs(refs).materialize()
+        return ray.data.from_arrow_refs(refs).materialize()
     finally:
         _teardown(shards)
 
@@ -2578,7 +2579,7 @@ def _facet_accum_run(shards, n_shards, max_rounds, what: str):
     if left:
         raise RuntimeError(f"{what} left {left} unresolved cells")
     refs = [s.fd8_result.remote() for s in shards]
-    return ray.data.from_pandas_refs(refs).materialize()
+    return ray.data.from_arrow_refs(refs).materialize()
 
 
 def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
