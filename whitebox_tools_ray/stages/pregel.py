@@ -1935,7 +1935,8 @@ def _load_group() -> int:
     return 6 * max(1, alive)
 
 
-def _staggered_load(thunks: list) -> list:
+def _staggered_load(thunks: list, *, bytes_per_shard: int | None = None
+                    ) -> list:
     """Submit heavy per-shard load calls in bounded groups. A single-node
     guest collapses when too many actors fault ~1 GB of fresh pages
     concurrently (measured at a 61.6M-cell grid: 6 parallel fd8_loads
@@ -1946,6 +1947,11 @@ def _staggered_load(thunks: list) -> list:
     raise WBT_MAX_PARALLEL_LOADS."""
     out = []
     g = _load_group()
+    if bytes_per_shard:
+        # the throttle is an AGGREGATE burst (~8 GB); when the caller can
+        # bound its per-shard allocation, admit as many shards as fit a
+        # conservative 4 GB budget instead of the worst-case group of 6
+        g = max(g, int((4 << 30) // max(1, bytes_per_shard)))
     for i in range(0, len(thunks), g):
         out.extend(ray.get([t() for t in thunks[i:i + g]]))
     return out
@@ -2270,7 +2276,9 @@ def cost_distance_pregel(cost_fn, sources: np.ndarray, grid: GridSpec, *,
     full cell universe, so a synthetic down table (all -1) feeds the load."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
-        _staggered_load([lambda s=s: s.cd_load.remote(cost_fn) for s in shards])
+        per = grid.rows * grid.cols // max(1, n_shards)
+        _staggered_load([lambda s=s: s.cd_load.remote(cost_fn)
+                         for s in shards], bytes_per_shard=per * 200)
         outs = ray.get([s.cd_seed.remote(sources) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2364,10 +2372,8 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
             # trip the guest's lazy-memory throttle (see _staggered_load)
             thunks = [lambda s=s: s.fl_flood_local.remote(z_fn)
                       for s in shards]
-            if grid.rows * grid.cols // max(1, n_shards) > 2_500_000:
-                packs = _staggered_load(thunks)
-            else:
-                packs = ray.get([t() for t in thunks])
+            per = grid.rows * grid.cols // max(1, n_shards)
+            packs = _staggered_load(thunks, bytes_per_shard=per * 360)
             nodes, levels = _fill_solve_graph(
                 np.concatenate([p[0] for p in packs]))
             ray.get([s.fl_apply_levels.remote(
@@ -2375,7 +2381,9 @@ def fill_depressions_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
                 for s, p in zip(shards, packs)])
             refs = [s.fl_result.remote() for s in shards]
             return ray.data.from_arrow_refs(refs).materialize()
-        _staggered_load([lambda s=s: s.fl_load.remote(z_fn) for s in shards])
+        per = grid.rows * grid.cols // max(1, n_shards)
+        _staggered_load([lambda s=s: s.fl_load.remote(z_fn)
+                         for s in shards], bytes_per_shard=per * 200)
         outs = ray.get([s.fl_seed.remote() for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
