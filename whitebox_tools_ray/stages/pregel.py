@@ -2495,8 +2495,9 @@ def fd8_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     upslope-area measure in cells."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
+        per = grid.rows * grid.cols // max(1, n_shards)
         _staggered_load([lambda s=s: s.fd8_load.remote(z_fn, exponent)
-                        for s in shards])
+                        for s in shards], bytes_per_shard=per * 400)
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2526,7 +2527,8 @@ def mfd_accumulation_pregel(edge_fn, grid: GridSpec, *, tile: int = 64,
     (whitebox-plugins/src/{qin,quinn}_flow_accumulation/main.rs)."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
-        _staggered_load([lambda s=s: s.mfd_load.remote(edge_fn) for s in shards])
+        per = grid.rows * grid.cols // max(1, n_shards)
+        _staggered_load([lambda s=s: s.mfd_load.remote(edge_fn) for s in shards], bytes_per_shard=per * 400)
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2554,7 +2556,8 @@ def dinf_accumulation_pregel(z_fn, grid: GridSpec, *, tile: int = 64,
     topological shard wave as FD8."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
-        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
+        per = grid.rows * grid.cols // max(1, n_shards)
+        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards], bytes_per_shard=per * 400)
         outs = ray.get([s.fd8_round.remote([]) for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
@@ -2600,8 +2603,9 @@ def mdinf_accumulation_pregel(z_fn, grid: GridSpec, *, exponent: float = 1.1,
     (non-conserving, like the reference) mode."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
+        per = grid.rows * grid.cols // max(1, n_shards)
         _staggered_load([lambda s=s: s.mdinf_load.remote(z_fn, exponent)
-                        for s in shards])
+                        for s in shards], bytes_per_shard=per * 400)
         return _facet_accum_run(shards, n_shards, max_rounds, "mdinf")
     finally:
         _teardown(shards)
@@ -2618,7 +2622,8 @@ def dinf_mass_flux_pregel(z_fn, load_fn, eff_fp_fn, absorp_fn,
     2^20 fixed-point proportion; floor rounding (documented contract)."""
     shards, _prefix = _spawn_full_universe(grid, tile, n_shards)
     try:
-        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards])
+        per = grid.rows * grid.cols // max(1, n_shards)
+        _staggered_load([lambda s=s: s.dinf_load.remote(z_fn) for s in shards], bytes_per_shard=per * 400)
         ray.get([s.mf_configure.remote(load_fn, eff_fp_fn, absorp_fn)
                  for s in shards])
         return _facet_accum_run(shards, n_shards, max_rounds, "dinf mass flux")
@@ -2735,8 +2740,9 @@ def downslope_index_pregel(down_ds: ray.data.Dataset, z_fn, d_drop: int,
     doubling tables)."""
     shards, _prefix = _spawn_and_load(down_ds, grid, tile, n_shards)
     try:
+        per = grid.rows * grid.cols // max(1, n_shards)
         _staggered_load([lambda s=s: s.dsi_load.remote(z_fn, d_drop)
-                        for s in shards])
+                        for s in shards], bytes_per_shard=per * 400)
         outs = ray.get([s.dsi_init.remote() for s in shards])
         for _ in range(max_rounds):
             inboxes = _route(outs, n_shards)
