@@ -80,10 +80,11 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
                             input_sig=f"{corpus_dir}:pages_clip_tile:v1",
                             partition_col="tile_id", resume=resume)
 
-    # prune at the read: the rollup only needs cell_id, not url/text
-    from ..sources.tables import read_parquet_dir
+    # prune at the read: the rollup only needs cell_id, not url/text —
+    # and skip parquet planning over the blocks x tiles file explosion
+    from ..sources.tables import read_parquet_files_fast
 
-    tiled = read_parquet_dir(f"{out_dir}/tiled", columns=["cell_id"])
+    tiled = read_parquet_files_fast(f"{out_dir}/tiled", columns=["cell_id"])
     rollup = partial_agg(
         tiled.map_batches(
             lambda t: pa.table({
@@ -132,8 +133,13 @@ def flagship_tiling(sf_dir: str, out_dir: str, *, resume: bool = True,
                                 input_sig=f"{sf_dir}:clip_tile:v1",
                                 partition_col="tile_id", resume=resume)
 
+    # narrow re-read of the checkpoint, planning-free (see flagship_pages)
+    from ..sources.tables import read_parquet_files_fast
+
+    narrow = read_parquet_files_fast(f"{out_dir}/tiled",
+                                     columns=["cell_id", "value"])
     rollup = partial_agg(
-        tiled.map_batches(
+        narrow.map_batches(
             lambda t: cents(t, "value", "sum_cents")
             .append_column("n", pa.array(np.ones(len(t), np.int64)))
             .select(["cell_id", "n", "sum_cents"]),

@@ -80,6 +80,36 @@ def read_parquet_dir(path: str, columns: list[str] | None = None) -> ray.data.Da
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
 
 
+def read_parquet_files_fast(path: str, columns: list[str]) -> ray.data.Dataset:
+    """Planning-free parallel read of a parquet tree for NARROW follow-up
+    scans (checkpoint rollups): ``ray.data.read_parquet`` prefetches
+    per-fragment metadata on the driver (~1 ms/file — 2.4 s over the 2.7k
+    files a blocks-x-keys partitioned write makes), which is pure fixed
+    cost when the consumer only needs a column or two. This reads the
+    file LIST as items and opens each file inside the map task instead.
+    Hive partition columns are NOT recovered — pass only physical columns."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _, fs in os.walk(path):
+        files.extend(os.path.join(root, f) for f in fs
+                     if f.endswith(".parquet"))
+    files.sort()
+
+    def read_files(batch: dict) -> pa.Table:
+        tabs = [pq.read_table(f, columns=columns) for f in batch["item"]]
+        return pa.concat_tables(tabs) if tabs \
+            else pa.table({c: [] for c in columns})
+
+    per_task = max(1, len(files) // 256 + 1)
+    return ray.data.from_items(files,
+                               override_num_blocks=max(1, len(files) // per_task)) \
+        .map_batches(read_files, batch_format="numpy", batch_size=per_task)
+
+
 def read_points(sf_dir: str, extra_cols: tuple[str, ...] = ("value",)) -> ray.data.Dataset:
     """The standard point layer: events + derived (x, y).
 

@@ -58,15 +58,25 @@ def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
     t0 = time.time()
     if partition_col is not None:
         ds.write_parquet(tmp, partition_cols=[partition_col])  # streaming write
-        # per-partition lineage from file metadata only — no data re-read
-        parts: dict[str, int] = {}
+        # per-partition lineage from file metadata only — no data re-read.
+        # Footer reads release the GIL in Arrow, and a partitioned write
+        # makes blocks x keys files (2.7k at 8M pages), so scan them
+        # threaded: serial was ~1 ms/file of pure driver fixed cost.
+        from concurrent.futures import ThreadPoolExecutor
+
+        work: list[tuple[str, str]] = []
         for entry in sorted(os.listdir(tmp)):
             d = os.path.join(tmp, entry)
             if not (os.path.isdir(d) and "=" in entry):
                 continue
             key = entry.split("=", 1)[1]
-            parts[key] = sum(pq.read_metadata(os.path.join(d, f)).num_rows
-                             for f in os.listdir(d) if f.endswith(".parquet"))
+            work.extend((key, os.path.join(d, f)) for f in os.listdir(d)
+                        if f.endswith(".parquet"))
+        parts: dict[str, int] = {}
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for (key, _), n in zip(work, ex.map(
+                    lambda kf: pq.read_metadata(kf[1]).num_rows, work)):
+                parts[key] = parts.get(key, 0) + n
         rows = int(sum(parts.values()))
     else:
         ds.write_parquet(tmp)
