@@ -22,7 +22,6 @@ from ..layers import builtin_polygons
 from ..relational import cents, partial_agg
 from ..sources.tables import read_points
 from ..stages.spatial_join import clip_points
-from ..state.checkpoint import run_stage
 from ..layers import GRID1
 
 
@@ -76,23 +75,35 @@ def flagship_pages(corpus_dir: str, out_dir: str, *, resume: bool = False,
 
         return kept.map_batches(enc, batch_format="pyarrow")
 
-    _, manifest = run_stage("pages_clip_tile", build, f"{out_dir}/tiled",
-                            input_sig=f"{corpus_dir}:pages_clip_tile:v1",
-                            partition_col="tile_id", resume=resume)
+    # one-pass write: the write tasks themselves emit per-(tile, cell)
+    # count partials, so the per-cell rollup needs NO checkpoint re-read
+    # (the blocks x tiles file explosion made that re-read ~8-11 s of pure
+    # per-file fixed cost per bench leg — see checkpointed_write_inline_rollup)
+    from ..state.checkpoint import (checkpointed_write_inline_rollup,
+                                    is_complete, read_manifest)
 
-    # prune at the read: the rollup only needs cell_id, not url/text —
-    # and skip parquet planning over the blocks x tiles file explosion
-    from ..sources.tables import read_parquet_files_fast
+    sig = f"{corpus_dir}:pages_clip_tile:v1"
+    if resume and is_complete(f"{out_dir}/tiled", sig):
+        manifest = read_manifest(f"{out_dir}/tiled")
+        from ..sources.tables import read_parquet_files_fast
 
-    tiled = read_parquet_files_fast(f"{out_dir}/tiled", columns=["cell_id"])
-    rollup = partial_agg(
-        tiled.map_batches(
-            lambda t: pa.table({
-                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
-                "n": np.ones(len(t), np.int64),
-            }), batch_format="pyarrow"),
-        ["cell_id"], [("n", "sum", "n")])
-    n_cells = rollup.count()
+        tiled = read_parquet_files_fast(f"{out_dir}/tiled",
+                                        columns=["cell_id"])
+        rollup = partial_agg(
+            tiled.map_batches(
+                lambda t: pa.table({
+                    "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                    "n": np.ones(len(t), np.int64),
+                }), batch_format="pyarrow"),
+            ["cell_id"], [("n", "sum", "n")])
+        n_cells = rollup.count()
+    else:
+        merged, manifest = checkpointed_write_inline_rollup(
+            build(), f"{out_dir}/tiled", stage="pages_clip_tile",
+            input_sig=sig, partition_col="tile_id", uid_col="page_id",
+            rollup_keys=["cell_id"],
+            rollup_specs=[("page_id", "count", "n")])
+        n_cells = len(merged)
 
     wall = time.time() - t0
     return {
@@ -124,28 +135,42 @@ def flagship_tiling(sf_dir: str, out_dir: str, *, resume: bool = True,
             y = t["y"].to_numpy(zero_copy_only=False)
             row = GRID1.row_from_y(y)
             col = GRID1.col_from_x(x)
-            return t.append_column("cell_id", pa.array(GRID1.cell_id(row, col))) \
-                    .append_column("tile_id", pa.array(GRID1.tile_id(row, col)))
+            # sum_cents is rollup-only: dropped from the checkpoint files
+            return cents(t, "value", "sum_cents") \
+                .append_column("cell_id", pa.array(GRID1.cell_id(row, col))) \
+                .append_column("tile_id", pa.array(GRID1.tile_id(row, col)))
 
         return kept.map_batches(enc, batch_format="pyarrow")
 
-    tiled, manifest = run_stage("clip_tile", build, f"{out_dir}/tiled",
-                                input_sig=f"{sf_dir}:clip_tile:v1",
-                                partition_col="tile_id", resume=resume)
+    # one-pass write + inline per-cell rollup (see flagship_pages)
+    from ..state.checkpoint import (checkpointed_write_inline_rollup,
+                                    is_complete, read_manifest)
 
-    # narrow re-read of the checkpoint, planning-free (see flagship_pages)
-    from ..sources.tables import read_parquet_files_fast
+    sig = f"{sf_dir}:clip_tile:v1"
+    if resume and is_complete(f"{out_dir}/tiled", sig):
+        manifest = read_manifest(f"{out_dir}/tiled")
+        from ..sources.tables import read_parquet_files_fast
 
-    narrow = read_parquet_files_fast(f"{out_dir}/tiled",
-                                     columns=["cell_id", "value"])
-    rollup = partial_agg(
-        narrow.map_batches(
-            lambda t: cents(t, "value", "sum_cents")
-            .append_column("n", pa.array(np.ones(len(t), np.int64)))
-            .select(["cell_id", "n", "sum_cents"]),
-            batch_format="pyarrow"),
-        ["cell_id"], [("n", "sum", "n"), ("sum_cents", "sum", "sum_cents")])
-    n_cells = rollup.count()
+        narrow = read_parquet_files_fast(f"{out_dir}/tiled",
+                                         columns=["cell_id", "value"])
+        rollup = partial_agg(
+            narrow.map_batches(
+                lambda t: cents(t, "value", "sum_cents")
+                .append_column("n", pa.array(np.ones(len(t), np.int64)))
+                .select(["cell_id", "n", "sum_cents"]),
+                batch_format="pyarrow"),
+            ["cell_id"],
+            [("n", "sum", "n"), ("sum_cents", "sum", "sum_cents")])
+        n_cells = rollup.count()
+    else:
+        merged, manifest = checkpointed_write_inline_rollup(
+            build(), f"{out_dir}/tiled", stage="clip_tile", input_sig=sig,
+            partition_col="tile_id", uid_col="event_id",
+            rollup_keys=["cell_id"],
+            rollup_specs=[("event_id", "count", "n"),
+                          ("sum_cents", "sum", "sum_cents")],
+            drop_from_files=("sum_cents",))
+        n_cells = len(merged)
 
     wall = time.time() - t0
     return {

@@ -43,12 +43,17 @@ def read_manifest(out_dir: str) -> dict:
 
 
 def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
-                       input_sig: str, partition_col: str | None = None) -> dict:
+                       input_sig: str, partition_col: str | None = None,
+                       min_rows_per_file: int | None = None) -> dict:
     """Write ``ds`` to ``out_dir`` atomically and record lineage.
 
     When ``partition_col`` is given, the output is hive-partitioned on it
     (one directory per tile/key range — the resumable layout) and the
-    manifest carries per-partition row counts.
+    manifest carries per-partition row counts. ``min_rows_per_file``
+    bundles blocks into write tasks of at least that many rows: a
+    partitioned write otherwise creates blocks x keys files (5.4k files
+    of ~800 rows at 16M pages), and every downstream fixed cost — write
+    finalize, the lineage footer scan, the rollup re-read — is per-file.
     """
     import pyarrow.parquet as pq
 
@@ -57,7 +62,8 @@ def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
         shutil.rmtree(tmp)
     t0 = time.time()
     if partition_col is not None:
-        ds.write_parquet(tmp, partition_cols=[partition_col])  # streaming write
+        ds.write_parquet(tmp, partition_cols=[partition_col],  # streaming write
+                         min_rows_per_file=min_rows_per_file)
         # per-partition lineage from file metadata only — no data re-read.
         # Footer reads release the GIL in Arrow, and a partitioned write
         # makes blocks x keys files (2.7k at 8M pages), so scan them
@@ -79,7 +85,7 @@ def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
                 parts[key] = parts.get(key, 0) + n
         rows = int(sum(parts.values()))
     else:
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
         parts = {}
         rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
                    for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -99,6 +105,118 @@ def checkpointed_write(ds: ray.data.Dataset, out_dir: str, *, stage: str,
     with open(_manifest_path(out_dir), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def checkpointed_write_inline_rollup(
+        ds: ray.data.Dataset, out_dir: str, *, stage: str, input_sig: str,
+        partition_col: str, uid_col: str, rollup_keys: list[str],
+        rollup_specs: list[tuple[str, str, str]],
+        drop_from_files: tuple[str, ...] = ()):
+    """One-pass partitioned checkpoint write whose write tasks ALSO emit
+    grouped-aggregate partials over the rows they just wrote.
+
+    ``write_parquet(partition_cols=...)`` followed by a rollup re-read pays
+    three per-file costs over the blocks x keys file explosion (~5.4k files
+    at 16M pages): the lineage footer scan, a second read-executor launch,
+    and one file open per file — ~8-11 s per bench leg that is pure fixed
+    cost (bundling the write with ``min_rows_per_file`` instead coalesces
+    the FUSED upstream chain into row-count-sized tasks, which serializes
+    the 32-CPU leg and trips this guest's resident-memory throttle —
+    measured 42 s -> 112 s, so the re-read must go, not the task shape).
+    Here each map task splits its batch by ``partition_col``, writes the
+    hive layout itself (same directory shape as write_parquet: the
+    partition column lives in the dir name, not the file), and returns a
+    ``rollup_keys`` x ``rollup_specs`` partial for the batch. The caller
+    gets the merged rollup WITHOUT any re-read, and the manifest's
+    per-partition counts derive from the same partials.
+
+    Retry-idempotent: filenames are a deterministic function of the batch
+    content (min ``uid_col``, a globally unique id, plus row count), so a
+    re-executed write task overwrites its own files instead of duplicating
+    rows. Returns ``(rollup pandas.DataFrame, manifest)``; the rollup is
+    grouped-aggregate-sized (bounded by the spatial grid, not the data).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..relational import partial_agg
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    t0 = time.time()
+
+    arrow_aggs = [(c, {"sum": "sum", "count": "count", "min": "min",
+                       "max": "max"}[op]) for c, op, _ in rollup_specs]
+    renames = {f"{c}_{a}": out for (c, a), (_, _, out)
+               in zip(arrow_aggs, rollup_specs)}
+    partial_keys = [partition_col, *[k for k in rollup_keys
+                                     if k != partition_col]]
+
+    def write_and_partial(t: pa.Table) -> pa.Table:
+        tid = t[partition_col].to_numpy(zero_copy_only=False)
+        if len(t):
+            order = np.argsort(tid, kind="stable")
+            ts = t.take(pa.array(order))
+            tids = tid[order]
+            uid = ts[uid_col].to_numpy(zero_copy_only=False)
+            sig = f"{int(uid.min()):016x}-{len(ts)}"
+            bounds = np.flatnonzero(np.diff(tids)).astype(np.int64) + 1
+            starts = np.concatenate(([0], bounds))
+            stops = np.concatenate((bounds, [len(ts)]))
+            # the partition column lives in the dir name (hive layout);
+            # rollup-only derived columns stay out of the checkpoint schema
+            body = ts.drop_columns([partition_col, *drop_from_files])
+            for lo, hi in zip(starts, stops):
+                key = tids[lo]
+                d = os.path.join(tmp, f"{partition_col}={key}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(body.slice(lo, hi - lo),
+                               os.path.join(d, f"part-{sig}.parquet"))
+        res = t.group_by(partial_keys).aggregate(arrow_aggs)
+        return res.rename_columns([renames.get(c, c)
+                                   for c in res.column_names])
+
+    # materialize the (grouped-partial-sized) write outputs BEFORE the
+    # merge: with the tree merge's AllToAll Repartition in the same
+    # streaming graph, Ray's resource allocator reserves budget for the
+    # downstream exchange and backpressures the fused write stage to ONE
+    # in-flight task at low CPU counts (measured 73 s -> 400+ s at 8
+    # CPUs). The boundary costs one copy of n_blocks x n_keys partial
+    # rows — bounded by the grid, not the data.
+    partials = ds.map_batches(write_and_partial,
+                              batch_format="pyarrow").materialize()
+    merged = partial_agg(partials, partial_keys,
+                         [(out, "sum" if op in ("sum", "count") else op, out)
+                          for _, op, out in rollup_specs]).to_pandas()
+    wall = time.time() - t0
+
+    count_col = next(out for _, op, out in rollup_specs
+                     if op in ("sum", "count")
+                     and out in ("n", "count", "rows"))
+    parts = {str(k): int(v) for k, v in
+             merged.groupby(partition_col)[count_col].sum().items()}
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    manifest = {
+        "stage": stage,
+        "input_sig": input_sig,
+        "complete": True,
+        "rows": int(sum(parts.values())),
+        "wall_sec": round(wall, 3),
+        "partitions": parts,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    if partition_col not in rollup_keys:
+        merged = merged.groupby(rollup_keys, as_index=False)[
+            [out for _, _, out in rollup_specs]].sum()
+    return merged, manifest
 
 
 def resumable_partition_write(ds: ray.data.Dataset, out_dir: str, *,
@@ -176,7 +294,8 @@ def resumable_partition_write(ds: ray.data.Dataset, out_dir: str, *,
 
 def run_stage(name: str, build: Callable[[], ray.data.Dataset], out_dir: str, *,
               input_sig: str, partition_col: str | None = None,
-              resume: bool = True) -> tuple[ray.data.Dataset, dict]:
+              resume: bool = True,
+              min_rows_per_file: int | None = None) -> tuple[ray.data.Dataset, dict]:
     """Execute (or resume) one checkpointed stage.
 
     Returns (dataset reading the stage output, manifest). On resume the
@@ -189,6 +308,7 @@ def run_stage(name: str, build: Callable[[], ray.data.Dataset], out_dir: str, *,
         m["resumed"] = True
         return read_parquet_dir(out_dir), m
     manifest = checkpointed_write(build(), out_dir, stage=name, input_sig=input_sig,
-                                  partition_col=partition_col)
+                                  partition_col=partition_col,
+                                  min_rows_per_file=min_rows_per_file)
     manifest["resumed"] = False
     return read_parquet_dir(out_dir), manifest
