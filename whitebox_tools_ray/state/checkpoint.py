@@ -192,11 +192,18 @@ def checkpointed_write_inline_rollup(
     merged = partial_agg(partials, partial_keys,
                          [(out, "sum" if op in ("sum", "count") else op, out)
                           for _, op, out in rollup_specs]).to_pandas()
+    outs = [out for _, _, out in rollup_specs]
+    if merged.empty:  # empty input loses the schema through the merge
+        merged = pd.DataFrame(columns=[*partial_keys, *outs])
     wall = time.time() - t0
 
-    count_col = next(out for _, op, out in rollup_specs
-                     if op in ("sum", "count")
-                     and out in ("n", "count", "rows"))
+    # per-partition lineage rows come from a count spec (a count over the
+    # non-null uid column IS the partition's row count; sums are not)
+    count_col = next((out for _, op, out in rollup_specs if op == "count"),
+                     None)
+    if count_col is None:
+        raise ValueError("rollup_specs needs a 'count' spec — the manifest's "
+                         "per-partition row counts derive from it")
     parts = {str(k): int(v) for k, v in
              merged.groupby(partition_col)[count_col].sum().items()}
     if os.path.exists(out_dir):
