@@ -156,8 +156,21 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # min-of-N per leg (the timeit convention): this guest's lazy-memory
+    # throttle adds 10-30% wall noise in bursts (measured 8-CPU legs of
+    # 63.2/68.7/73.5/80.8 s on identical code+input within one hour) and
+    # only ever ADDS time, so the min is the truest machine-capability
+    # reading; every repeat's wall is reported for transparency.
+    repeats = int(os.environ.get("WBT_SCALING_REPEATS", "2"))
+
+    def best(ncpu: int) -> dict:
+        runs = [one(ncpu) for _ in range(repeats)]
+        b = min(runs, key=lambda r: r["wall_sec"])
+        b["wall_sec_all"] = [round(r["wall_sec"], 2) for r in runs]
+        return b
+
     one(8)  # untimed warm-up: generates + caches the corpus
-    r2, r8, r32 = one(2), one(8), one(32)
+    r2, r8, r32 = best(2), best(8), best(32)
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
     eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
     return {
@@ -172,6 +185,9 @@ def run_scaling() -> dict:
         "wall_sec_2": round(r2["wall_sec"], 2),
         "wall_sec_8": round(r8["wall_sec"], 2),
         "wall_sec_32": round(r32["wall_sec"], 2),
+        "wall_sec_all": {"2": r2["wall_sec_all"], "8": r8["wall_sec_all"],
+                         "32": r32["wall_sec_all"]},
+        "repeats_per_leg": repeats,
         "scaling_efficiency": round(eff_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "note": "2->8 is the CPU-bound per-node regime; 8->32 saturates this "
