@@ -31,7 +31,11 @@ def _job_key():
         import ray
 
         if ray.is_initialized():
-            return ray.get_runtime_context().get_job_id()
+            # the GCS address is unique per cluster instance; job ids are
+            # NOT (a fresh local cluster restarts them at the same value,
+            # so a driver cycling ray.shutdown()/ray.init() would be
+            # served dead ObjectRefs under a job-id key)
+            return ray.get_runtime_context().gcs_address
     except Exception:  # pragma: no cover - ray not importable
         pass
     return None

@@ -86,6 +86,12 @@ class FlowShard:
         self._res = None                          # (U, D, OK) doubling tables
         self._down_dict: dict[int, int] | None = None
 
+    def node_id(self) -> str:
+        """Placement observability (multi-node SPREAD verification)."""
+        import ray
+
+        return ray.get_runtime_context().get_node_id()
+
     def _tile(self, cid: int) -> int:
         return (cid // self.cols // self.tile) * self.tcols \
             + (cid % self.cols // self.tile)
@@ -1965,10 +1971,21 @@ _POOL: dict[tuple, tuple[list, str]] = {}
 
 def _pool_actors(grid: GridSpec, tile: int, n_shards: int):
     """Fetch-or-spawn the named shard-actor pool for this grid key
-    (actors reset between runs; spawn = ~1.5 s per run otherwise)."""
+    (actors reset between runs; spawn = ~1.5 s per run otherwise).
+
+    Keys include the Ray job id: a driver that cycles
+    ray.shutdown()/ray.init() in one process must never touch handles
+    from the previous session — even ray.kill on such a handle is a
+    fatal core-worker check, not a catchable exception — so dead-job
+    entries are simply dropped (their actors died with the session)."""
     import os
 
-    key = (grid.rows, grid.cols, tile, n_shards)
+    # the GCS address is unique per cluster instance (job AND worker ids
+    # are NOT: a fresh local cluster restarts both at the same value)
+    sess = ray.get_runtime_context().gcs_address
+    for k in [k for k in _POOL if k[0] != sess]:
+        del _POOL[k]
+    key = (sess, grid.rows, grid.cols, tile, n_shards)
     shards, prefix = None, ""
     if key in _POOL:
         cand, prefix = _POOL.pop(key)
