@@ -75,3 +75,32 @@ def test_parallelism_invariance():
     assert (a["url"] == b["url"]).all()
     assert (a["t2"] == b["t2"]).all()
     assert (a["t2"] == a["text"]).all()
+
+
+def test_arrow_kernel_matches_ground_truth_and_python_spec():
+    """The RE2/Arrow kernel (the flagship's hot path) must produce the
+    same bytes as the corpus ground-truth text column, and match the
+    Python-re reference kernel on ASCII inputs — including \v, which
+    Python's \s collapses (the split/join form covers it; RE2's \s does
+    not)."""
+    import pyarrow as pa
+
+    from whitebox_tools_ray.functions.extract_html import extract_text_arrow
+
+    df = gen_pages(np.arange(2000))
+    t = pa.table({"html": df["html"].to_numpy()})
+    got = extract_text_arrow(t, out_col="t2")["t2"].to_pylist()
+    assert got == df["text"].tolist()
+
+    edges = [
+        "<body>  a \n\t b  </body>",
+        "<body>a\x0b b</body>",                      # vertical tab
+        "<body><p>a</p><p broken",                   # no closing '>' at all
+        "<body><script>var x = 1 < 2;</script>ok</body>",
+        "<html><head><title>T</title></head><body></body></html>",
+        "<body><style>p { color: red; }</style>x<script>1</script></body>",
+        "",
+    ]
+    t2 = pa.table({"html": edges})
+    got2 = extract_text_arrow(t2, out_col="t2")["t2"].to_pylist()
+    assert got2 == [extract_text_one(h) for h in edges]

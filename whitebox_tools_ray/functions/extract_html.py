@@ -49,11 +49,21 @@ def extract_text_arrow(t, html_col: str = "html", out_col: str = "text_extracted
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
         col = col.cast(pa.string())
     s = pc.replace_substring_regex(col, pattern=r"(?s)<head\b.*?</head>", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"(?s)<script\b.*?</script>", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"(?s)<style\b.*?</style>", replacement=" ")
+    # one scan for rule 2: the alternation is the same language as the
+    # spec's backreference form <(script|style)\b.*?</\1> (the literal
+    # prefixes are disjoint, so at any position only one branch can match
+    # and leftmost-first picks the same span)
+    s = pc.replace_substring_regex(
+        s, pattern=r"(?s)<script\b.*?</script>|<style\b.*?</style>",
+        replacement=" ")
     s = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
-    s = pc.utf8_trim_whitespace(s)
+    # rule 4+5 as split/join instead of an RE2 \s+ replace: the \s+ pass
+    # was 70% of the whole kernel (many tiny matches -> realloc churn);
+    # trim first so split sees no leading/trailing empty parts. ASCII
+    # whitespace additionally covers \v, which Python's re \s collapses
+    # but RE2's \s does not — strictly CLOSER to the reference kernel.
+    s = pc.binary_join(
+        pc.ascii_split_whitespace(pc.utf8_trim_whitespace(s)), " ")
     if out_col in t.column_names:
         t = t.drop_columns([out_col])
     return t.append_column(out_col, s)
