@@ -536,3 +536,57 @@ def zlidar_roundtrip_stats(sf_dir: str):
     return partial_agg(z.map_batches(stats, batch_format="pandas"),
                        ["cls"], [(c, "sum", c) for c in
                                  ("n", "xy7_sum", "z_sum", "attr_sum")])
+
+
+@query(
+    "laz_roundtrip_stats",
+    f"""
+    WITH {_LAS_CTE}
+    SELECT CAST(cls AS BIGINT) AS cls, COUNT(*) AS n,
+           CAST(SUM(x_int + 7 * y_int) AS BIGINT) AS xy7_sum,
+           CAST(SUM(z_int) AS BIGINT) AS z_sum,
+           CAST(SUM(intensity + ret + nret + angle) AS BIGINT) AS attr_sum,
+           CAST(SUM(event_id) AS BIGINT) AS gps_sum
+    FROM lq GROUP BY cls
+    """,
+)
+def laz_roundtrip_stats(sf_dir: str):
+    """Real LAZ (LASzip) round trip — the reference reads/writes .laz via
+    the laz crate (whitebox-lidar/src/las.rs:527,1175 read_laz_data /
+    :3409 write_laz_data); sources/laz.py is a from-scratch pure-python
+    implementation of the published LASzip algorithm (FastAC arithmetic
+    coder, POINT10 v2 + GPSTIME11 v2 item codecs, pointwise-chunked
+    container). Every batch writes its own .laz; the read-back Dataset
+    decodes one task per (file, chunk) via the chunk table; per-class
+    checksums incl. the GPS-time sum prove the compressed round trip
+    bit-for-bit."""
+    from ..sources.laz import read_laz_ds, write_laz
+
+    d = tempfile.mkdtemp(prefix="laz_rt_", dir="/tmp")
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        p = os.path.join(d, f"part-{uuid.uuid4().hex}.laz")
+        write_laz(p, df, point_format=1)
+        return pd.DataFrame({"path": [p], "n": [len(df)]})
+
+    pts = read_points(sf_dir).map_batches(_quantize, batch_format="pandas")
+    paths = pts.map_batches(write_batch, batch_format="pandas").to_pandas()
+    laz = read_laz_ds(paths["path"].tolist())
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cls": df["cls"].to_numpy(np.int64),
+            "n": np.ones(len(df), np.int64),
+            "xy7_sum": df["x_int"].to_numpy(np.int64)
+            + 7 * df["y_int"].to_numpy(np.int64),
+            "z_sum": df["z_int"].to_numpy(np.int64),
+            "attr_sum": df["intensity"].to_numpy(np.int64)
+            + df["ret"].to_numpy(np.int64) + df["nret"].to_numpy(np.int64)
+            + df["scan_angle"].to_numpy(np.int64),
+            # gps_time carries event_id exactly (small integers in f64)
+            "gps_sum": df["gps_time"].to_numpy(np.float64).astype(np.int64)})
+
+    return partial_agg(laz.map_batches(stats, batch_format="pandas"),
+                       ["cls"], [(c, "sum", c) for c in
+                                 ("n", "xy7_sum", "z_sum", "attr_sum",
+                                  "gps_sum")])
