@@ -183,3 +183,22 @@ def test_read_laz_ds(tmp_path, ray_session):
     e = exp.sort_values(["psid", "x_int", "y_int", "z_int", "gps_time"]).reset_index(drop=True)
     for col in POINT_COLS + ("gps_time",):
         assert np.array_equal(g[col].to_numpy(), e[col].to_numpy()), col
+
+
+def test_read_las_ds_dispatches_laz(tmp_path, ray_session):
+    """Mixed .las/.laz input through the one reader API (the reference's
+    extension-dispatched read)."""
+    from whitebox_tools_ray.sources.las import read_las_ds, write_las
+
+    d1, d2 = _df(800, seed=3), _df(700, seed=11)
+    p1 = os.path.join(tmp_path, "a.las")
+    p2 = os.path.join(tmp_path, "b.laz")
+    write_las(p1, d1, point_format=1)
+    write_laz(p2, d2, point_format=1, chunk_size=500)
+    got = read_las_ds([p1, p2]).to_pandas()
+    assert len(got) == len(d1) + len(d2)
+    exp = pd.concat([d1, d2], ignore_index=True)
+    g = got.sort_values(["psid", "x_int", "y_int", "gps_time"]).reset_index(drop=True)
+    e = exp.sort_values(["psid", "x_int", "y_int", "gps_time"]).reset_index(drop=True)
+    for col in POINT_COLS + ("gps_time",):
+        assert np.array_equal(g[col].to_numpy(), e[col].to_numpy()), col

@@ -126,9 +126,22 @@ def read_las_records(path: str, lo: int, hi: int) -> pd.DataFrame:
 
 
 def read_las_ds(paths: list[str], *, records_per_block: int = 65536):
-    """Dataset over one or many .las files: tasks decode their own
-    (file, record-range) slices."""
+    """Dataset over one or many .las/.laz files: tasks decode their own
+    (file, record-range) slices; .laz files dispatch to the LASzip reader
+    (one task per compressed chunk), mirroring the reference's
+    extension-dispatched read (whitebox-lidar/src/las.rs:527)."""
     import ray.data
+
+    laz_paths = [p for p in paths if p.lower().endswith(".laz")]
+    if laz_paths:
+        from .laz import read_laz_ds
+
+        las_paths = [p for p in paths if not p.lower().endswith(".laz")]
+        laz = read_laz_ds(laz_paths)
+        if not las_paths:
+            return laz
+        return read_las_ds(las_paths,
+                           records_per_block=records_per_block).union(laz)
 
     jobs = []
     for p in paths:
