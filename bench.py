@@ -98,13 +98,16 @@ def run_bench() -> dict:
     return result
 
 
-# 16M pages: at 8M the ~10-12 s of per-leg fixed cost (read planning, write
-# finalize, executor startup) is ~10% of the 2-CPU wall and depresses the
-# measured 2->8 ratio; doubling the corpus halves the fixed-cost share, which
-# is the honest direction — the north rule's regime is 100 TB, where per-job
-# fixed costs vanish entirely. The corpus dir is keyed by row count so a
-# stale smaller corpus is never silently reused.
-PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "16000000"))
+# 32M pages: the corpus scales WITH the kernel — at 8M the ~10-12 s of
+# per-leg fixed cost (read planning, write finalize, executor startup) was
+# ~10% of the 2-CPU wall and depressed the measured 2->8 ratio, so round 5
+# doubled it to 16M; the round-5 extract-kernel rework then roughly doubled
+# throughput again (32-CPU leg 640k -> 1.04M docs/s), which would have
+# restored the old fixed-cost share at 16M. Growing the corpus alongside the
+# kernel is the honest direction — the north rule's regime is 100 TB, where
+# per-job fixed costs vanish entirely. The corpus dir is keyed by row count
+# so a stale smaller corpus is never silently reused.
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "32000000"))
 PAGES_CORPUS = os.environ.get("GRAFT_PAGES_DIR",
                               f"/tmp/wbt_pages_corpus_{PAGES_ROWS}")
 
