@@ -117,7 +117,16 @@ def window_exchange(tiles_ds: ray.data.Dataset, grid: GridSpec, window_fn, *,
             padded[pr:pr + frag.shape[0], pc:pc + frag.shape[1]] = frag
         return window_fn(padded, nr, nc, r0, c0)
 
-    return frags.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+    # materialize the assembled output: when the groupby's AllToAll shares
+    # one streaming graph with a downstream exchange (partial_agg's tree
+    # merge, a re-tile, a second stencil), Ray's resource manager reserves
+    # budget for both and backpressures the middle operators — measured
+    # 4.9 s -> 1.0 s for stencil_mean3x3_10x at 6.12M cells / 32 CPUs (the
+    # same pathology class as checkpoint.checkpointed_write_inline_rollup's
+    # documented 8-CPU collapse). The boundary holds tile TENSORS: grid-
+    # bounded (cells x result keys), never data-bounded.
+    return frags.groupby("tile_id").map_groups(
+        assemble, batch_format="pandas").materialize()
 
 
 def stencil_k(tiles_ds: ray.data.Dataset, grid: GridSpec, cell_kernel, *,
