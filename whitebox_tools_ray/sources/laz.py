@@ -32,6 +32,7 @@ is available.
 from __future__ import annotations
 
 import struct
+from bisect import bisect_right as _bisect_right
 
 import numpy as np
 import pandas as pd
@@ -249,16 +250,10 @@ class _Decoder:
         # distribution is strictly increasing (count >= 1 and total <= 2^15
         # make every scaled increment >= 1), so the FastAC bisection loop is
         # equivalent to: largest sym with distribution[sym]*length <= value
+        # (bisect is the same search in C)
         t = self.value // self.length
         dist = m.distribution
-        lo, hi = 0, m.nsym
-        while hi - lo > 1:
-            mid = (lo + hi) >> 1
-            if dist[mid] <= t:
-                lo = mid
-            else:
-                hi = mid
-        sym = lo
+        sym = _bisect_right(dist, t) - 1
         x = dist[sym] * self.length
         if sym < m.last_symbol:
             y = dist[sym + 1] * self.length
@@ -618,7 +613,8 @@ class _Point10v2:
         last[2] = self.ic_z.decompress(dec, self.last_height[lvl],
                                        one + ((kz & ~1) if kz < 18 else 18))
         self.last_height[lvl] = last[2]
-        return list(last)
+        # the codec's live state: callers copy before the next decompress
+        return last
 
 
 _GT_MULTI = 500
@@ -899,29 +895,32 @@ def write_laz(path: str, df: pd.DataFrame, *,
         struct.pack_into("<6d", hdr, 179, xs.max(), xs.min(),
                          ys.max(), ys.min(), zs.max(), zs.min())
 
-    gps_bits = (rec["gps_time"].view(np.uint64)
+    gps_bits = (rec["gps_time"].view(np.uint64).tolist()
                 if point_format == 1 else None)
+    # per-column Python lists once (numpy scalar indexing per point is the
+    # encode loop's top cost); scan_angle folded to its raw byte up front
+    pts = list(zip(rec["X"].tolist(), rec["Y"].tolist(), rec["Z"].tolist(),
+                   rec["intensity"].tolist(), rec["flags"].tolist(),
+                   rec["cls"].tolist(),
+                   (rec["scan_angle"].astype(np.uint8)).tolist(),
+                   rec["user"].tolist(), rec["psid"].tolist()))
     chunk_blobs: list[bytes] = []
     for lo in range(0, n, chunk_size):
         hi = min(lo + chunk_size, n)
         blob = bytearray(rec[lo:hi][:1].tobytes())     # first point raw
         enc = _Encoder()
-        first = rec[lo]
-        pt_codec = _Point10v2([int(first["X"]), int(first["Y"]),
-                               int(first["Z"]), int(first["intensity"]),
-                               int(first["flags"]), int(first["cls"]),
-                               int(first["scan_angle"]) & 0xFF,
-                               int(first["user"]), int(first["psid"])])
-        gt_codec = (_GpsTime11v2(int(gps_bits[lo]))
+        pt_codec = _Point10v2(pts[lo])
+        gt_codec = (_GpsTime11v2(gps_bits[lo])
                     if point_format == 1 else None)
-        for i in range(lo + 1, hi):
-            p = rec[i]
-            pt_codec.compress(enc, [int(p["X"]), int(p["Y"]), int(p["Z"]),
-                                    int(p["intensity"]), int(p["flags"]),
-                                    int(p["cls"]), int(p["scan_angle"]) & 0xFF,
-                                    int(p["user"]), int(p["psid"])])
-            if gt_codec is not None:
-                gt_codec.compress(enc, int(gps_bits[i]))
+        pc_compress = pt_codec.compress
+        if gt_codec is None:
+            for i in range(lo + 1, hi):
+                pc_compress(enc, pts[i])
+        else:
+            gt_compress = gt_codec.compress
+            for i in range(lo + 1, hi):
+                pc_compress(enc, pts[i])
+                gt_compress(enc, gps_bits[i])
         blob += enc.done()
         chunk_blobs.append(bytes(blob))
 
@@ -1019,47 +1018,47 @@ def _decode_chunk(blob: bytes, n_points: int, point_format: int,
                   scale, offset) -> pd.DataFrame:
     dt = _PF1 if point_format == 1 else _PF0
     first = np.frombuffer(blob[:dt.itemsize], dt)[0]
-    cols = {k: np.empty(n_points, np.int64)
-            for k in ("x_int", "y_int", "z_int", "intensity", "ret", "nret",
-                      "cls", "scan_angle", "psid")}
-    gps = np.empty(n_points, np.uint64) if point_format == 1 else None
-
-    def put(i, pt, g):
-        cols["x_int"][i] = pt[0]
-        cols["y_int"][i] = pt[1]
-        cols["z_int"][i] = pt[2]
-        cols["intensity"][i] = pt[3]
-        cols["ret"][i] = pt[4] & 7
-        cols["nret"][i] = (pt[4] >> 3) & 7
-        cols["cls"][i] = pt[5]
-        a = pt[6]
-        cols["scan_angle"][i] = a - 256 if a >= 128 else a
-        cols["psid"][i] = pt[8]
-        if gps is not None:
-            gps[i] = g
-
     fp = [int(first["X"]), int(first["Y"]), int(first["Z"]),
           int(first["intensity"]), int(first["flags"]), int(first["cls"]),
           int(first["scan_angle"]) & 0xFF, int(first["user"]),
           int(first["psid"])]
     g0 = int(first["gps_time"].view(np.uint64)) if point_format == 1 else 0
-    put(0, fp, g0)
+    # accumulate decoded point rows as Python lists; one numpy conversion
+    # at the end (per-element ndarray stores were the decode loop's #2 cost)
+    rows = [tuple(fp)]
+    gps_list = [g0]
     pt_codec = _Point10v2(fp)
     gt_codec = _GpsTime11v2(g0) if point_format == 1 else None
     dec = _Decoder(blob, dt.itemsize)
-    for i in range(1, n_points):
-        pt = pt_codec.decompress(dec)
-        g = gt_codec.decompress(dec) if gt_codec is not None else 0
-        put(i, pt, g)
+    pc_decompress = pt_codec.decompress
+    if gt_codec is None:
+        for _ in range(1, n_points):
+            rows.append(tuple(pc_decompress(dec)))
+    else:
+        gt_decompress = gt_codec.decompress
+        for _ in range(1, n_points):
+            rows.append(tuple(pc_decompress(dec)))
+            gps_list.append(gt_decompress(dec))
 
+    arr = np.array(rows, np.int64).reshape(n_points, 9)
+    flags = arr[:, 4]
+    angle = arr[:, 6]
+    cols = {
+        "x_int": arr[:, 0], "y_int": arr[:, 1], "z_int": arr[:, 2],
+        "intensity": arr[:, 3],
+        "ret": flags & 7, "nret": (flags >> 3) & 7,
+        "cls": arr[:, 5],
+        "scan_angle": np.where(angle >= 128, angle - 256, angle),
+        "psid": arr[:, 8],
+    }
     out = pd.DataFrame(cols)
     sx, sy, sz = scale
     ox, oy, oz = offset
     out.insert(0, "z", out["z_int"].to_numpy(np.float64) * sz + oz)
     out.insert(0, "y", out["y_int"].to_numpy(np.float64) * sy + oy)
     out.insert(0, "x", out["x_int"].to_numpy(np.float64) * sx + ox)
-    if gps is not None:
-        out["gps_time"] = gps.view(np.float64)
+    if point_format == 1:
+        out["gps_time"] = np.array(gps_list, np.uint64).view(np.float64)
     return out
 
 
