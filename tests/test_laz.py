@@ -185,6 +185,28 @@ def test_read_laz_ds(tmp_path, ray_session):
         assert np.array_equal(g[col].to_numpy(), e[col].to_numpy()), col
 
 
+def test_golden_fixture_bitstream(tmp_path):
+    """A COMMITTED .laz file pins the bitstream across refactors: the
+    decoder must read it bit-exact forever, and re-encoding its content
+    must reproduce the identical bytes (the codec is deterministic). The
+    round-trip tests alone cannot catch a symmetric encoder+decoder
+    change that silently forks the format."""
+    import hashlib
+
+    golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "golden_pf1.laz")
+    with open(golden, "rb") as f:
+        blob = f.read()
+    assert hashlib.sha256(blob).hexdigest() == \
+        "6c1ee36edb9acbd1c43a944ee160f86c5ad6a384eda3aed0789f598b903478c8"
+    df = _df(2000)
+    _assert_equal(read_laz_points(golden), df, gps=True)
+    p = os.path.join(tmp_path, "re.laz")
+    write_laz(p, df, point_format=1, chunk_size=700)
+    with open(p, "rb") as f:
+        assert f.read() == blob
+
+
 def test_read_las_ds_dispatches_laz(tmp_path, ray_session):
     """Mixed .las/.laz input through the one reader API (the reference's
     extension-dispatched read)."""
