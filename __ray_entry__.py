@@ -53,15 +53,28 @@ def _driver_priority_order(names: list[str], oracle: dict[str, str]) -> list[str
             if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
                 green.add(name)
 
+    # entries that did not exist in the PREVIOUS round's registry (absent
+    # from its committed full-mirror sweep) carry the newest code and the
+    # least history — check them before the older never-checked backlog
+    prev_registry: set[str] = set()
+    mirrors = sorted(glob.glob(os.path.join(here, "MIRROR_r*.json")))
+    if len(mirrors) >= 2:
+        try:
+            with open(mirrors[-2]) as f:
+                prev_registry = set(json.load(f))
+        except Exception:
+            prev_registry = set()
+
     def tier(n: str) -> int:
         # 0: previously no_oracle/failed entries that NOW carry SQL — each
         #    check upgrades a known-weak signal to hash-green (highest value)
-        # 1: never seen in any round   2: seen rows-only   3: already green
+        # 1: never seen AND new since the previous round's registry
+        # 2: never seen in any round   3: seen rows-only   4: already green
         if n in seen and n not in green and n in oracle:
             return 0
         if n not in seen:
-            return 1
-        return 3 if n in green else 2
+            return 1 if (prev_registry and n not in prev_registry) else 2
+        return 4 if n in green else 3
 
     # within a tier, SQL-backed entries first: a hash-green row is strictly
     # stronger evidence than a rows-only record
