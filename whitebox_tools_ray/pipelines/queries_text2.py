@@ -180,3 +180,92 @@ def benchmark_contamination(sf_dir: str):
                      "n_contaminated": np.int64})
 
     return ds.map_batches(screen, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data mandate: the standard pre-training redaction
+# pass — emails / IPv4 / phone numbers — as a zero-copy Arrow RE2 kernel).
+# The synthetic corpus contains no organic PII, so both sides append the
+# SAME deterministic doc_id-derived contact line to 2/3 of the documents
+# (doc_id % 3 != 0) before scanning; the other 1/3 exercise the no-match
+# path. pyarrow.compute and DuckDB both run RE2, so counts AND the redacted
+# strings themselves are byte-comparable (the driver hash covers them).
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+1-555-\d{4}"
+
+
+@query(
+    "pii_scrub",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+        ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+        || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        END AS aug_text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(aug_text, '{_PII_EMAIL}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(aug_text, '{_PII_IPV4}')) AS BIGINT)
+        AS n_ip,
+      CAST(len(regexp_extract_all(aug_text, '{_PII_PHONE}')) AS BIGINT)
+        AS n_phone,
+      regexp_replace(regexp_replace(regexp_replace(aug_text,
+        '{_PII_EMAIL}', '[EMAIL]', 'g'),
+        '{_PII_IPV4}', '[IP]', 'g'),
+        '{_PII_PHONE}', '[PHONE]', 'g') AS redacted,
+      CAST(length(regexp_replace(regexp_replace(regexp_replace(aug_text,
+        '{_PII_EMAIL}', '[EMAIL]', 'g'),
+        '{_PII_IPV4}', '[IP]', 'g'),
+        '{_PII_PHONE}', '[PHONE]', 'g')) AS BIGINT) AS red_len
+    FROM aug
+    """,
+)
+def pii_scrub(sf_dir: str):
+    """PII redaction over the documents corpus: per-document email / IPv4 /
+    phone match counts plus the redacted text (passes applied in a fixed
+    order: email -> ip -> phone). One streaming Arrow pass — compiled-RE2
+    `count_substring_regex` / `replace_substring_regex` kernels, no Python
+    row loop, no shuffle (per-doc outputs only). Reference analog: the
+    attribute-scrub family (data_tools modify_no_data_value.rs pattern —
+    value rewrite in a single raster/table pass); the regex set is the
+    standard web-pipeline PII triple."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+        inj = pc.binary_join_element_wise(
+            " contact user", s(ids), "@ex", s(ids % 7),
+            ".com from 10.", s(ids % 256), ".0.", s(ids % 100),
+            " tel +1-555-", pc.utf8_lpad(s(ids % 10000), 4, "0"), "")
+        inj = pc.if_else(pa.array(ids % 3 == 0), "", inj)
+        aug = pc.binary_join_element_wise(t.column("text"), inj, "")
+        red = pc.replace_substring_regex(
+            aug, pattern=_PII_EMAIL, replacement="[EMAIL]")
+        red = pc.replace_substring_regex(
+            red, pattern=_PII_IPV4, replacement="[IP]")
+        red = pc.replace_substring_regex(
+            red, pattern=_PII_PHONE, replacement="[PHONE]")
+        cnt = lambda p: pc.cast(  # noqa: E731
+            pc.count_substring_regex(aug, pattern=p), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_email": cnt(_PII_EMAIL),
+            "n_ip": cnt(_PII_IPV4),
+            "n_phone": cnt(_PII_PHONE),
+            "redacted": red,
+            "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
