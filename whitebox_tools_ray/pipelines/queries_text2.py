@@ -269,3 +269,59 @@ def pii_scrub(sf_dir: str):
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (training-data mandate: "take K docs per
+# stratum" curation without a global sort — the seeded-hash-order idiom every
+# corpus-mixing pipeline uses so reruns and resumed jobs pick the same docs).
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 20
+
+
+def _stratified_sql() -> str:
+    from .sqlgen import sm64
+
+    return f"""
+    SELECT lang, doc_id, CAST(rnk AS BIGINT) AS smpl_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {sm64('doc_id')}) AS rnk
+      FROM documents)
+    WHERE rnk <= {_SAMPLE_K}
+    """
+
+
+@query("stratified_sample_topk", _stratified_sql())
+def stratified_sample_topk(sf_dir: str):
+    """Deterministic stratified sample: the K=_SAMPLE_K documents per lang
+    with the smallest splitmix64(doc_id) (a u64 bijection, so no ties and the
+    pick is stable across runs / parallelism / resumes). Distributed per-group
+    top-k WITHOUT a global sort: each batch emits at most K rows per lang
+    (map-side combine), then one tiny groupby over num_batches x langs x K
+    partial rows selects the final K and assigns ranks — shuffle volume is
+    O(K * strata), never O(corpus)."""
+    from ..sources.synthetic import splitmix64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": df["lang"],
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "h": splitmix64(df["doc_id"].to_numpy(np.int64)),
+        })
+        return out.sort_values("h").groupby("lang", sort=False) \
+            .head(_SAMPLE_K)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h").head(_SAMPLE_K).reset_index(drop=True)
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "doc_id": g["doc_id"].astype(np.int64),
+            "smpl_rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("lang").map_groups(final, batch_format="pandas")
