@@ -325,3 +325,67 @@ def stratified_sample_topk(sf_dir: str):
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("lang").map_groups(final, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (training-data mandate: the dedup-key normalization
+# every web crawl applies before URL-level dedup — lowercase scheme+host,
+# strip the port, drop the fragment, preserve path case). The corpus has no
+# URL column, so both sides synthesize the SAME mixed-case doc_id-derived
+# raw URL (optional :80 port, optional #fragment) and canonicalize it.
+# --------------------------------------------------------------------------
+
+@query(
+    "url_canonicalize",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'HTTP' END)
+        || '://WWW' || CAST(doc_id % 5 AS VARCHAR)
+        || '.Ex' || CAST(doc_id % 11 AS VARCHAR) || '.COM'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+        || '/P/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+      lower(regexp_extract(url, '^([A-Za-z]+)://([^/:#]+)', 2)) AS host,
+      lower(regexp_extract(url, '^([A-Za-z]+)://([^/:#]+)', 1)) || '://'
+        || lower(regexp_extract(url, '^([A-Za-z]+)://([^/:#]+)', 2))
+        || regexp_extract(url, '^[A-Za-z]+://[^/:#]+(:\d+)?(/[^#]*)?', 2)
+        AS canon
+    FROM raw
+    """,
+)
+def url_canonicalize(sf_dir: str):
+    """URL canonicalization for crawl dedup keys: lowercase the scheme and
+    host, strip any explicit port, drop the #fragment, keep the path
+    byte-for-byte (paths are case-sensitive). One streaming Arrow pass —
+    a single compiled-RE2 `extract_regex` per batch whose named groups
+    (scheme/host/port/path) are recombined with `binary_join_element_wise`;
+    the canonical strings are byte-compared against the DuckDB oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+        scheme = pc.if_else(pa.array(ids % 2 == 1), "HTTPS", "HTTP")
+        port = pc.if_else(pa.array(ids % 4 == 0), ":80", "")
+        frag = pc.if_else(pa.array(ids % 3 == 0), "#Frag", "")
+        raw = pc.binary_join_element_wise(
+            scheme, "://WWW", s(ids % 5), ".Ex", s(ids % 11), ".COM",
+            port, "/P/", s(ids), frag, "")
+        ex = pc.extract_regex(
+            raw, pattern=r"^(?P<sc>[A-Za-z]+)://(?P<host>[^/:#]+)"
+                         r"(?P<port>:\d+)?(?P<path>/[^#]*)?")
+        sc = pc.utf8_lower(pc.struct_field(ex, "sc"))
+        host = pc.utf8_lower(pc.struct_field(ex, "host"))
+        out = pc.binary_join_element_wise(
+            sc, "://", host, pc.struct_field(ex, "path"), "")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "host": host, "canon": out})
+
+    return ds.map_batches(canon, batch_format="pyarrow")
