@@ -389,3 +389,100 @@ def url_canonicalize(sf_dir: str):
                          "host": host, "canon": out})
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Token-budget source mixing (training-data mandate: "take at most B tokens
+# per source, greedily in seeded-hash order" — the corpus-mixing admission
+# rule). Exact and distributed WITHOUT a per-source global sort: the
+# admitted set is a prefix in splitmix64(doc_id) order, so only the
+# per-source CUTOFF hash must be found. Three passes: (A) per-(source,
+# hash-bucket) char sums -> a sources x 1024 histogram on the driver picks
+# each source's boundary bucket; (B) only the boundary bucket's rows
+# (corpus/1024 selectivity) resolve the exact cutoff; (C) a broadcast
+# per-source cutoff filter emits the admitted docs. Driver state is
+# O(sources x 1024), shuffle volume zero.
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 4_000  # chars per source; binds at sf0.001/0.01/0.1
+# (per-source totals: ~21k / ~7.5k / ~74k chars)
+
+
+def _budget_sql() -> str:
+    from .sqlgen import sm64
+
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY {sm64('doc_id')}
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT source, doc_id FROM ranked WHERE cum <= {_MIX_BUDGET}
+    """
+
+
+@query("source_token_budget", _budget_sql())
+def source_token_budget(sf_dir: str):
+    """Greedy per-source admission under a character budget, in
+    splitmix64(doc_id) order (deterministic, tie-free). See the block
+    comment above for the 3-pass exact plan; the DuckDB oracle is the
+    one-window-function form of the same rule."""
+    from ..sources.synthetic import splitmix64
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = splitmix64(df["doc_id"].to_numpy(np.int64))
+        df["bucket"] = (df["h"].to_numpy() >> np.uint64(54)).astype(np.int64)
+        return df
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        return keyed(df).groupby(["source", "bucket"], as_index=False,
+                                 sort=False)["n_chars"].sum()
+
+    # pass A: sources x <=1024 partial rows per batch; final combine is tiny
+    agg = ds.map_batches(bucket_sums, batch_format="pandas").to_pandas() \
+        .groupby(["source", "bucket"], as_index=False)["n_chars"].sum()
+    cuts: dict[str, np.uint64] = {}
+    bounds: dict[str, tuple[int, int]] = {}
+    for src, g in agg.groupby("source"):
+        g = g.sort_values("bucket")
+        cum = g["n_chars"].cumsum()
+        over = (cum > _MIX_BUDGET).to_numpy()
+        if not over.any():
+            cuts[src] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            continue
+        i = int(np.argmax(over))
+        prev = int(cum.iloc[i - 1]) if i > 0 else 0
+        bounds[src] = (int(g["bucket"].iloc[i]), _MIX_BUDGET - prev)
+
+    if bounds:
+        bb = {s: b for s, (b, _) in bounds.items()}
+
+        def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+            df = keyed(df)
+            m = df["source"].map(bb).to_numpy() == df["bucket"].to_numpy()
+            return df.loc[m, ["source", "n_chars", "h"]]
+
+        # pass B: ~corpus/1024 rows resolve each source's exact cutoff hash
+        br = ds.map_batches(boundary_rows, batch_format="pandas").to_pandas()
+        for src, (bucket, resid) in bounds.items():
+            rows = br[br["source"] == src].sort_values("h")
+            ok = rows["n_chars"].cumsum().to_numpy() <= resid
+            if ok.any():
+                cuts[src] = rows["h"].to_numpy()[np.flatnonzero(ok)[-1]]
+            elif bucket > 0:
+                # admit the full buckets below; cutoff = bucket lower bound-1
+                cuts[src] = np.uint64(bucket << 54) - np.uint64(1)
+            # else: nothing admitted for this source -> no cuts entry
+
+    def admit(df: pd.DataFrame) -> pd.DataFrame:
+        df = keyed(df)
+        hc = df["source"].map(cuts)
+        m = hc.notna().to_numpy() & (
+            df["h"].to_numpy() <= hc.fillna(0).to_numpy(np.uint64))
+        return df.loc[m, ["source", "doc_id"]]
+
+    return ds.map_batches(admit, batch_format="pandas")
