@@ -486,3 +486,89 @@ def source_token_budget(sf_dir: str):
         return df.loc[m, ["source", "doc_id"]]
 
     return ds.map_batches(admit, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (integer contract: raw tf + global df per term,
+# top-5 terms per doc by tf desc / tok asc — the idf weighting is a
+# monotone per-(tf, df) function left to consumers, so the oracle is
+# exact). Scale note: the document-frequency table is vocabulary-sized and
+# broadcast to the per-batch scorers; at open-web vocabulary scale the
+# broadcast swaps for a hash-bucketed join on the token, same contract.
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPN = 5
+
+
+def _tfidf_sql() -> str:
+    from .sqlgen import tok_rows_cte
+
+    return f"""
+    WITH {tok_rows_cte()},
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM tok_rows GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok_rows GROUP BY tok
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, tf.tok) AS rnk
+      FROM tf JOIN df ON df.tok = tf.tok)
+    WHERE rnk <= {_TFIDF_TOPN}
+    """
+
+
+@query("doc_tfidf_top_terms", _tfidf_sql())
+def doc_tfidf_top_terms(sf_dir: str):
+    """Top-5 terms per document by term frequency (ties broken by token
+    asc) with each term's global document frequency attached — the integer
+    sufficient statistics of TF-IDF keyword extraction. Two stages: a
+    vocabulary-sized df aggregate (distinct-doc count per token, built with
+    a map-side per-batch distinct) broadcast via ray.put, then one per-batch
+    pass computing tf and selecting the top-5 (docs never span batches)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def batch_df(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+            "tok": np.concatenate([np.asarray(t, object) for t in toks])
+            if len(df) else np.empty(0, object),
+        }).drop_duplicates()
+        return flat.groupby("tok", as_index=False, sort=False) \
+            .size().rename(columns={"size": "df"})
+
+    # vocabulary-sized: per-batch distinct-doc partials, final combine tiny
+    dfreq = ds.map_batches(batch_df, batch_format="pandas").to_pandas() \
+        .groupby("tok", as_index=False)["df"].sum()
+    dref = ray.put(dict(zip(dfreq["tok"], dfreq["df"].astype(np.int64))))
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.spatial_join import _cached_get
+
+        dmap = _cached_get(dref)
+        toks = df["text"].str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+            "tok": np.concatenate([np.asarray(t, object) for t in toks])
+            if len(df) else np.empty(0, object),
+        })
+        tf = flat.groupby(["doc_id", "tok"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "tf"})
+        tf = tf.sort_values(["doc_id", "tf", "tok"],
+                            ascending=[True, False, True])
+        top = tf.groupby("doc_id", sort=False).head(_TFIDF_TOPN)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"].to_numpy(np.int64),
+            "tok": top["tok"],
+            "tf": top["tf"].to_numpy(np.int64),
+            "df": top["tok"].map(dmap).to_numpy(np.int64),
+        })
+
+    return ds.map_batches(topn, batch_format="pandas")
