@@ -140,6 +140,79 @@ def synth_image_table(n_rows: int, seed: int = 42) -> pa.Table:
     }, schema=MEDIA_SCHEMA)
 
 
+def synth_audio_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Media rows whose audio payloads are REAL encoded WAV files
+    (functions/wav.py): mono 16-bit PCM sawtooth-like integer signals with
+    per-item splitmix64-derived length / rate / slope / phase, so a DuckDB
+    oracle can regenerate the exact samples and aggregate the same features
+    (pipelines/queries_media2.py). Every 5th item carries a LIST metadata
+    chunk before ``data`` to exercise the reader's chunk-skip path."""
+    from ..functions.wav import encode_wav
+    from ..sources.synthetic import splitmix64
+
+    ids = np.arange(n_rows, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    rates = np.array([8000, 16000, 22050], np.int64)[
+        ((h >> np.uint64(4)) % np.uint64(3)).astype(np.int64)]
+    ns = (500 + (h % np.uint64(1500)).astype(np.int64))
+    payloads = []
+    for i in range(n_rows):
+        a = 1 + int((h[i] >> np.uint64(8)) % np.uint64(64))
+        b = int((h[i] >> np.uint64(16)) % np.uint64(4096))
+        t = np.arange(ns[i], dtype=np.int64)
+        s = ((a * t + b) % 4096 - 2048).astype(np.int16)
+        extra = ((b"LIST", b"INFOISFT" + struct_pack_meta(i))
+                 if int(h[i] % np.uint64(5)) == 0 else None)
+        payloads.append(encode_wav(s, int(rates[i]),
+                                   extra_chunks=(extra,) if extra else ()))
+    return pa.table({
+        "item_id": ids,
+        "url": pa.array([f"https://audio{int(x) % 100}.example/{i}.wav"
+                         for i, x in enumerate(h)], pa.string()),
+        "media_type": pa.array(["audio"] * n_rows, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.zeros(n_rows, np.int32)),
+        "height": pa.array(np.zeros(n_rows, np.int32)),
+        "duration_ms": pa.array((ns * 1000 // rates).astype(np.int32)),
+    }, schema=MEDIA_SCHEMA)
+
+
+def struct_pack_meta(i: int) -> bytes:
+    """Odd-length LIST payload (forces the RIFF pad byte on odd items)."""
+    tag = f"synth-{i}".encode()
+    return tag + (b"\x00" if (len(tag) + 8) % 2 == 0 else b"")
+
+
+class WavFeatureExtract:
+    """Actor-pool stage: REAL WAV container parse -> integer audio features
+    (sample count, rate, energy, zero crossings, peak). Pure-int outputs so
+    the DuckDB oracle hash-matches; the decode itself (RIFF walk, fmt
+    validation, chunk skip) runs on every payload."""
+
+    def __init__(self):
+        from ..functions.wav import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = np.empty((n, 5), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            samples, rate = self._decode(p)
+            s = samples.astype(np.int64).mean(axis=1, dtype=np.int64) \
+                if samples.shape[1] > 1 else samples[:, 0].astype(np.int64)
+            neg = s < 0
+            out[i] = (len(s), rate, int((s * s).sum()),
+                      int((neg[1:] != neg[:-1]).sum()),
+                      int(np.abs(s).max(initial=0)))
+        return pa.table({
+            "item_id": batch["item_id"],
+            "n_samples": out[:, 0], "sample_rate": out[:, 1],
+            "sum_sq": out[:, 2], "zero_cross": out[:, 3],
+            "peak_abs": out[:, 4],
+        })
+
+
 class MediaFeatureExtract:
     """Actor-pool stage: decode (stub) -> per-item feature vector.
 
