@@ -111,3 +111,37 @@ def test_golden_shapefile():
     assert dbf["name"].tolist() == ["a", "b"]
     # read_dbf returns text fields as-written; numeric parse is the caller's
     assert [float(v) for v in dbf["v"]] == [1.5, -2.25]
+
+
+def test_golden_wav(tmp_path):
+    from whitebox_tools_ray.functions.wav import decode_wav, encode_wav
+
+    t = np.arange(1200, dtype=np.int64)
+    s = ((17 * t + 301) % 4096 - 2048).astype(np.int16)
+    with open(os.path.join(FIX, "golden.wav"), "rb") as f:
+        data = f.read()
+    dec, rate = decode_wav(data)
+    assert rate == 16000
+    assert np.array_equal(dec[:, 0], s)
+    # the WAV writer is fully self-contained: re-encode must be bit-exact
+    assert encode_wav(s, 16000,
+                      extra_chunks=((b"LIST", b"INFOISFTgolden"),)) == data
+
+
+def test_golden_gif():
+    from whitebox_tools_ray.functions.gif import decode_gif, encode_gif
+
+    pal = np.stack([np.arange(256), (255 - np.arange(256)),
+                    (np.arange(256) * 7) % 256], axis=1).astype(np.uint8)
+    yy, xx = np.mgrid[0:21, 0:17]
+    frames = [((3 * xx + 5 * yy + 11 * k + 40) % 256).astype(np.uint8)
+              for k in range(4)]
+    with open(os.path.join(FIX, "golden_anim.gif"), "rb") as f:
+        data = f.read()
+    got, gpal, delays = decode_gif(data)
+    assert delays == [6, 6, 6, 6]
+    assert np.array_equal(gpal, pal)
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    # the GIF writer is fully self-contained: re-encode must be bit-exact
+    assert encode_gif(frames, pal, delays_cs=[6, 6, 6, 6]) == data

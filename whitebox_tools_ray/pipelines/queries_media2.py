@@ -60,6 +60,67 @@ def _audio_sql(n: int = AUDIO_N, seed: int = AUDIO_SEED) -> str:
     """
 
 
+VIDEO_N = 500
+VIDEO_STRIDE_MS = 300
+
+
+def _gif_sql(n: int = VIDEO_N, seed: int = AUDIO_SEED,
+             stride_ms: int = VIDEO_STRIDE_MS) -> str:
+    """Regenerate synth_video_table's frames (pixel = (a*x+b*y+c*k+d) % 256,
+    splitmix64-derived geometry / frame count / delay), apply the same
+    stride-in-frames sampling rule as FrameSampler, and aggregate the same
+    per-frame pixel sums the Ray stage computes from DECODED GIF bytes."""
+    h = sm64(add64("CAST(t.i AS UBIGINT)", str(seed)))
+    return f"""
+    WITH item AS (
+        SELECT CAST(t.i AS BIGINT) AS item_id, {h} AS h FROM range({n}) t(i)
+    ), par AS (
+        SELECT item_id,
+               8 + CAST(h % 16 AS BIGINT) AS w,
+               8 + CAST((h >> 5) % 16 AS BIGINT) AS ht,
+               2 + CAST((h >> 10) % 7 AS BIGINT) AS nf,
+               4 + CAST((h >> 13) % 16 AS BIGINT) AS delay,
+               1 + CAST((h >> 18) % 32 AS BIGINT) AS a,
+               1 + CAST((h >> 23) % 32 AS BIGINT) AS b,
+               1 + CAST((h >> 28) % 64 AS BIGINT) AS c,
+               CAST((h >> 34) % 256 AS BIGINT) AS d
+        FROM item
+    ), sampled AS (
+        SELECT item_id, w, ht, a, b, c, d, delay, k.k AS k
+        FROM par, range(9) k(k)
+        WHERE k.k < nf
+          AND k.k % GREATEST(1, {stride_ms} // (delay * 10)) = 0
+    ), px AS (
+        SELECT item_id, k, delay,
+               (a * x.x + b * y.y + c * k + d) % 256 AS v
+        FROM sampled, range(24) x(x), range(24) y(y)
+        WHERE x.x < w AND y.y < ht
+    )
+    SELECT item_id, k AS frame_idx, k * delay * 10 AS ts_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS pix_sum
+    FROM px GROUP BY item_id, k, delay
+    """
+
+
+@query("gif_frame_sample", _gif_sql())
+def gif_frame_sample(sf_dir: str):
+    """Real video-shaped codec boundary: synth animated-GIF payloads
+    (multi-frame, varied size/delay, real LZW) -> actor-pool FrameSampler
+    decode -> stride-sampled per-frame pixel sums. The oracle regenerates
+    the frames in closed form — any LZW/container/compositing defect flips
+    the hash. Decoder conformance is additionally pinned to the public
+    GIF89a worked example in tests/test_gif.py."""
+    from ..config import actor_pool
+    from ..stages.multimodal import FrameSampler, synth_video_table
+
+    media = ray.data.from_arrow(synth_video_table(VIDEO_N, AUDIO_SEED))
+    return media.map_batches(
+        FrameSampler, batch_size=64, batch_format="pyarrow",
+        concurrency=actor_pool(),
+        fn_constructor_kwargs={"stride_ms": VIDEO_STRIDE_MS})
+
+
 @query("audio_features", _audio_sql())
 def audio_features(sf_dir: str):
     """Real audio-codec boundary: synth WAV payloads (RIFF container, PCM16,

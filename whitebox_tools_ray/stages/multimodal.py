@@ -183,6 +183,47 @@ def struct_pack_meta(i: int) -> bytes:
     return tag + (b"\x00" if (len(tag) + 8) % 2 == 0 else b"")
 
 
+def synth_video_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Media rows whose video payloads are REAL animated GIFs
+    (functions/gif.py): per-item splitmix64-derived size / frame count /
+    uniform frame delay, frame k pixel (y, x) = (a*x + b*y + c*k + d) % 256
+    — a closed form a DuckDB oracle regenerates to check the decoded
+    per-frame pixel sums (pipelines/queries_media2.py)."""
+    from ..functions.gif import encode_gif
+    from ..sources.synthetic import splitmix64
+
+    ids = np.arange(n_rows, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    pal = np.stack([np.arange(256), (255 - np.arange(256)),
+                    (np.arange(256) * 7) % 256], axis=1).astype(np.uint8)
+    payloads, durs = [], []
+    for i in range(n_rows):
+        w = 8 + int(h[i] % np.uint64(16))
+        ht = 8 + int((h[i] >> np.uint64(5)) % np.uint64(16))
+        nf = 2 + int((h[i] >> np.uint64(10)) % np.uint64(7))
+        delay = 4 + int((h[i] >> np.uint64(13)) % np.uint64(16))
+        a = 1 + int((h[i] >> np.uint64(18)) % np.uint64(32))
+        b = 1 + int((h[i] >> np.uint64(23)) % np.uint64(32))
+        c = 1 + int((h[i] >> np.uint64(28)) % np.uint64(64))
+        d = int((h[i] >> np.uint64(34)) % np.uint64(256))
+        yy, xx = np.mgrid[0:ht, 0:w]
+        frames = [((a * xx + b * yy + c * k + d) % 256).astype(np.uint8)
+                  for k in range(nf)]
+        payloads.append(encode_gif(frames, pal, delays_cs=[delay] * nf))
+        durs.append(nf * delay * 10)
+    return pa.table({
+        "item_id": ids,
+        "url": pa.array([f"https://video{int(x) % 100}.example/{i}.gif"
+                         for i, x in enumerate(h)], pa.string()),
+        "media_type": pa.array(["video"] * n_rows, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array((8 + (h % np.uint64(16))).astype(np.int32)),
+        "height": pa.array(
+            (8 + ((h >> np.uint64(5)) % np.uint64(16))).astype(np.int32)),
+        "duration_ms": pa.array(np.asarray(durs, np.int32)),
+    }, schema=MEDIA_SCHEMA)
+
+
 class WavFeatureExtract:
     """Actor-pool stage: REAL WAV container parse -> integer audio features
     (sample count, rate, energy, zero crossings, peak). Pure-int outputs so
@@ -255,30 +296,55 @@ class MediaFeatureExtract:
 
 
 class FrameSampler:
-    """Actor-pool stage: video frame-sample plumbing (stubbed decode).
+    """Actor-pool stage: video frame sampling — REAL decode for animated
+    GIF payloads (functions/gif.py), duration-based fan-out for opaque
+    (undecodable) payloads.
 
-    Emits one row per sampled frame index (every ``stride_ms``) with the
-    frame payload slice — at deployment the slice becomes a real frame
-    decode; the fan-out/row-explosion shape is what matters to the engine.
+    GIF path: decode all frames, keep every ``step``-th frame where
+    ``step = max(1, stride_ms // frame_delay_ms)``, and emit the sampled
+    frame's pixel-index sum + size — real per-frame features from a real
+    animated container. Opaque path: one row per ``stride_ms`` of metadata
+    duration with n_px = pix_sum = -1 (the fan-out shape without a codec).
     """
 
     def __init__(self, stride_ms: int = 10_000):
+        from ..functions.gif import decode_gif
+
         self.stride = stride_ms
+        self._decode = decode_gif
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, ts = [], [], []
+        ids, frames, ts, npx, psum = [], [], [], [], []
         dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
         item = batch["item_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
         for i in range(len(batch)):
-            n = max(1, int(dur[i]) // self.stride)
-            for k in range(n):
-                ids.append(int(item[i]))
-                frames.append(k)
-                ts.append(k * self.stride)
+            p = payloads[i]
+            if p[:4] == b"GIF8":
+                fr, _pal, delays = self._decode(p)
+                step = max(1, self.stride // max(1, delays[0] * 10))
+                t_cum = np.concatenate(
+                    [[0], np.cumsum(np.asarray(delays[:-1], np.int64)) * 10])
+                for k in range(0, len(fr), step):
+                    ids.append(int(item[i]))
+                    frames.append(k)
+                    ts.append(int(t_cum[k]))
+                    npx.append(fr[k].size)
+                    psum.append(int(fr[k].astype(np.int64).sum()))
+            else:
+                n = max(1, int(dur[i]) // self.stride)
+                for k in range(n):
+                    ids.append(int(item[i]))
+                    frames.append(k)
+                    ts.append(k * self.stride)
+                    npx.append(-1)
+                    psum.append(-1)
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
-            "frame_idx": pa.array(frames, pa.int32()),
-            "ts_ms": pa.array(ts, pa.int32()),
+            "frame_idx": pa.array(frames, pa.int64()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "n_px": pa.array(npx, pa.int64()),
+            "pix_sum": pa.array(psum, pa.int64()),
         })
 
 
