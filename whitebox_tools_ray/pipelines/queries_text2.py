@@ -14,7 +14,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..relational import partial_agg  # noqa: F401 (registry import pattern)
+from ..functions.text import fingerprint64
+from ..relational import keyed_map_groups, partial_agg
 from ..sources.tables import read_table
 from .queries import query
 from .sqlgen import add64, fnv_tokens_cte, mul64, tok_rows_cte
@@ -572,3 +573,90 @@ def doc_tfidf_top_terms(sf_dir: str):
         })
 
     return ds.map_batches(topn, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (C4-style): corpus-wide first occurrence wins
+# --------------------------------------------------------------------------
+
+_PARA_SQL = """
+WITH para AS (
+  SELECT doc_id, doc_id // 4 AS page_id, doc_id % 4 AS para_idx,
+         text, n_chars
+  FROM documents
+), k AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_doc FROM para
+)
+SELECT page_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN doc_id = keep_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN doc_id = keep_doc THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(CASE WHEN doc_id = keep_doc THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars,
+       COALESCE(string_agg(CASE WHEN doc_id = keep_doc THEN text END,
+                           chr(10) || chr(10) ORDER BY para_idx), '')
+           AS kept_text
+FROM k GROUP BY page_id
+"""
+
+
+@query("paragraph_dedup", _PARA_SQL)
+def paragraph_dedup(sf_dir: str):
+    """C4-style paragraph-level exact dedup: pages are composed of 4
+    consecutive documents (page_id = doc_id // 4, paragraph order =
+    doc_id % 4 — deterministic, so the oracle composes the same pages); a
+    paragraph is kept only at its corpus-wide FIRST occurrence (min doc_id
+    over identical text), including first-within-page for intra-page
+    repeats. Pages whose every paragraph duplicated an earlier one remain
+    in the output with kept_text = ''.
+
+    Shuffle discipline (100-TB shape): the duplicate-group exchange is
+    keyed on a 64-bit content fingerprint, never the text (same collision
+    note as doc_exact_dedup); the text travels exactly twice — once into
+    the fingerprint join, once into the per-page reassembly — both as
+    streaming map_batches/groupby stages, nothing on the driver."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "n_chars"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "h": fingerprint64(df["text"]).astype(np.int64),
+            "doc_id": did,
+            "page_id": did // 4,
+            "para_idx": did % 4,
+            "text": df["text"].to_numpy(object),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+        })
+
+    para = ds.map_batches(enc, batch_format="pandas")
+    keep_min = partial_agg(
+        para.map_batches(lambda df: df[["h", "doc_id"]],
+                         batch_format="pandas"),
+        ["h"], [("doc_id", "min", "keep_doc")])
+    joined = para.join(keep_min, join_type="inner", num_partitions=16,
+                       on=("h",))
+
+    def pages(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["page_id", "para_idx"])
+        keep = (g["doc_id"].to_numpy(np.int64)
+                == g["keep_doc"].to_numpy(np.int64))
+        g = g.assign(keepflag=keep.astype(np.int64),
+                     kc=np.where(keep, g["n_chars"].to_numpy(np.int64), 0))
+        agg = g.groupby("page_id", sort=True).agg(
+            n_paras=("doc_id", "size"), n_kept=("keepflag", "sum"),
+            kept_chars=("kc", "sum"))
+        kept_text = (g[keep].groupby("page_id", sort=True)["text"]
+                     .agg("\n\n".join))
+        out = agg.reset_index().astype({"page_id": np.int64,
+                                        "n_paras": np.int64,
+                                        "n_kept": np.int64,
+                                        "kept_chars": np.int64})
+        out["n_dropped"] = out["n_paras"] - out["n_kept"]
+        out["kept_text"] = out["page_id"].map(kept_text).fillna("")
+        return out[["page_id", "n_paras", "n_kept", "n_dropped",
+                    "kept_chars", "kept_text"]]
+
+    return keyed_map_groups(joined, "page_id", pages, per_group=False)
