@@ -420,3 +420,4 @@ from . import queries_terrain13  # noqa: E402,F401
 from . import queries_vector4  # noqa: E402,F401
 from . import queries_plugins  # noqa: E402,F401
 from . import queries_media2  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401
