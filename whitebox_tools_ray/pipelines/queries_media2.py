@@ -134,3 +134,95 @@ def audio_features(sf_dir: str):
     return media.map_batches(WavFeatureExtract, batch_size=256,
                              batch_format="pyarrow",
                              concurrency=actor_pool())
+
+
+_AUDIO_WINDOW = 256
+
+
+def _audio_rms_sql(n: int = AUDIO_N, seed: int = AUDIO_SEED,
+                   window: int = _AUDIO_WINDOW) -> str:
+    """Windowed energy over the regenerated PCM stream: w_idx = t // window
+    groups of the same closed-form samples as _audio_sql."""
+    h = sm64(add64("CAST(t.i AS UBIGINT)", str(seed)))
+    return f"""
+    WITH item AS (
+        SELECT CAST(t.i AS BIGINT) AS item_id, {h} AS h FROM range({n}) t(i)
+    ), par AS (
+        SELECT item_id,
+               500 + CAST(h % 1500 AS BIGINT) AS n,
+               1 + CAST((h >> 8) % 64 AS BIGINT) AS a,
+               CAST((h >> 16) % 4096 AS BIGINT) AS b
+        FROM item
+    ), samp AS (
+        SELECT item_id, s.t // {window} AS w_idx,
+               ((a * s.t + b) % 4096) - 2048 AS s
+        FROM par, range(2000) s(t) WHERE s.t < n
+    )
+    SELECT item_id, w_idx,
+           COUNT(*) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM samp GROUP BY item_id, w_idx
+    """
+
+
+@query("audio_windowed_rms", _audio_rms_sql())
+def audio_windowed_rms(sf_dir: str):
+    """Windowed DSP over decoded audio: one WAV row fans out to
+    ceil(n/256) per-window energy rows (actor-pool decode, integer
+    contract). The oracle windows the regenerated closed-form samples."""
+    from ..config import actor_pool
+    from ..stages.multimodal import WavWindowedRms, synth_audio_table
+
+    media = ray.data.from_arrow(synth_audio_table(AUDIO_N, AUDIO_SEED))
+    return media.map_batches(
+        WavWindowedRms, batch_size=256, batch_format="pyarrow",
+        concurrency=actor_pool(),
+        fn_constructor_kwargs={"window": _AUDIO_WINDOW})
+
+
+def _gif_diff_sql(n: int = VIDEO_N, seed: int = AUDIO_SEED) -> str:
+    """Motion features from the closed-form frames: per consecutive pair
+    (k-1, k) sum |(v_k - v_{k-1})| and count changed pixels, where
+    v_k = (a*x + b*y + c*k + d) % 256."""
+    h = sm64(add64("CAST(t.i AS UBIGINT)", str(seed)))
+    return f"""
+    WITH item AS (
+        SELECT CAST(t.i AS BIGINT) AS item_id, {h} AS h FROM range({n}) t(i)
+    ), par AS (
+        SELECT item_id,
+               8 + CAST(h % 16 AS BIGINT) AS w,
+               8 + CAST((h >> 5) % 16 AS BIGINT) AS ht,
+               2 + CAST((h >> 10) % 7 AS BIGINT) AS nf,
+               1 + CAST((h >> 18) % 32 AS BIGINT) AS a,
+               1 + CAST((h >> 23) % 32 AS BIGINT) AS b,
+               1 + CAST((h >> 28) % 64 AS BIGINT) AS c,
+               CAST((h >> 34) % 256 AS BIGINT) AS d
+        FROM item
+    ), px AS (
+        SELECT item_id, k.k AS k,
+               (a * x.x + b * y.y + c * k.k + d) % 256
+                 - (a * x.x + b * y.y + c * (k.k - 1) + d) % 256 AS dv
+        FROM par, range(1, 9) k(k), range(24) x(x), range(24) y(y)
+        WHERE k.k < nf AND x.x < w AND y.y < ht
+    )
+    SELECT item_id, k AS frame_idx,
+           CAST(SUM(ABS(dv)) AS BIGINT) AS abs_diff_sum,
+           CAST(SUM(CASE WHEN dv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed
+    FROM px GROUP BY item_id, k
+    """
+
+
+@query("gif_temporal_diff", _gif_diff_sql())
+def gif_temporal_diff(sf_dir: str):
+    """Temporal video features over REAL decoded GIF frames: per
+    consecutive-frame motion magnitude (abs index delta sum) and changed-
+    pixel count — the frame-pair shape of a video-curation filter (static-
+    clip detection). Oracle diffs the closed-form frames."""
+    from ..config import actor_pool
+    from ..stages.multimodal import GifTemporalDiff, synth_video_table
+
+    media = ray.data.from_arrow(synth_video_table(VIDEO_N, AUDIO_SEED))
+    return media.map_batches(GifTemporalDiff, batch_size=64,
+                             batch_format="pyarrow",
+                             concurrency=actor_pool())

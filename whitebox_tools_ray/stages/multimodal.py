@@ -254,6 +254,67 @@ class WavFeatureExtract:
         })
 
 
+class WavWindowedRms:
+    """Actor-pool stage: decoded WAV -> per-window integer energy rows
+    (non-overlapping ``window`` samples; the last window may be partial).
+    The windowed-DSP explode shape: one media row fans out to n//window
+    feature rows."""
+
+    def __init__(self, window: int = 256):
+        from ..functions.wav import decode_wav
+
+        self.window = window
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widx, wn, ssq = [], [], [], []
+        items = batch["item_id"].to_numpy(zero_copy_only=False)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            samples, _rate = self._decode(p)
+            s = samples[:, 0].astype(np.int64)
+            for k in range(0, len(s), self.window):
+                seg = s[k:k + self.window]
+                ids.append(int(items[i]))
+                widx.append(k // self.window)
+                wn.append(len(seg))
+                ssq.append(int((seg * seg).sum()))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "w_idx": pa.array(widx, pa.int64()),
+            "n_samples": pa.array(wn, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+        })
+
+
+class GifTemporalDiff:
+    """Actor-pool stage: decoded GIF -> per-consecutive-frame-pair motion
+    features (sum of absolute pixel-index change + changed-pixel count) —
+    the temporal-video-feature shape over a real animated container."""
+
+    def __init__(self):
+        from ..functions.gif import decode_gif
+
+        self._decode = decode_gif
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, dsum, nchg = [], [], [], []
+        items = batch["item_id"].to_numpy(zero_copy_only=False)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            frames, _pal, _delays = self._decode(p)
+            for k in range(1, len(frames)):
+                d = frames[k].astype(np.int64) - frames[k - 1].astype(np.int64)
+                ids.append(int(items[i]))
+                fidx.append(k)
+                dsum.append(int(np.abs(d).sum()))
+                nchg.append(int((d != 0).sum()))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "abs_diff_sum": pa.array(dsum, pa.int64()),
+            "n_changed": pa.array(nchg, pa.int64()),
+        })
+
+
 class MediaFeatureExtract:
     """Actor-pool stage: decode (stub) -> per-item feature vector.
 
