@@ -176,3 +176,109 @@ def source_blocklist_filter(sf_dir: str):
         return df[~df["source"].isin(blocked)]
 
     return ds.map_batches(admit, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Web link-graph extraction (the CC web-graph shape)
+# --------------------------------------------------------------------------
+
+_LINKS_N = 5000
+_LINKS_SEED = 42
+
+
+def _synth_link_pages(n: int = _LINKS_N, seed: int = _LINKS_SEED) -> pa.Table:
+    """Pages whose anchors are closed-form: page i (site h % 1000) links to
+    site splitmix64(h + j + 1) % 1000 for j in 0..n_links-1 (1..8 links).
+    The HTML is real markup the extraction stage must actually parse."""
+    from ..sources.synthetic import splitmix64
+
+    ids = np.arange(n, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    n_links = (1 + (h % np.uint64(8))).astype(np.int64)
+    src_site = (h % np.uint64(1000)).astype(np.int64)
+    htmls = []
+    for i in range(n):
+        tgt = splitmix64(h[i] + np.uint64(1)
+                         + np.arange(n_links[i], dtype=np.uint64)) \
+            % np.uint64(1000)
+        anchors = "".join(
+            f'<a href="https://site{int(t)}.example/p{j}">link {j}</a> '
+            for j, t in enumerate(tgt))
+        htmls.append((f"<html><head><title>P{i}</title></head><body>"
+                      f"<p>page {i}</p>{anchors}</body></html>")
+                     .encode("utf-8"))
+    return pa.table({
+        "page_id": ids,
+        "src_site": src_site,
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
+def _link_graph_sql(n: int = _LINKS_N, seed: int = _LINKS_SEED) -> str:
+    from .sqlgen import add64, sm64
+
+    h = sm64(add64("CAST(p.i AS UBIGINT)", str(seed)))
+    t = sm64(add64("h", "CAST(j.j + 1 AS UBIGINT)"))
+    return f"""
+    WITH page AS (
+        SELECT CAST(p.i AS BIGINT) AS page_id, {h} AS h FROM range({n}) p(i)
+    ), edge AS (
+        SELECT CAST(h % 1000 AS BIGINT) AS src_site,
+               CAST({t} % 1000 AS BIGINT) AS dst_site
+        FROM page, range(8) j(j)
+        WHERE j.j < 1 + CAST(h % 8 AS BIGINT)
+    )
+    SELECT dst_site,
+           COUNT(*) AS in_degree,
+           CAST(COUNT(DISTINCT src_site) AS BIGINT) AS n_src_sites
+    FROM edge GROUP BY dst_site
+    """
+
+
+class _LinkExtract:
+    """Actor-pool stage: compiled-regex href extraction (findall per page —
+    pc.extract_regex is first-match-only, so the multi-match scan runs on
+    raw bytes with one compiled pattern per actor)."""
+
+    def __init__(self):
+        import re
+
+        self._pat = re.compile(rb'href="https://site(\d+)\.example')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        src = batch["src_site"].to_numpy(zero_copy_only=False)
+        for i, html in enumerate(batch["html"].to_pylist()):
+            for m in self._pat.findall(html):
+                srcs.append(int(src[i]))
+                dsts.append(int(m))
+        return pa.table({"src_site": pa.array(srcs, pa.int64()),
+                         "dst_site": pa.array(dsts, pa.int64())})
+
+
+@query("link_graph_degrees", _link_graph_sql())
+def link_graph_degrees(sf_dir: str):
+    """Web-graph extraction (the Common-Crawl hyperlink-graph shape): real
+    HTML anchors -> compiled-regex edge extraction in an actor pool ->
+    distinct-source collapse (partial agg on (dst, src)) -> per-site
+    in-degree. Both exchanges are on small int keys; the HTML never enters
+    a shuffle. Oracle regenerates the edges in closed form — an extraction
+    bug (missed/duplicated anchor) flips the hash."""
+    from ..config import actor_pool
+
+    pages = ray.data.from_arrow(_synth_link_pages())
+    edges = pages.map_batches(_LinkExtract, batch_size=512,
+                              batch_format="pyarrow",
+                              concurrency=actor_pool())
+    # exact distinct sources per destination: collapse duplicate (dst, src)
+    # pairs first (edge multiplicity kept as a count), then one small agg
+    pair = edges.map_batches(
+        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    pair = partial_agg(pair, ["dst_site", "src_site"], [("m", "sum", "m")])
+    pair = pair.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    return partial_agg(pair, ["dst_site"],
+                       [("m", "sum", "in_degree"),
+                        ("one", "sum", "n_src_sites")])
