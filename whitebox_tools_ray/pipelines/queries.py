@@ -421,3 +421,4 @@ from . import queries_vector4  # noqa: E402,F401
 from . import queries_plugins  # noqa: E402,F401
 from . import queries_media2  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+from . import queries_joins  # noqa: E402,F401
