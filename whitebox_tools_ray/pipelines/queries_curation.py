@@ -282,3 +282,75 @@ def link_graph_degrees(sf_dir: str):
     return partial_agg(pair, ["dst_site"],
                        [("m", "sum", "in_degree"),
                         ("one", "sum", "n_src_sites")])
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register sketch (mergeable count-distinct sufficient stats)
+# --------------------------------------------------------------------------
+
+_HLL_P = 8  # 256 registers
+_HLL_TAIL_BITS = 64 - _HLL_P
+_HLL_TAIL_MASK = (1 << _HLL_TAIL_BITS) - 1
+
+
+def _hll_sql() -> str:
+    from .sqlgen import fnv_tokens_cte
+
+    rho_case = ("CASE " + " ".join(
+        f"WHEN tail >= {1 << k} THEN {_HLL_TAIL_BITS - k}"
+        for k in range(_HLL_TAIL_BITS - 1, -1, -1))
+        + f" ELSE {_HLL_TAIL_BITS + 1} END")
+    return f"""
+    WITH RECURSIVE {fnv_tokens_cte()}
+    , reg AS (
+      SELECT CAST(h >> {_HLL_TAIL_BITS} AS BIGINT) AS register,
+             h & {_HLL_TAIL_MASK} AS tail
+      FROM tok_fnv
+    )
+    SELECT register, CAST(MAX({rho_case}) AS BIGINT) AS max_rho
+    FROM reg GROUP BY register
+    """
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (floor(log2)+1; 0 -> 0) — float log2 would
+    misround near 2^53, so binary-search shifts instead."""
+    x = x.astype(np.uint64).copy()
+    b = np.zeros(len(x), np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(shift)) != 0
+        b[m] += shift
+        x[m] >>= np.uint64(shift)
+    return b + (x != 0)
+
+
+@query("hll_token_registers", _hll_sql())
+def hll_token_registers(sf_dir: str):
+    """HyperLogLog sufficient statistics for the corpus-wide distinct-token
+    count: per 8-bit register, the max leading-zero rank of any token hash
+    landing there. The sketch is MERGEABLE (elementwise max) and
+    multiplicity-insensitive, so it needs NO dedup shuffle — every batch
+    emits 256-bounded partials and one tiny max-aggregate merges them; at
+    100 TB the total exchange is O(workers x 256) rows. Registers stay
+    integers (the float harmonic-mean estimate is the consumer's last
+    step), so the DuckDB oracle is exact."""
+    from ..functions.dedup import hash_token
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"].to_list():
+            toks.update(t.split())
+        if not toks:
+            return pd.DataFrame({"register": pd.Series(dtype=np.int64),
+                                 "max_rho": pd.Series(dtype=np.int64)})
+        h = np.fromiter((hash_token(t) for t in toks), np.uint64, len(toks))
+        reg = (h >> np.uint64(_HLL_TAIL_BITS)).astype(np.int64)
+        tail = h & np.uint64(_HLL_TAIL_MASK)
+        rho = _HLL_TAIL_BITS + 1 - _bitlen_u64(tail)
+        out = pd.DataFrame({"register": reg, "max_rho": rho})
+        return out.groupby("register", as_index=False)["max_rho"].max()
+
+    return partial_agg(ds.map_batches(partials, batch_format="pandas"),
+                       ["register"], [("max_rho", "max", "max_rho")])
