@@ -354,3 +354,47 @@ def hll_token_registers(sf_dir: str):
 
     return partial_agg(ds.map_batches(partials, batch_format="pandas"),
                        ["register"], [("max_rho", "max", "max_rho")])
+
+
+# --------------------------------------------------------------------------
+# Embedding Gram matrix (PCA/whitening sufficient statistics)
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_EMB_Q = 1 << 20  # quantization scale: float32 * 2^20 is exact in double
+
+_GRAM_SQL = f"""
+SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+       CAST(SUM(
+           CAST(FLOOR(embedding[CAST(i.i + 1 AS INT)] * {_EMB_Q}) AS BIGINT)
+         * CAST(FLOOR(embedding[CAST(j.j + 1 AS INT)] * {_EMB_Q}) AS BIGINT)
+       ) AS BIGINT) AS sum_q
+FROM embeddings, range({_EMB_DIM}) i(i), range({_EMB_DIM}) j(j)
+WHERE j.j >= i.i
+GROUP BY i.i, j.j
+"""
+
+
+@query("embedding_gram_matrix", _GRAM_SQL)
+def embedding_gram_matrix(sf_dir: str):
+    """Second-moment (Gram) matrix of the embedding corpus — the mergeable
+    sufficient statistic behind PCA / whitening / linear probes: each batch
+    contributes one dim x dim integer matmul partial (Q^T Q over
+    2^20-quantized values; floor, not round — numpy rounds half-even,
+    DuckDB half-away), and the only exchange is dim^2-bounded rows,
+    independent of corpus size. At 10^12 rows re-scale the quantization to
+    keep sum_q inside int64 (bound: n * (Q * max|e|)^2)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    iu, ju = np.triu_indices(_EMB_DIM)
+
+    def gram_partial(t) -> pd.DataFrame:
+        e = np.stack(t["embedding"].to_pylist()) if len(t) else \
+            np.zeros((0, _EMB_DIM), np.float64)
+        q = np.floor(e.astype(np.float64) * _EMB_Q).astype(np.int64)
+        g = q.T @ q
+        return pd.DataFrame({"i": iu.astype(np.int64),
+                             "j": ju.astype(np.int64),
+                             "sum_q": g[iu, ju]})
+
+    return partial_agg(ds.map_batches(gram_partial, batch_format="pyarrow"),
+                       ["i", "j"], [("sum_q", "sum", "sum_q")])
