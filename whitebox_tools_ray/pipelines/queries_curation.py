@@ -17,6 +17,7 @@ import ray
 from ..relational import keyed_map_groups, partial_agg
 from ..sources.tables import read_table
 from .queries import query
+from .sqlgen import add64, sm64
 
 # --------------------------------------------------------------------------
 # Bigram familiarity score (KenLM-style quality proxy with integer stats)
@@ -398,3 +399,115 @@ def embedding_gram_matrix(sf_dir: str):
 
     return partial_agg(ds.map_batches(gram_partial, batch_format="pyarrow"),
                        ["i", "j"], [("sum_q", "sum", "sum_q")])
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank over the extracted link graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000           # initial mass per site
+_PR_BASE = 150_000              # (1 - d) * SCALE with d = 0.85
+_PR_SITES = 1000
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled-iteration oracle (standard SQL forbids aggregates in a
+    recursive CTE member, so the five damping rounds are generated as five
+    chained CTEs). Integer floor division matches the Ray side exactly."""
+    h = sm64(add64("CAST(p.i AS UBIGINT)", str(_LINKS_SEED)))
+    t = sm64(add64("h", "CAST(j.j + 1 AS UBIGINT)"))
+    out = [f"""
+    WITH page AS (
+        SELECT CAST(p.i AS BIGINT) AS page_id, {h} AS h
+        FROM range({_LINKS_N}) p(i)
+    ), rawedge AS (
+        SELECT CAST(h % {_PR_SITES} AS BIGINT) AS src_site,
+               CAST({t} % {_PR_SITES} AS BIGINT) AS dst_site
+        FROM page, range(8) j(j)
+        WHERE j.j < 1 + CAST(h % 8 AS BIGINT)
+    ), edge AS (
+        SELECT src_site, dst_site, COUNT(*) AS m
+        FROM rawedge GROUP BY src_site, dst_site
+    ), outdeg AS (
+        SELECT src_site, CAST(SUM(m) AS BIGINT) AS od
+        FROM edge GROUP BY src_site
+    ), nodes AS (
+        SELECT CAST(n.n AS BIGINT) AS site FROM range({_PR_SITES}) n(n)
+    ), pr0 AS (
+        SELECT site, CAST({_PR_SCALE} AS BIGINT) AS mass FROM nodes
+    )"""]
+    for k in range(iters):
+        out.append(f""", pr{k + 1} AS (
+        SELECT n.site,
+               CAST({_PR_BASE} + COALESCE(s.contrib, 0) AS BIGINT) AS mass
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst_site AS site,
+                   SUM((p.mass * 85 * e.m) // (100 * o.od)) AS contrib
+            FROM edge e
+            JOIN pr{k} p ON p.site = e.src_site
+            JOIN outdeg o ON o.src_site = e.src_site
+            GROUP BY e.dst_site) s ON s.site = n.site
+    )""")
+    out.append(f"\n    SELECT site, mass FROM pr{iters}")
+    return "".join(out)
+
+
+@query("link_pagerank_fixedpoint", _pagerank_sql())
+def link_pagerank_fixedpoint(sf_dir: str):
+    """PageRank (damping 0.85, 5 rounds) over the REAL extracted link graph
+    in exact integer fixed point: contribution = (mass * 85 * m) //
+    (100 * outdeg) — floors make every round bit-reproducible at any
+    parallelism, so the oracle is exact SQL (unrolled CTE rounds).
+
+    Distributed shape (the real web-graph pattern, nodes NEVER on the
+    driver): mass lives in a node-keyed Dataset; each round is one join of
+    the weighted edge list against the mass on src, one partial-agg sum by
+    dst, and a union with the zero-contribution node base. Each round's
+    node-sized result materializes (documented boundary: O(nodes) in the
+    object store, like MULTINODE.md's other bounded materialize points) so
+    round k+1 reads a computed table, not a 2^k-deep lineage."""
+    from ..config import actor_pool
+
+    pages = ray.data.from_arrow(_synth_link_pages())
+    raw = pages.map_batches(_LinkExtract, batch_size=512,
+                            batch_format="pyarrow",
+                            concurrency=actor_pool())
+    raw = raw.map_batches(
+        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    edges = partial_agg(raw, ["src_site", "dst_site"], [("m", "sum", "m")])
+    outdeg = partial_agg(edges, ["src_site"], [("m", "sum", "od")])
+    edge_w = edges.join(outdeg, join_type="inner", num_partitions=8,
+                        on=("src_site",)).materialize()
+
+    nodes = ray.data.from_arrow(pa.table({
+        "site": np.arange(_PR_SITES, dtype=np.int64),
+        "contrib": np.zeros(_PR_SITES, np.int64)}))
+    mass = ray.data.from_arrow(pa.table({
+        "site": np.arange(_PR_SITES, dtype=np.int64),
+        "mass": np.full(_PR_SITES, _PR_SCALE, np.int64)}))
+    for _ in range(_PR_ITERS):
+        joined = edge_w.join(mass.map_batches(
+            lambda t: t.rename_columns(["src_site", "mass"]),
+            batch_format="pyarrow"), join_type="inner", num_partitions=8,
+            on=("src_site",))
+        contrib = joined.map_batches(
+            lambda t: pa.table({
+                "site": t["dst_site"],
+                "contrib": pa.array(
+                    (t["mass"].to_numpy(zero_copy_only=False) * 85
+                     * t["m"].to_numpy(zero_copy_only=False))
+                    // (100 * t["od"].to_numpy(zero_copy_only=False)),
+                    pa.int64())}),
+            batch_format="pyarrow")
+        summed = partial_agg(contrib.union(nodes), ["site"],
+                             [("contrib", "sum", "contrib")])
+        mass = summed.map_batches(
+            lambda t: pa.table({
+                "site": t["site"],
+                "mass": pa.array(_PR_BASE
+                                 + t["contrib"].to_numpy(zero_copy_only=False),
+                                 pa.int64())}),
+            batch_format="pyarrow").materialize()
+    return mass
