@@ -511,3 +511,94 @@ def link_pagerank_fixedpoint(sf_dir: str):
                                  pa.int64())}),
             batch_format="pyarrow").materialize()
     return mass
+
+
+# --------------------------------------------------------------------------
+# Exact substring duplication detection (Lee et al. dedup shape, L = 32)
+# --------------------------------------------------------------------------
+
+_SUB_L = 32
+
+_SUBSTR_SQL = f"""
+WITH g AS (
+  SELECT doc_id, substr(text, s.i + 1, {_SUB_L}) AS gram
+  FROM documents, range(4096) s(i)
+  WHERE s.i <= length(text) - {_SUB_L}
+), c AS (
+  SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+)
+SELECT doc_id, COUNT(*) AS n_pos,
+       CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_pos,
+       MAX(c.cnt) AS max_gram_count
+FROM g JOIN c USING (gram)
+GROUP BY doc_id
+"""
+
+_RH_B = np.uint64(0x100000001B3)          # odd -> invertible mod 2^64
+_RH_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _rolling_grams(text: str, L: int = _SUB_L) -> np.ndarray:
+    """All L-char rolling polynomial hashes of an ASCII text, vectorized:
+    H[i] = B^(i+L) * (S[i+L] - S[i]) mod 2^64 where S is the Binv-weighted
+    prefix sum — no per-position Python loop. Distinct grams collide with
+    probability ~n^2/2^64 (same accepted caveat as doc_exact_dedup; the SQL
+    oracle groups raw grams)."""
+    b = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < L:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pow = np.concatenate(
+            [[np.uint64(1)],
+             np.cumprod(np.full(n, _RH_BINV, np.uint64))])
+        b_pow = np.concatenate(
+            [[np.uint64(1)], np.cumprod(np.full(n, _RH_B, np.uint64))])
+        s = np.concatenate([[np.uint64(0)],
+                            np.cumsum(b * binv_pow[1:n + 1])])
+        return b_pow[L:n + 1] * (s[L:n + 1] - s[:n - L + 1])
+
+
+@query("substring_dup_positions", _SUBSTR_SQL)
+def substring_dup_positions(sf_dir: str):
+    """Exact substring duplication (the published suffix-array dedup
+    method's detection pass, expressed as rolling-hash shingles): a doc
+    position is duplicated when its 32-gram occurs >= 2 times anywhere in
+    the corpus. One explode -> count-per-gram partial aggregate -> hash
+    join back -> per-doc rollup; the exchange carries 64-bit hashes, never
+    the grams."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for did, text in zip(df["doc_id"].to_numpy(np.int64),
+                             df["text"].to_list()):
+            h = _rolling_grams(text)
+            if len(h):
+                ids.append(np.full(len(h), did, np.int64))
+                hs.append(h.view(np.int64))
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "gh": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(ids),
+                             "gh": np.concatenate(hs)})
+
+    grams = ds.map_batches(explode, batch_format="pandas")
+    counts = partial_agg(
+        grams.map_batches(lambda df: df.assign(cnt=np.ones(len(df), np.int64)),
+                          batch_format="pandas"),
+        ["gh"], [("cnt", "sum", "cnt")])
+    joined = grams.join(counts, join_type="inner", num_partitions=16,
+                        on=("gh",))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.int64)
+        g = df.assign(dup=(cnt >= 2).astype(np.int64)) \
+            .groupby("doc_id", as_index=False) \
+            .agg(n_pos=("gh", "size"), n_dup_pos=("dup", "sum"),
+                 max_gram_count=("cnt", "max"))
+        return g.astype({"doc_id": np.int64, "n_pos": np.int64,
+                         "n_dup_pos": np.int64, "max_gram_count": np.int64})
+
+    return keyed_map_groups(joined, "doc_id", per_doc, per_group=False)
