@@ -602,3 +602,100 @@ def substring_dup_positions(sf_dir: str):
                          "n_dup_pos": np.int64, "max_gram_count": np.int64})
 
     return keyed_map_groups(joined, "doc_id", per_doc, per_group=False)
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance over the link graph (frontier iteration)
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEEDS = (0, 1, 2, 3, 4)  # seed sites (crawl entry points)
+
+
+def _bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
+    """Unrolled frontier rounds: dist{k+1} = min(dist{k}, 1 + min over
+    in-edges from sites at distance exactly k)."""
+    h = sm64(add64("CAST(p.i AS UBIGINT)", str(_LINKS_SEED)))
+    t = sm64(add64("h", "CAST(j.j + 1 AS UBIGINT)"))
+    seeds = ", ".join(str(s) for s in _BFS_SEEDS)
+    out = [f"""
+    WITH page AS (
+        SELECT CAST(p.i AS BIGINT) AS page_id, {h} AS h
+        FROM range({_LINKS_N}) p(i)
+    ), edge AS (
+        SELECT DISTINCT CAST(h % {_PR_SITES} AS BIGINT) AS src_site,
+               CAST({t} % {_PR_SITES} AS BIGINT) AS dst_site
+        FROM page, range(8) j(j)
+        WHERE j.j < 1 + CAST(h % 8 AS BIGINT)
+    ), dist0 AS (
+        SELECT CAST(n.n AS BIGINT) AS site,
+               CASE WHEN n.n IN ({seeds}) THEN 0 ELSE {_PR_SITES} END AS dist
+        FROM range({_PR_SITES}) n(n)
+    )"""]
+    for k in range(rounds):
+        out.append(f""", dist{k + 1} AS (
+        SELECT d.site,
+               LEAST(d.dist,
+                     COALESCE((SELECT MIN(s.dist) + 1
+                               FROM edge e JOIN dist{k} s
+                                 ON s.site = e.src_site
+                               WHERE e.dst_site = d.site
+                                 AND s.dist = {k}), {_PR_SITES})) AS dist
+        FROM dist{k} d
+    )""")
+    out.append(f"""
+    SELECT site, CAST(dist AS BIGINT) AS dist FROM dist{rounds}
+    WHERE dist < {_PR_SITES}""")
+    return "".join(out)
+
+
+@query("link_bfs_distance", _bfs_sql())
+def link_bfs_distance(sf_dir: str):
+    """BFS hop distance from 5 seed sites over the DISTINCT extracted link
+    graph, as FRONTIER iteration: each round joins only the sites reached
+    in the previous round (the active frontier, typically a tiny fraction
+    of all nodes) against the edge list, then folds newly reached sites
+    into the distance table with a min-aggregate — the standard
+    delta-iteration optimization for distributed BFS (the full distance
+    table never re-joins the edges). Emits sites reached within 4 hops."""
+    from ..config import actor_pool
+
+    pages = ray.data.from_arrow(_synth_link_pages())
+    raw = pages.map_batches(_LinkExtract, batch_size=512,
+                            batch_format="pyarrow",
+                            concurrency=actor_pool())
+    raw = raw.map_batches(
+        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    edges = partial_agg(raw, ["src_site", "dst_site"], [("m", "sum", "m")]) \
+        .drop_columns(["m"]).materialize()
+
+    seeds = np.asarray(_BFS_SEEDS, np.int64)
+    dist = ray.data.from_arrow(pa.table({
+        "site": seeds, "dist": np.zeros(len(seeds), np.int64)})).materialize()
+    frontier = dist
+    for k in range(_BFS_ROUNDS):
+        hop = edges.join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src_site", "dist"]),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("src_site",))
+        reached = hop.map_batches(
+            lambda t: pa.table({
+                "site": t["dst_site"],
+                "dist": pa.array(
+                    t["dist"].to_numpy(zero_copy_only=False) + 1, pa.int64())}),
+            batch_format="pyarrow")
+        # fold: min distance wins. Distances are monotone (round j only
+        # ever assigns j+1), so folded dist == k+1 already means "reached
+        # for the first time this round" — the frontier needs no anti-join
+        # against the seen set.
+        merged = partial_agg(dist.union(reached), ["site"],
+                             [("dist", "min", "dist")]).materialize()
+        frontier = merged.map_batches(
+            lambda t, kk=k: t.filter(pa.compute.equal(t["dist"], kk + 1)),
+            batch_format="pyarrow").materialize()
+        dist = merged
+        if frontier.count() == 0:
+            break
+    return dist
