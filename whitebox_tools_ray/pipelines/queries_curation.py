@@ -699,3 +699,54 @@ def link_bfs_distance(sf_dir: str):
         if frontier.count() == 0:
             break
     return dist
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window heavy hitters (daily top-k users)
+# --------------------------------------------------------------------------
+
+_TOPK_K = 3
+
+_TOPK_SQL = f"""
+WITH c AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day_idx, user_id, n, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY day_idx
+                                    ORDER BY n DESC, user_id ASC)
+                 AS BIGINT) AS rnk
+  FROM c)
+WHERE rnk <= {_TOPK_K}
+"""
+
+
+@query("daily_topk_users", _TOPK_SQL)
+def daily_topk_users(sf_dir: str):
+    """Tumbling-window heavy hitters: count per (day, user) with map-side
+    combine, then per-day top-3 with deterministic ties (count DESC,
+    user_id ASC) in a bucketed map_groups. The per-window state is k rows —
+    the streaming-analytics shape where only (windows x k) rows survive
+    the second exchange."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "day_idx": ts // 86_400_000_000,
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n": np.ones(len(df), np.int64)})
+
+    counts = partial_agg(ds.map_batches(enc, batch_format="pandas"),
+                         ["day_idx", "user_id"], [("n", "sum", "n")])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day_idx", "n", "user_id"],
+                          ascending=[True, False, True])
+        g = g.assign(rnk=g.groupby("day_idx", sort=False).cumcount() + 1)
+        out = g[g["rnk"] <= _TOPK_K]
+        return out.astype({"day_idx": np.int64, "user_id": np.int64,
+                           "n": np.int64, "rnk": np.int64})
+
+    return keyed_map_groups(counts, "day_idx", topk, per_group=False)
