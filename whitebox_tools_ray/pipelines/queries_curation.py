@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..memo import session_memo
 from ..relational import keyed_map_groups, partial_agg
 from ..sources.tables import read_table
 from .queries import query
@@ -257,6 +258,26 @@ class _LinkExtract:
                          "dst_site": pa.array(dsts, pa.int64())})
 
 
+@session_memo
+def _link_edges():
+    """Materialized weighted edge list (src_site, dst_site, m) extracted
+    from the real HTML once per Ray session — the whole link-graph family
+    (degrees, PageRank, BFS) starts here, so the extraction actor pool and
+    the (src, dst) collapse run once (same shared-intermediate design as
+    the stream-network index memo)."""
+    from ..config import actor_pool
+
+    pages = ray.data.from_arrow(_synth_link_pages())
+    raw = pages.map_batches(_LinkExtract, batch_size=512,
+                            batch_format="pyarrow",
+                            concurrency=actor_pool())
+    raw = raw.map_batches(
+        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    return partial_agg(raw, ["src_site", "dst_site"],
+                       [("m", "sum", "m")]).materialize()
+
+
 @query("link_graph_degrees", _link_graph_sql())
 def link_graph_degrees(sf_dir: str):
     """Web-graph extraction (the Common-Crawl hyperlink-graph shape): real
@@ -265,19 +286,7 @@ def link_graph_degrees(sf_dir: str):
     in-degree. Both exchanges are on small int keys; the HTML never enters
     a shuffle. Oracle regenerates the edges in closed form — an extraction
     bug (missed/duplicated anchor) flips the hash."""
-    from ..config import actor_pool
-
-    pages = ray.data.from_arrow(_synth_link_pages())
-    edges = pages.map_batches(_LinkExtract, batch_size=512,
-                              batch_format="pyarrow",
-                              concurrency=actor_pool())
-    # exact distinct sources per destination: collapse duplicate (dst, src)
-    # pairs first (edge multiplicity kept as a count), then one small agg
-    pair = edges.map_batches(
-        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
-        batch_format="pyarrow")
-    pair = partial_agg(pair, ["dst_site", "src_site"], [("m", "sum", "m")])
-    pair = pair.map_batches(
+    pair = _link_edges().map_batches(
         lambda t: t.append_column("one", pa.array(np.ones(len(t), np.int64))),
         batch_format="pyarrow")
     return partial_agg(pair, ["dst_site"],
@@ -467,16 +476,7 @@ def link_pagerank_fixedpoint(sf_dir: str):
     node-sized result materializes (documented boundary: O(nodes) in the
     object store, like MULTINODE.md's other bounded materialize points) so
     round k+1 reads a computed table, not a 2^k-deep lineage."""
-    from ..config import actor_pool
-
-    pages = ray.data.from_arrow(_synth_link_pages())
-    raw = pages.map_batches(_LinkExtract, batch_size=512,
-                            batch_format="pyarrow",
-                            concurrency=actor_pool())
-    raw = raw.map_batches(
-        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
-        batch_format="pyarrow")
-    edges = partial_agg(raw, ["src_site", "dst_site"], [("m", "sum", "m")])
+    edges = _link_edges()
     outdeg = partial_agg(edges, ["src_site"], [("m", "sum", "od")])
     edge_w = edges.join(outdeg, join_type="inner", num_partitions=8,
                         on=("src_site",)).materialize()
@@ -658,17 +658,7 @@ def link_bfs_distance(sf_dir: str):
     into the distance table with a min-aggregate — the standard
     delta-iteration optimization for distributed BFS (the full distance
     table never re-joins the edges). Emits sites reached within 4 hops."""
-    from ..config import actor_pool
-
-    pages = ray.data.from_arrow(_synth_link_pages())
-    raw = pages.map_batches(_LinkExtract, batch_size=512,
-                            batch_format="pyarrow",
-                            concurrency=actor_pool())
-    raw = raw.map_batches(
-        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int64))),
-        batch_format="pyarrow")
-    edges = partial_agg(raw, ["src_site", "dst_site"], [("m", "sum", "m")]) \
-        .drop_columns(["m"]).materialize()
+    edges = _link_edges().drop_columns(["m"])
 
     seeds = np.asarray(_BFS_SEEDS, np.int64)
     dist = ray.data.from_arrow(pa.table({
