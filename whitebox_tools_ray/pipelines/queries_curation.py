@@ -740,3 +740,84 @@ def daily_topk_users(sf_dir: str):
                            "n": np.int64, "rnk": np.int64})
 
     return keyed_map_groups(counts, "day_idx", topk, per_group=False)
+
+
+# --------------------------------------------------------------------------
+# Connected components over the (undirected) link graph — label propagation
+# --------------------------------------------------------------------------
+
+_CC_ROUNDS = 6
+
+
+def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
+    """Unrolled min-label propagation over the symmetrized edge set; after
+    convergence extra rounds are no-ops, so the fixed round count is an
+    exact contract whether or not the graph converged earlier."""
+    h = sm64(add64("CAST(p.i AS UBIGINT)", str(_LINKS_SEED)))
+    t = sm64(add64("h", "CAST(j.j + 1 AS UBIGINT)"))
+    out = [f"""
+    WITH page AS (
+        SELECT CAST(p.i AS BIGINT) AS page_id, {h} AS h
+        FROM range({_LINKS_N}) p(i)
+    ), de AS (
+        SELECT DISTINCT CAST(h % {_PR_SITES} AS BIGINT) AS a,
+               CAST({t} % {_PR_SITES} AS BIGINT) AS b
+        FROM page, range(8) j(j)
+        WHERE j.j < 1 + CAST(h % 8 AS BIGINT)
+    ), edge AS (
+        SELECT a, b FROM de UNION SELECT b, a FROM de
+    ), lab0 AS (
+        SELECT CAST(n.n AS BIGINT) AS site, CAST(n.n AS BIGINT) AS label
+        FROM range({_PR_SITES}) n(n)
+    )"""]
+    for k in range(rounds):
+        out.append(f""", lab{k + 1} AS (
+        SELECT l.site,
+               LEAST(l.label,
+                     COALESCE((SELECT MIN(s.label)
+                               FROM edge e JOIN lab{k} s ON s.site = e.a
+                               WHERE e.b = l.site), l.label)) AS label
+        FROM lab{k} l
+    )""")
+    out.append(f"\n    SELECT site, label FROM lab{rounds}")
+    return "".join(out)
+
+
+@query("link_connected_components", _cc_sql())
+def link_connected_components(sf_dir: str):
+    """Distributed connected components (min-label propagation) over the
+    symmetrized link graph: each round joins current labels against the
+    edge list, folds with a min-aggregate, and materializes the node-sized
+    label table; exits early when the label-sum fixed point is reached
+    (extra rounds are no-ops, so the early exit matches the oracle's fixed
+    round count exactly). The distributed counterpart of the dedup
+    family's driver-side union-find — this one never collects the graph."""
+    edges = _link_edges().drop_columns(["m"])
+    sym = edges.union(edges.map_batches(
+        lambda t: pa.table({"src_site": t["dst_site"],
+                            "dst_site": t["src_site"]}),
+        batch_format="pyarrow"))
+    sym = partial_agg(sym.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow"), ["src_site", "dst_site"],
+        [("one", "min", "one")]).drop_columns(["one"]).materialize()
+
+    labels = ray.data.from_arrow(pa.table({
+        "site": np.arange(_PR_SITES, dtype=np.int64),
+        "label": np.arange(_PR_SITES, dtype=np.int64)})).materialize()
+    prev_sum = None
+    for _ in range(_CC_ROUNDS):
+        prop = sym.join(labels.map_batches(
+            lambda t: t.rename_columns(["src_site", "label"]),
+            batch_format="pyarrow"), join_type="inner", num_partitions=8,
+            on=("src_site",))
+        cand = prop.map_batches(
+            lambda t: pa.table({"site": t["dst_site"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels = partial_agg(labels.union(cand), ["site"],
+                             [("label", "min", "label")]).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
