@@ -821,3 +821,89 @@ def link_connected_components(sf_dir: str):
             break
         prev_sum = s
     return labels
+
+
+# --------------------------------------------------------------------------
+# WARC container round-trip (Common Crawl's native shard format)
+# --------------------------------------------------------------------------
+
+_WARC_N = 2000
+# html template constants per edge-case class e = h % 100 (validated
+# against gen_pages output character-for-character; body absent for e = 0)
+_WARC_CONST = {0: 55, 1: 71, 2: 93, 3: 84}
+_WARC_CONST_ELSE = 62
+
+
+def _warc_sql(n: int = _WARC_N) -> str:
+    """Regenerate (page_id, url, content_len) of the synthetic pages in
+    closed form: url from the page hash, content length from the html
+    template class + title digits + the VOCAB word-length sum of the
+    splitmix64 body (VOCAB lengths inlined as a 256-row VALUES CTE)."""
+    from ..sources.synthetic import VOCAB
+
+    seed_mix = (42 * 0x9E3779B97F4A7C15) % (1 << 64)
+    h = sm64(add64("CAST(p.i AS UBIGINT)", str(seed_mix)))
+    wh = sm64(add64("CAST(k.k AS UBIGINT)", "h"))
+    wlen_rows = ", ".join(f"({i}, {len(w)})" for i, w in enumerate(VOCAB))
+    const_case = ("CASE CAST(h % 100 AS BIGINT) "
+                  + " ".join(f"WHEN {e} THEN {c}"
+                             for e, c in _WARC_CONST.items())
+                  + f" ELSE {_WARC_CONST_ELSE} END")
+    return f"""
+    WITH page AS MATERIALIZED (
+        SELECT CAST(p.i AS BIGINT) AS page_id, {h} AS h,
+               20 + CAST({h} % 180 AS BIGINT) AS nw
+        FROM range({n}) p(i)
+    ), wlen(i, wl) AS (VALUES {wlen_rows}),
+    widx AS MATERIALIZED (
+        SELECT page_id, nw, CAST({wh} % 256 AS BIGINT) AS wi
+        FROM page, range(200) k(k)
+        WHERE k.k < nw
+    ),
+    body AS (
+        SELECT page_id,
+               CAST(SUM(w.wl) + nw - 1 AS BIGINT) AS body_len
+        FROM widx JOIN wlen w ON w.i = widx.wi
+        GROUP BY page_id, nw
+    )
+    SELECT p.page_id,
+           'https://site' || CAST(CAST(h % 10000 AS BIGINT) AS VARCHAR)
+             || '.example/' || CAST(p.page_id AS VARCHAR) AS url,
+           CAST({const_case}
+                + length(CAST(p.page_id AS VARCHAR))
+                + CASE WHEN CAST(h % 100 AS BIGINT) = 0 THEN 0
+                       ELSE b.body_len END AS BIGINT) AS content_len
+    FROM page p JOIN body b ON b.page_id = p.page_id
+    """
+
+
+@query("warc_roundtrip_stats", _warc_sql())
+def warc_roundtrip_stats(sf_dir: str):
+    """WARC container boundary (sources/warc.py): shard the synthetic pages
+    into per-record-gzip .warc.gz files from inside map_batches (one shard
+    per block, deterministic record IDs), read them back with one task per
+    shard (the Common-Crawl parallelism unit), and report per-page url +
+    content length. The oracle regenerates both in closed form, so a
+    corruption anywhere in the WARC write, the gzip member framing, or the
+    header parse flips the hash."""
+    import os
+    import tempfile
+
+    from ..sources.synthetic import pages_dataset
+    from ..sources.warc import read_warc_ds, write_warc
+
+    d = tempfile.mkdtemp(prefix="warc_rt_", dir="/tmp")
+    pages = pages_dataset(_WARC_N, blocks=8)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        recs = [(int(r.page_id), r.url, r.warc_ts.isoformat() + "Z",
+                 r.html) for r in df.itertuples()]
+        lo = int(df["page_id"].min())
+        path = os.path.join(d, f"shard-{lo:08d}.warc.gz")
+        write_warc(path, recs, gzip_members=True)
+        return pd.DataFrame({"path": [path]})
+
+    paths = pages.map_batches(shard, batch_format="pandas").to_pandas()
+    ds = read_warc_ds(paths["path"].to_list(),
+                      columns=["page_id", "url", "content_len"])
+    return ds
