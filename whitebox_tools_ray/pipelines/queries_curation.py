@@ -83,7 +83,11 @@ def bigram_familiarity(sf_dir: str):
     def score(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(model_ref)
         ids, per_doc = _bigram_ids(df["text"].to_list())
-        offsets = np.concatenate([[0], np.cumsum(per_doc)[:-1]])
+        # reduceat rejects an offset == len(ids), which a trailing
+        # zero-bigram doc produces; clamp — the np.where below zeroes the
+        # meaningless value that the clamped segment yields
+        offsets = np.minimum(np.concatenate([[0], np.cumsum(per_doc)[:-1]]),
+                             max(len(ids) - 1, 0))
         fam = (np.add.reduceat(m[ids], offsets)
                if len(ids) else np.zeros(len(per_doc), np.int64))
         fam = np.where(per_doc > 0, fam, 0)
