@@ -226,3 +226,140 @@ def gif_temporal_diff(sf_dir: str):
     return media.map_batches(GifTemporalDiff, batch_size=64,
                              batch_format="pyarrow",
                              concurrency=actor_pool())
+
+
+# --------------------------------------------------------------------------
+# Mixed-media dispatch: one stream, three REAL codecs, one feature contract
+# --------------------------------------------------------------------------
+
+_MIX_PNG_N = 800
+_MIX_WAV_N = 600
+_MIX_WAV_SEED = 99
+_MIX_GIF_N = 300
+_MIX_GIF_SEED = 7
+
+
+def _mixed_sql() -> str:
+    """Three closed-form branches unioned: PNG pixel sums (the gradient +
+    splitmix64-texture pattern of synth_image_table, PNG-selected items
+    only — JPEG is lossy so its decoded pixels are not SQL-reproducible),
+    WAV energy, GIF all-frame pixel sums."""
+    hp = sm64(add64("CAST(p.i AS UBIGINT)", "42"))
+    tex = sm64(add64(add64("CAST(y.y AS UBIGINT) * (CAST((h >> 8) % 24 AS"
+                           " UBIGINT) + 8)", "CAST(x.x AS UBIGINT)"), "h"))
+    ha = sm64(add64("CAST(a.i AS UBIGINT)", str(_MIX_WAV_SEED)))
+    hg = sm64(add64("CAST(g.i AS UBIGINT)", str(_MIX_GIF_SEED)))
+    return f"""
+    WITH png_item AS MATERIALIZED (
+        SELECT CAST(p.i AS BIGINT) AS item_id, {hp} AS h
+        FROM range({_MIX_PNG_N}) p(i)
+        WHERE CAST({hp} % 3 AS BIGINT) <> 0
+    ), png_px AS (
+        SELECT item_id,
+               ((7 * x.x + 13 * y.y + CAST(h % 251 AS BIGINT)) % 256
+                + CAST({tex} % 64 AS BIGINT)) % 256 AS v
+        FROM png_item, range(32) x(x), range(32) y(y)
+        WHERE x.x < CAST((h >> 8) % 24 AS BIGINT) + 8
+          AND y.y < CAST(h % 24 AS BIGINT) + 8
+    ), png_feat AS (
+        SELECT item_id, 'png' AS kind, CAST(SUM(v) AS BIGINT) AS feat
+        FROM png_px GROUP BY item_id
+    ), wav_item AS MATERIALIZED (
+        SELECT CAST(a.i AS BIGINT) + 10000 AS item_id,
+               500 + CAST({ha} % 1500 AS BIGINT) AS n,
+               1 + CAST(({ha} >> 8) % 64 AS BIGINT) AS wa,
+               CAST(({ha} >> 16) % 4096 AS BIGINT) AS wb
+        FROM range({_MIX_WAV_N}) a(i)
+    ), wav_feat AS (
+        SELECT item_id, 'wav' AS kind,
+               CAST(SUM(((wa * s.t + wb) % 4096 - 2048)
+                        * ((wa * s.t + wb) % 4096 - 2048)) AS BIGINT) AS feat
+        FROM wav_item, range(2000) s(t) WHERE s.t < n
+        GROUP BY item_id
+    ), gif_item AS MATERIALIZED (
+        SELECT CAST(g.i AS BIGINT) + 20000 AS item_id,
+               8 + CAST({hg} % 16 AS BIGINT) AS w,
+               8 + CAST(({hg} >> 5) % 16 AS BIGINT) AS ht,
+               2 + CAST(({hg} >> 10) % 7 AS BIGINT) AS nf,
+               1 + CAST(({hg} >> 18) % 32 AS BIGINT) AS ga,
+               1 + CAST(({hg} >> 23) % 32 AS BIGINT) AS gb,
+               1 + CAST(({hg} >> 28) % 64 AS BIGINT) AS gc,
+               CAST(({hg} >> 34) % 256 AS BIGINT) AS gd
+        FROM range({_MIX_GIF_N}) g(i)
+    ), gif_feat AS (
+        SELECT item_id, 'gif' AS kind,
+               CAST(SUM((ga * x.x + gb * y.y + gc * k.k + gd) % 256)
+                    AS BIGINT) AS feat
+        FROM gif_item, range(9) k(k), range(24) x(x), range(24) y(y)
+        WHERE k.k < nf AND x.x < w AND y.y < ht
+        GROUP BY item_id
+    )
+    SELECT * FROM png_feat
+    UNION ALL SELECT * FROM wav_feat
+    UNION ALL SELECT * FROM gif_feat
+    """
+
+
+class MediaDispatch:
+    """Actor-pool stage: route each payload to the right REAL decoder by
+    magic bytes (PNG / RIFF-WAVE / GIF) and emit one integer feature per
+    item under a single schema — the mixed-modality shape of a production
+    media pipeline where one stream carries every format."""
+
+    def __init__(self):
+        from ..functions.gif import decode_gif
+        from ..functions.png import decode_png
+        from ..functions.wav import decode_wav
+
+        self._png, self._wav, self._gif = decode_png, decode_wav, decode_gif
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, feats = [], [], []
+        items = batch["item_id"].to_numpy(zero_copy_only=False)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                img = self._png(p)
+                kind, feat = "png", int(img.astype(np.int64).sum())
+            elif p[:4] == b"RIFF":
+                s, _rate = self._wav(p)
+                s64 = s[:, 0].astype(np.int64)
+                kind, feat = "wav", int((s64 * s64).sum())
+            elif p[:4] == b"GIF8":
+                frames, _pal, _d = self._gif(p)
+                kind = "gif"
+                feat = int(sum(f.astype(np.int64).sum() for f in frames))
+            else:
+                continue  # undecodable (e.g. JPEG filtered upstream)
+            ids.append(int(items[i]))
+            kinds.append(kind)
+            feats.append(feat)
+        return pa.table({"item_id": pa.array(ids, pa.int64()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "feat": pa.array(feats, pa.int64())})
+
+
+@query("media_mixed_features", _mixed_sql())
+def media_mixed_features(sf_dir: str):
+    """Mixed-modality media stream: PNG images (the JPEG-selected items are
+    excluded — lossy decode is not SQL-reproducible), WAV audio, and
+    animated-GIF video payloads in ONE dataset, dispatched to three real
+    pure-python decoders by magic bytes inside one actor pool. Hash-exact:
+    the oracle regenerates every decoded pixel/sample in closed form."""
+    import pyarrow.compute as pc
+
+    from ..config import actor_pool
+    from ..stages.multimodal import (synth_audio_table, synth_image_table,
+                                     synth_video_table)
+
+    img = synth_image_table(_MIX_PNG_N, seed=42)
+    aud = synth_audio_table(_MIX_WAV_N, seed=_MIX_WAV_SEED)
+    aud = aud.set_column(0, "item_id",
+                         pc.add(aud["item_id"], 10000))
+    vid = synth_video_table(_MIX_GIF_N, seed=_MIX_GIF_SEED)
+    vid = vid.set_column(0, "item_id",
+                         pc.add(vid["item_id"], 20000))
+    mixed = pa.concat_tables([img, aud, vid])
+    ds = ray.data.from_arrow(mixed)
+    return ds.map_batches(MediaDispatch, batch_size=128,
+                          batch_format="pyarrow",
+                          concurrency=actor_pool())

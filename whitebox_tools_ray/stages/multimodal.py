@@ -103,28 +103,32 @@ def synth_image_table(n_rows: int, seed: int = 42) -> pa.Table:
     h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
     payloads, ws, hs, urls = [], [], [], []
     for i in range(n_rows):
-        hh = int(h[i] % 24) + 8
+        # NOTE exact uint64 modulo everywhere: `h[i] % 24` with a Python
+        # int promotes to float64 in numpy (h rounds to 53 bits first),
+        # which no integer SQL oracle can reproduce
+        hh = int(h[i] % np.uint64(24)) + 8
         ww = int((h[i] >> np.uint64(8)) % np.uint64(24)) + 8
         yy, xx = np.mgrid[0:hh, 0:ww]
-        base = (7 * xx + 13 * yy + int(h[i] % 251)) % 256
+        base = (7 * xx + 13 * yy + int(h[i] % np.uint64(251))) % 256
         tex = splitmix64((yy.astype(np.uint64) * np.uint64(ww)
                           + xx.astype(np.uint64)) + h[i]) % np.uint64(64)
         img = ((base + tex.astype(np.int64)) % 256).astype(np.uint8)
-        sel = int(h[i] % 3)
+        sel = int(h[i] % np.uint64(3))
         if sel == 0:  # baseline JPEG
             quality = 85 + int((h[i] >> np.uint64(16)) % np.uint64(11))
             if int(h[i] >> np.uint64(24)) % 2:
                 rgb = np.stack([img, np.roll(img, 1, axis=1),
                                 np.roll(img, 1, axis=0)], axis=2)
                 sub = "420" if int(h[i] >> np.uint64(32)) % 2 else "444"
-                payloads.append(encode_jpeg(rgb, quality=quality,
-                                            subsample=sub,
-                                            restart_interval=int(h[i] % 4)))
+                payloads.append(encode_jpeg(
+                    rgb, quality=quality, subsample=sub,
+                    restart_interval=int(h[i] % np.uint64(4))))
             else:
                 payloads.append(encode_jpeg(img, quality=quality))
             ext = "jpg"
         else:
-            payloads.append(encode_png(img, filter_type=int(h[i] % 5)))
+            payloads.append(encode_png(
+                img, filter_type=int(h[i] % np.uint64(5))))
             ext = "png"
         urls.append(f"https://img{int(h[i]) % 100}.example/{i}.{ext}")
         ws.append(ww)
