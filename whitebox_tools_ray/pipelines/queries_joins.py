@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..relational import keyed_map_groups
+from ..relational import keyed_map_groups, partial_agg
 from ..sources.tables import read_table
 from .queries import query
 from .sqlgen import add64, sm64
@@ -167,3 +167,148 @@ def event_range_join(sf_dir: str):
                              "user_id": np.concatenate(out_u)})
 
     return ds.map_batches(stab, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS stage_reached,
+       COUNT(*) AS n_users
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+GROUP BY 1
+"""
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query("event_funnel_stages", _FUNNEL_SQL)
+def event_funnel_stages(sf_dir: str):
+    """Ordered funnel: how far each user progresses through
+    view -> click -> purchase, where each step must STRICTLY follow the
+    user's earliest completion of the previous step. One bucketed exchange
+    on user_id; the per-key kernel is three vectorized masked mins; the
+    output exchange is 4 rows."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(_FUNNEL_STEPS)]
+        step = df["event_type"].map(
+            {s: i for i, s in enumerate(_FUNNEL_STEPS)})
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "step": step.to_numpy(np.int64),
+        })
+
+    def stage(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "stage_reached": pd.Series(dtype=np.int64)})
+        uid = int(g["user_id"].iloc[0])
+        ts = g["ts_us"].to_numpy(np.int64)
+        st = g["step"].to_numpy(np.int64)
+        reached = 0
+        t_prev = None
+        for k in range(len(_FUNNEL_STEPS)):
+            mask = (st == k) if t_prev is None else \
+                ((st == k) & (ts > t_prev))
+            if not mask.any():
+                break
+            t_prev = ts[mask].min()
+            reached = k + 1
+        return pd.DataFrame({"user_id": [uid],
+                             "stage_reached": [reached]})
+
+    # all-events distinct users (users with none of the 3 steps still count
+    # at stage 0): aggregate stages over the step events, then union the
+    # remaining users at stage 0 via the distinct-user aggregate
+    stages = keyed_map_groups(ds.map_batches(enc, batch_format="pandas"),
+                              "user_id", stage)
+    # normalize to Arrow blocks before the union (partial_agg's combine
+    # requires one block type across the unioned dataset)
+    stages = stages.map_batches(lambda t: t, batch_format="pyarrow")
+    users = partial_agg(ds.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "z": np.zeros(len(df), np.int64)}), batch_format="pandas"),
+        ["user_id"], [("z", "min", "stage_reached")])
+    both = partial_agg(stages.union(users), ["user_id"],
+                       [("stage_reached", "max", "stage_reached")])
+    counts = both.map_batches(
+        lambda df: pd.DataFrame({
+            "stage_reached": df["stage_reached"].to_numpy(np.int64),
+            "n_users": np.ones(len(df), np.int64)}), batch_format="pandas")
+    return partial_agg(counts, ["stage_reached"], [("n_users", "sum", "n_users")])
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts (first-activity day x day offset)
+# --------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day_idx) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT f.cohort_day, d.day_idx - f.cohort_day AS day_offset,
+       COUNT(*) AS n_users
+FROM d JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(sf_dir: str):
+    """Retention matrix: users bucketed by first-activity day (cohort),
+    counted per (cohort, day-offset) cell of later activity. The
+    (user, day) distinct collapse happens map-side; cohort assignment is
+    a per-user min carried through one more small aggregate — three
+    exchanges, all on (user) or (cohort, offset) keys."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day_idx": ts // 86_400_000_000})
+        out = out.drop_duplicates()
+        out["z"] = np.zeros(len(out), np.int8)
+        return out
+
+    days = partial_agg(ds.map_batches(enc, batch_format="pandas"),
+                       ["user_id", "day_idx"], [("z", "min", "z")]) \
+        .drop_columns(["z"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"cohort_day": pd.Series(dtype=np.int64),
+                                 "day_offset": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        d = g["day_idx"].to_numpy(np.int64)
+        first = d.min()
+        return pd.DataFrame({"cohort_day": np.full(len(d), first),
+                             "day_offset": d - first,
+                             "n_users": np.ones(len(d), np.int64)})
+
+    cells = keyed_map_groups(days, "user_id", per_user)
+    return partial_agg(cells, ["cohort_day", "day_offset"],
+                       [("n_users", "sum", "n_users")])
