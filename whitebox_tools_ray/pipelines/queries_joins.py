@@ -78,14 +78,20 @@ def asof_join_click_purchase(sf_dir: str):
         lts = left["ts_us"].to_numpy(np.int64)
         rts = right["ts_us"].to_numpy(np.int64)
         rid = right["event_id"].to_numpy(np.int64)
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        hit = idx >= 0
-        safe = np.maximum(idx, 0)
+        if not len(rts):  # clicks with no purchase stream at all
+            purchase = np.full(len(lts), -1, np.int64)
+            gap = np.full(len(lts), -1, np.int64)
+        else:
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            hit = idx >= 0
+            safe = np.maximum(idx, 0)
+            purchase = np.where(hit, rid[safe], -1)
+            gap = np.where(hit, lts - rts[safe], -1)
         return pd.DataFrame({
             "click_id": left["event_id"].to_numpy(np.int64),
             "user_id": left["user_id"].to_numpy(np.int64),
-            "purchase_id": np.where(hit, rid[safe], -1),
-            "gap_us": np.where(hit, lts - rts[safe], -1),
+            "purchase_id": purchase,
+            "gap_us": gap,
         })
 
     # per_group=True: `merge` needs exactly one user's rows per call (its
