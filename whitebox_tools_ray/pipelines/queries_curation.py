@@ -911,3 +911,78 @@ def warc_roundtrip_stats(sf_dir: str):
     ds = read_warc_ds(paths["path"].to_list(),
                       columns=["page_id", "url", "content_len"])
     return ds
+
+
+# --------------------------------------------------------------------------
+# JSONL interchange round-trip with escaping-adversarial strings
+# --------------------------------------------------------------------------
+
+_JSONL_N = 3000
+_JSONL_PATTERNS = ['plain text ', 'quo"te"d ', 'back\\slash ', 'new\nline ',
+                   'tab\tchar ', 'uni é中 ', 'emoji \U0001F680 ',
+                   "apo'strophe "]
+
+_JSONL_SQL = f"""
+SELECT CAST(t.i AS BIGINT) AS row_id,
+       CASE CAST(t.i % 8 AS BIGINT)
+            WHEN 0 THEN 'plain text '
+            WHEN 1 THEN 'quo"te"d '
+            WHEN 2 THEN 'back\\slash '
+            WHEN 3 THEN 'new' || chr(10) || 'line '
+            WHEN 4 THEN 'tab' || chr(9) || 'char '
+            WHEN 5 THEN 'uni é中 '
+            WHEN 6 THEN 'emoji \U0001F680 '
+            ELSE 'apo''strophe '
+       END || CAST(t.i AS VARCHAR) AS text,
+       length(CASE CAST(t.i % 8 AS BIGINT)
+            WHEN 0 THEN 'plain text '
+            WHEN 1 THEN 'quo"te"d '
+            WHEN 2 THEN 'back\\slash '
+            WHEN 3 THEN 'new' || chr(10) || 'line '
+            WHEN 4 THEN 'tab' || chr(9) || 'char '
+            WHEN 5 THEN 'uni é中 '
+            WHEN 6 THEN 'emoji \U0001F680 '
+            ELSE 'apo''strophe '
+       END || CAST(t.i AS VARCHAR)) AS n_chars
+FROM range({_JSONL_N}) t(i)
+"""
+
+
+@query("jsonl_adversarial_roundtrip", _JSONL_SQL)
+def jsonl_adversarial_roundtrip(sf_dir: str):
+    """JSONL interchange boundary (sources/formats.py): rows whose strings
+    hit every JSON escaping class (quotes, backslashes, newlines, tabs,
+    non-ASCII, astral-plane emoji, apostrophes) are sharded to JSONL from
+    inside map_batches, read back one task per shard, and byte-compared —
+    the oracle regenerates the strings as SQL literals, so any
+    escape/encode defect in the writer or parser flips the hash."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    ids = np.arange(_JSONL_N, dtype=np.int64)
+    src = pd.DataFrame({
+        "row_id": ids,
+        "text": [_JSONL_PATTERNS[i % 8] + str(i) for i in ids]})
+    ds = ray.data.from_pandas(src).repartition(8)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.formats import write_jsonl
+
+        lo = int(df["row_id"].min())
+        path = os.path.join(d, f"shard-{lo:08d}.jsonl")
+        write_jsonl(path, df)
+        return pd.DataFrame({"path": [path]})
+
+    paths = ds.map_batches(shard, batch_format="pandas").to_pandas()
+    from ..sources.formats import read_jsonl_ds
+
+    back = read_jsonl_ds(paths["path"].to_list())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "row_id": df["row_id"].to_numpy(np.int64),
+            "text": df["text"].to_numpy(object),
+            "n_chars": df["text"].str.len().to_numpy(np.int64)})
+
+    return back.map_batches(finish, batch_format="pandas")
