@@ -109,8 +109,19 @@ def run_engine(tag):
     fill_sum = int(fill.map_batches(
         lambda df: pd.DataFrame({"s": [int(df["fill"].sum()) & 0x7FFFFFFF]}),
         batch_format="pandas").to_pandas()["s"].sum())
-    print(f"{tag}: acc_sum={acc_sum} fill_sum={fill_sum}", flush=True)
+    # round-5 graph family: iterative join/materialize rounds + the
+    # session-memoized edge list, across both nodes' object stores
+    from whitebox_tools_ray import memo
+    from whitebox_tools_ray.pipelines.queries_curation import \
+        link_pagerank_fixedpoint
+
+    memo.clear()  # force re-extraction inside THIS cluster
+    pr = link_pagerank_fixedpoint("").to_pandas()
+    pr_sum = int(pr["mass"].sum())
+    print(f"{tag}: acc_sum={acc_sum} fill_sum={fill_sum} "
+          f"pagerank_sum={pr_sum}", flush=True)
     return {"head": head, "acc_sum": acc_sum, "fill_sum": fill_sum,
+            "pr_sum": pr_sum,
             "task_nodes": len(seen), "shard_nodes": len(shard_nodes)}
 
 
@@ -132,8 +143,9 @@ def main():
     assert two["head"] == one["head"], (two["head"], one["head"])
     assert two["acc_sum"] == one["acc_sum"]
     assert two["fill_sum"] == one["fill_sum"]
-    print("PARITY: 2-node == 1-node "
-          "(flagship counts, D8 accumulation + priority-flood checksums)")
+    assert two["pr_sum"] == one["pr_sum"]
+    print("PARITY: 2-node == 1-node (flagship counts, D8 accumulation + "
+          "priority-flood checksums, fixed-point PageRank)")
 
 
 if __name__ == "__main__":
