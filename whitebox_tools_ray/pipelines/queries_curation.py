@@ -986,3 +986,77 @@ def jsonl_adversarial_roundtrip(sf_dir: str):
             "n_chars": df["text"].str.len().to_numpy(np.int64)})
 
     return back.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate template detection (word-3-gram site templates)
+# --------------------------------------------------------------------------
+
+def _template_sql() -> str:
+    from .sqlgen import tok_rows_cte
+
+    return f"""
+    WITH {tok_rows_cte()},
+    g AS (
+      SELECT t1.doc_id, d.source,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+      FROM tok_rows t1
+      JOIN tok_rows t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      JOIN tok_rows t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+      JOIN documents d ON d.doc_id = t1.doc_id
+    ),
+    gd AS (SELECT DISTINCT source, gram, doc_id FROM g),
+    sd AS (SELECT source, COUNT(*) AS n_src_docs FROM documents
+           GROUP BY source),
+    cnt AS (SELECT source, gram, COUNT(*) AS n_docs FROM gd
+            GROUP BY source, gram)
+    SELECT c.source, c.gram, c.n_docs, s.n_src_docs
+    FROM cnt c JOIN sd s USING (source)
+    WHERE c.n_docs >= 2
+    """
+
+
+@query("source_template_grams", _template_sql())
+def source_template_grams(sf_dir: str):
+    """Boilerplate/template detection (the site-template-removal pass of a
+    web-corpus pipeline): word-3-grams repeated across a
+    source's documents (threshold n_docs >= 2 — sized to the synthetic
+    corpus's planted-duplicate density; production corpora use a
+    fraction-of-source cutoff on the same plan) are template candidates. The
+    per-doc DISTINCT collapse happens map-side (a set per document), the
+    count exchange is keyed on (source, gram), and the per-source doc
+    totals — 20 rows — broadcast for the final threshold filter instead
+    of joining."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    totals = partial_agg(ds.map_batches(
+        lambda df: pd.DataFrame({
+            "source": df["source"].to_numpy(object),
+            "n": np.ones(len(df), np.int64)}), batch_format="pandas"),
+        ["source"], [("n", "sum", "n_src_docs")]).to_pandas()
+    totals_ref = ray.put(dict(zip(totals["source"], totals["n_src_docs"])))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, grams = [], []
+        for src, text in zip(df["source"].to_list(), df["text"].to_list()):
+            t = text.split()
+            uniq = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+            srcs.extend([src] * len(uniq))
+            grams.extend(uniq)
+        return pd.DataFrame({"source": np.asarray(srcs, object),
+                             "gram": np.asarray(grams, object),
+                             "n_docs": np.ones(len(srcs), np.int64)})
+
+    counts = partial_agg(ds.map_batches(explode, batch_format="pandas"),
+                         ["source", "gram"], [("n_docs", "sum", "n_docs")])
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = ray.get(totals_ref)
+        n_src = df["source"].map(tot).to_numpy(np.int64)
+        n = df["n_docs"].to_numpy(np.int64)
+        keep = n >= 2
+        out = df[keep].copy()
+        out["n_src_docs"] = n_src[keep]
+        return out[["source", "gram", "n_docs", "n_src_docs"]]
+
+    return counts.map_batches(threshold, batch_format="pandas")
