@@ -1060,3 +1060,98 @@ def source_template_grams(sf_dir: str):
         return out[["source", "gram", "n_docs", "n_src_docs"]]
 
     return counts.map_batches(threshold, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# CUBE rollup derived from the finest aggregate (no corpus re-scan)
+# --------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+@query("lang_source_cube", _CUBE_SQL)
+def lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE (lang, source) computed the distributed way: ONE scan
+    builds the finest (lang, source) aggregate; the three coarser grouping
+    sets re-aggregate that tiny table (|langs| x |sources| rows), never
+    the corpus. '*' marks the rolled-up dimension. COUNT re-aggregates as
+    SUM at coarser levels — the standard algebraic-rollup rule."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["lang", "source", "n_chars"])
+    fine = partial_agg(ds.map_batches(
+        lambda df: pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "source": df["source"].to_numpy(object),
+            "n": np.ones(len(df), np.int64),
+            "sum_chars": df["n_chars"].to_numpy(np.int64)}),
+        batch_format="pandas"),
+        ["lang", "source"], [("n", "sum", "n"),
+                             ("sum_chars", "sum", "sum_chars")])
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [df]
+        for dims in (("lang",), ("source",), ()):
+            g = df.copy()
+            for d in ("lang", "source"):
+                if d not in dims:
+                    g[d] = "*"
+            outs.append(g.groupby(["lang", "source"], as_index=False)
+                        [["n", "sum_chars"]].sum())
+        return pd.concat(outs, ignore_index=True)
+
+    # the finest aggregate is keys-bounded: one block, derive levels there
+    return fine.repartition(1).map_batches(levels, batch_format="pandas",
+                                           batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Partitioned sliding-window sum (window-function family)
+# --------------------------------------------------------------------------
+
+_MOVSUM_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mov_sum_cents
+FROM events
+"""
+
+
+@query("events_moving_sum3", _MOVSUM_SQL)
+def events_moving_sum3(sf_dir: str):
+    """Per-user sliding-window sum over the 3 most recent events (ROWS
+    2 PRECEDING, deterministic (ts, event_id) order, integer cents) — the
+    window-function shape: one bucketed exchange on the partition key,
+    then a vectorized cumsum-difference per key; no global sort."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "cents": np.round(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        c = g["cents"].to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        # the window start clamps at each USER's first row (several users
+        # share a bucket), via the row's within-user ordinal
+        ord_in_user = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        start = np.arange(len(c)) - np.minimum(ord_in_user, 2)
+        w = cs[np.arange(1, len(c) + 1)] - cs[start]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "mov_sum_cents": w})
+
+    enc_ds = ds.map_batches(enc, batch_format="pandas")
+    return keyed_map_groups(enc_ds, "user_id", window, per_group=False)
