@@ -318,3 +318,77 @@ def retention_cohorts(sf_dir: str):
     cells = keyed_map_groups(days, "user_id", per_user)
     return partial_agg(cells, ["cohort_day", "day_offset"],
                        [("n_users", "sum", "n_users")])
+
+
+# --------------------------------------------------------------------------
+# Distributed semi-join / anti-join (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+_QTY_HI = 45
+
+_ANTI_SQL = f"""
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > {_QTY_HI})
+"""
+
+_SEMI_SQL = f"""
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity > {_QTY_HI})
+"""
+
+
+def _hiqty_keys(sf_dir: str):
+    """Distinct order keys owning a high-quantity lineitem (the probe side
+    of both joins): filtered at the read, collapsed map-side, one small
+    exchange on the key."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["l_quantity"] > _QTY_HI, "l_orderkey"] \
+            .drop_duplicates().to_numpy(np.int64)
+        return pd.DataFrame({"o_orderkey": k,
+                             "hit": np.ones(len(k), np.int8)})
+
+    return partial_agg(li.map_batches(keys, batch_format="pandas"),
+                       ["o_orderkey"], [("hit", "min", "hit")])
+
+
+def _exists_join(sf_dir: str, *, want_match: bool):
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    probe = _hiqty_keys(sf_dir)
+    joined = orders.join(probe, join_type="left_outer", num_partitions=16,
+                         on=("o_orderkey",))
+
+    def sieve(t):
+        import pyarrow.compute as pc
+
+        mask = pc.is_valid(t["hit"]) if want_match \
+            else pc.is_null(t["hit"])
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    return joined.map_batches(sieve, batch_format="pyarrow")
+
+
+@query("orders_anti_join_hiqty", _ANTI_SQL)
+def orders_anti_join_hiqty(sf_dir: str):
+    """Distributed ANTI-join (NOT EXISTS): orders with no high-quantity
+    lineitem. The probe side is a distinct-key collapse (never the
+    lineitem rows); the left-outer + null-sieve runs as one keyed
+    exchange. When the probe side is small enough it should flip to the
+    broadcast filter (source_blocklist_filter's shape) — this entry keeps
+    the shuffle form as the general-cardinality path."""
+    return _exists_join(sf_dir, want_match=False)
+
+
+@query("orders_semi_join_hiqty", _SEMI_SQL)
+def orders_semi_join_hiqty(sf_dir: str):
+    """Distributed SEMI-join (EXISTS): the matching orders, same plan as
+    the anti-join with the sieve inverted — multiplicity-safe because the
+    probe side is distinct keys, so the join never duplicates orders."""
+    return _exists_join(sf_dir, want_match=True)
