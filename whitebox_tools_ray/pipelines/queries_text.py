@@ -1220,3 +1220,80 @@ def media_payload_check(sf_dir: str):
                          "payload_len": lens, "head_u64": heads})
 
     return media.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verification of MinHash near-dup candidates
+# --------------------------------------------------------------------------
+
+def _edit_sql() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_minhash_sql()}) q
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT)
+               AS max_len
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, one vectorized row per char of ``a``: the
+    in-row insertion chain resolves exactly via the
+    arange + minimum.accumulate(x - arange) identity."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-8"), np.uint8).astype(np.int32)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    ar = np.arange(len(bb) + 1, dtype=np.int64)
+    for i, ca in enumerate(a.encode("utf-8")):
+        sub = prev[:-1] + (bb != ca)
+        cur0 = np.empty_like(prev)
+        cur0[0] = i + 1
+        cur0[1:] = np.minimum(prev[1:] + 1, sub)
+        prev = ar + np.minimum.accumulate(cur0 - ar)
+    return int(prev[-1])
+
+
+@query("near_dup_edit_distance", _edit_sql())
+def near_dup_edit_distance(sf_dir: str):
+    """Edit-distance verification of the MinHash candidate pairs (the
+    second canonical near-dup metric next to Jaccard): the pair set is
+    candidate-bounded (shared session-memoized build), texts arrive by two
+    keyed joins against documents, and each pair runs a vectorized-row DP
+    — never an all-pairs product. The oracle reuses the full banding-exact
+    MinHash SQL plus DuckDB's levenshtein."""
+    pairs = minhash_near_dup(sf_dir)
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs)
+    pairs = pairs.map_batches(
+        lambda df: df[["doc_a", "doc_b"]], batch_format="pandas")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    da = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_a", "text": "text_a"}),
+        batch_format="pandas")
+    db = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_b", "text": "text_b"}),
+        batch_format="pandas")
+    j = pairs.join(da, join_type="inner", num_partitions=8, on=("doc_a",)) \
+             .join(db, join_type="inner", num_partitions=8, on=("doc_b",))
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        ed = np.fromiter(
+            (_levenshtein(x, y) for x, y
+             in zip(df["text_a"].to_list(), df["text_b"].to_list())),
+            np.int64, len(df))
+        ml = np.maximum(df["text_a"].str.len().to_numpy(np.int64),
+                        df["text_b"].str.len().to_numpy(np.int64))
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy(np.int64),
+                             "doc_b": df["doc_b"].to_numpy(np.int64),
+                             "edit_dist": ed, "max_len": ml})
+
+    return j.map_batches(dist, batch_format="pandas")
