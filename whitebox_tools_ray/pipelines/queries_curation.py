@@ -1155,3 +1155,68 @@ def events_moving_sum3(sf_dir: str):
 
     enc_ds = ds.map_batches(enc, batch_format="pandas")
     return keyed_map_groups(enc_ds, "user_id", window, per_group=False)
+
+# --------------------------------------------------------------------------
+# Cross-language vocabulary overlap matrix
+# --------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+WITH lt AS (
+  SELECT DISTINCT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), lt2 AS (SELECT lang, tok FROM lt WHERE tok <> '')
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       COUNT(*) AS n_shared
+FROM lt2 a JOIN lt2 b ON a.tok = b.tok AND a.lang < b.lang
+GROUP BY a.lang, b.lang
+"""
+
+
+@query("lang_vocab_overlap", _VOCAB_SQL)
+def lang_vocab_overlap(sf_dir: str):
+    """Cross-language vocabulary overlap (corpus-comparison shape): the
+    distinct (lang, token) collapse happens map-side; per token the lang
+    SET is tiny (<= |langs|), so the pair fan-out per token is bounded and
+    the final exchange carries |langs|^2 keys. At 10^12 docs the token-
+    keyed exchange carries each distinct token once per lang — vocabulary-
+    not corpus-sized."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        langs, toks = [], []
+        for lang, text in zip(df["lang"].to_list(), df["text"].to_list()):
+            u = set(text.split())
+            langs.extend([lang] * len(u))
+            toks.extend(u)
+        out = pd.DataFrame({"lang": np.asarray(langs, object),
+                            "tok": np.asarray(toks, object)})
+        out["z"] = np.zeros(len(out), np.int8)
+        return out
+
+    lt = partial_agg(ds.map_batches(explode, batch_format="pandas"),
+                     ["lang", "tok"], [("z", "min", "z")]).drop_columns(["z"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, sub in g.groupby("tok", sort=False):
+            ls = sorted(sub["lang"].to_list())
+            for i in range(len(ls)):
+                for j in range(i + 1, len(ls)):
+                    rows_a.append(ls[i])
+                    rows_b.append(ls[j])
+        return pd.DataFrame({"lang_a": np.asarray(rows_a, object),
+                             "lang_b": np.asarray(rows_b, object),
+                             "n_shared": np.ones(len(rows_a), np.int64)})
+
+    # bucket by token hash so each token's lang set co-locates
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import fingerprint64
+
+        df = df.copy()
+        df["th"] = fingerprint64(df["tok"]).astype(np.int64)
+        return df
+
+    hashed = lt.map_batches(add_h, batch_format="pandas")
+    pair_rows = keyed_map_groups(hashed, "th", pairs, per_group=False)
+    return partial_agg(pair_rows, ["lang_a", "lang_b"],
+                       [("n_shared", "sum", "n_shared")])

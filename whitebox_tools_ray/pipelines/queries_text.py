@@ -1297,3 +1297,52 @@ def near_dup_edit_distance(sf_dir: str):
                              "edit_dist": ed, "max_len": ml})
 
     return j.map_batches(dist, batch_format="pandas")
+
+
+def _leakage_sql() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_minhash_sql()}) q
+    )
+    SELECT LEAST(da.source, db.source) AS src_a,
+           GREATEST(da.source, db.source) AS src_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("near_dup_source_leakage", _leakage_sql())
+def near_dup_source_leakage(sf_dir: str):
+    """Cross-source duplication leakage matrix: MinHash near-dup pairs
+    attributed to their (source, source) cell — the contamination view a
+    corpus curator reads to find mirror sites / syndication. Reuses the
+    memoized candidate pair set; two keyed joins ship only (doc_id,
+    source); output is |sources|^2-bounded."""
+    pairs = minhash_near_dup(sf_dir)
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs)
+    pairs = pairs.map_batches(lambda df: df[["doc_a", "doc_b"]],
+                              batch_format="pandas")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    da = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_a", "source": "src_x"}),
+        batch_format="pandas")
+    db = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_b", "source": "src_y"}),
+        batch_format="pandas")
+    j = pairs.join(da, join_type="inner", num_partitions=8, on=("doc_a",)) \
+             .join(db, join_type="inner", num_partitions=8, on=("doc_b",))
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["src_x"].to_numpy(object)
+        y = df["src_y"].to_numpy(object)
+        lo = np.where(x <= y, x, y)
+        hi = np.where(x <= y, y, x)
+        return pd.DataFrame({"src_a": lo, "src_b": hi,
+                             "n_pairs": np.ones(len(df), np.int64)})
+
+    return partial_agg(j.map_batches(cell, batch_format="pandas"),
+                       ["src_a", "src_b"], [("n_pairs", "sum", "n_pairs")])
